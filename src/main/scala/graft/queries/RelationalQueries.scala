@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operator conformance queries over the driver's
+  * TPC-H-ish tables. Each query exercises one operator family from
+  * SURVEY.md §2 (the reference's relational shapes re-expressed
+  * Spark-first), and each has an exact DuckDB oracle in [[oracles]].
+  *
+  * Reference citations (what each operator re-imagines):
+  *  - q01: per-group aggregation (osm-live-updates A5/A6 batch stats,
+  *    src/osm/OsmChangeHandler.cpp:108-116).
+  *  - q03: W1 dedup-to-latest window (src/osm/OsmUpdater.cpp:117-168).
+  *  - q04: J1-style semi-join closure (src/sparql/QueryWriter.cpp:169-184).
+  *  - q05: SO2 anti-join "not in change file" guard
+  *    (src/osm/OsmChangeHandler.cpp:224-226).
+  *  - q06: SO1/A4 id-set unions (src/osm/OsmChangeHandler.cpp:444-481).
+  *  - q07: J8/A1 ordered GROUP_CONCAT reconstruction
+  *    (src/sparql/QueryWriter.cpp:115-134).
+  *  - q08: A3 max-timestamp top-1 (src/sparql/QueryWriter.cpp:81-87).
+  *  - q09: top-k per group window (north-rule kNN ranking shape, W6).
+  *  - q10: A5 facts-count per object (tests/data/node.ttl:32).
+  */
+object RelationalQueries {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A5: wide aggregation with map-side partial agg; exact integer units.
+    "q01_pricing_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(bp(col("l_discount"))).as("sum_disc_bp"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q02_revenue_per_nation" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .withColumn("rev_micro", cents(col("l_extendedprice")) * (lit(10000L) - bp(col("l_discount"))))
+      val o = orders(s, dir).select("o_orderkey", "o_custkey")
+      val c = customer(s, dir).select("c_custkey", "c_nationkey")
+      val n = nation(s, dir).select("n_nationkey", "n_name")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_micro")).as("revenue_micro"), count(lit(1)).as("n_items"))
+    }),
+    "q03_dedup_latest" -> ((s, dir) => {
+      // W1: newest event per (user_id, event_type); deterministic
+      // tie-break on event_id (mirrors version DESC, deleted, ts DESC).
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+          bp(col("value")).as("value_bp"))
+    }),
+    "q04_semijoin_orders_of_flagged_parts" -> ((s, dir) => {
+      // J1 shape: distinct "ways" (orders) referencing any "modified
+      // node" (flagged part). Probe side is small -> broadcast semi-join.
+      val flagged = part(s, dir).filter(col("p_size") % 7 === 0).select(col("p_partkey"))
+      lineitem(s, dir)
+        .join(broadcast(flagged), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey")).distinct()
+    }),
+    "q05_antijoin_customers_without_orders" -> ((s, dir) => {
+      customer(s, dir)
+        .join(orders(s, dir).select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q06_union_distinct_ids" -> ((s, dir) => {
+      // A4/SO1: union of id sets from heterogeneous sources.
+      val a = orders(s, dir).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("id"))
+      val b = customer(s, dir).filter(col("c_acctbal") < 0).select(col("c_custkey").as("id"))
+      val c = supplier(s, dir).select(col("s_suppkey").as("id"))
+      a.union(b).union(c).distinct()
+    }),
+    "q07_ordered_group_concat" -> ((s, dir) => {
+      // J8/A1: ordered member reconstruction — collect_list(struct(pos,id))
+      // then sort_array, never a text shuffle mid-pipeline.
+      lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+              x => x.getField("l_partkey").cast("string")),
+            ";").as("members"),
+          count(lit(1)).cast("long").as("n_members"))
+    }),
+    "q08_latest_timestamp" -> ((s, dir) =>
+      events(s, dir).agg(max(col("ts")).as("latest_ts"))),
+    "q09_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+    }),
+    "q10_facts_count" -> ((s, dir) =>
+      // A5: osm2rdf:facts — count of fact rows per object.
+      events(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("facts"))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(SUM(CAST(ROUND(l_discount*10000,0) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_per_nation" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |      * (10000 - CAST(ROUND(l_discount*10000,0) AS BIGINT))) AS BIGINT) AS revenue_micro,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q03_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, ts,
+        |  CAST(ROUND(value*10000,0) AS BIGINT) AS value_bp
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "q04_semijoin_orders_of_flagged_parts" ->
+      """SELECT DISTINCT l_orderkey FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size % 7 = 0)""".stripMargin,
+    "q05_antijoin_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q06_union_distinct_ids" ->
+      """SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT c_custkey AS id FROM customer WHERE c_acctbal < 0
+        |UNION
+        |SELECT s_suppkey AS id FROM supplier""".stripMargin,
+    "q07_ordered_group_concat" ->
+      """SELECT l_orderkey,
+        |  STRING_AGG(CAST(l_partkey AS VARCHAR), ';' ORDER BY l_linenumber, l_partkey) AS members,
+        |  COUNT(*) AS n_members
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q08_latest_timestamp" ->
+      "SELECT MAX(ts) AS latest_ts FROM events",
+    "q09_topk_per_group" ->
+      """SELECT o_custkey, rank, o_orderkey,
+        |  CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS price_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders)
+        |WHERE rank <= 3""".stripMargin,
+    "q10_facts_count" ->
+      "SELECT user_id, event_type, COUNT(*) AS facts FROM events GROUP BY user_id, event_type",
+  )
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalQueriesSpec extends SparkTestBase {
+
+  test("all registered queries run and return rows on sf0.001") {
+    // q05 (anti-join) may legitimately return 0 rows on tiny data.
+    val mayBeEmpty = Set("q05_antijoin_customers_without_orders")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfSmoke).count()
+      assert(mayBeEmpty(name) || n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has matching oracle coverage or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep the rows-only list deliberate and small
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q03 dedup-to-latest keeps exactly one row per (user, type)") {
+    val df = SparkEntry.queries("q03_dedup_latest")(spark, sfSmoke)
+    val dup = df.groupBy(col("user_id"), col("event_type")).count()
+      .filter(col("count") > 1).count()
+    assert(dup === 0)
+  }
+
+  test("q07 ordered reconstruction member count equals group size") {
+    val df = SparkEntry.queries("q07_ordered_group_concat")(spark, sfSmoke)
+    val bad = df.filter(
+      size(split(col("members"), ";")) =!= col("n_members")).count()
+    assert(bad === 0)
+  }
+}
