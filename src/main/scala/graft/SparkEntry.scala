@@ -12,6 +12,12 @@ object SparkEntry {
     Seq(
       (_root_.graft.queries.RelationalQueries.queries,
         _root_.graft.queries.RelationalQueries.oracles),
+      (_root_.graft.queries.TextQueries.queries,
+        _root_.graft.queries.TextQueries.oracles),
+      (_root_.graft.queries.DedupQueries.queries,
+        _root_.graft.queries.DedupQueries.oracles),
+      (_root_.graft.queries.SimilarityQueries.queries,
+        _root_.graft.queries.SimilarityQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

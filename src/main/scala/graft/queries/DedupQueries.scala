@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Deduplication operators over `documents` — the core of a web-scale
+  * training-data pipeline (exact, n-gram Jaccard, MinHash+LSH banding,
+  * SimHash). Scale notes per operator:
+  *
+  *  - exact: one hash-shuffle on the normalized text key; at 100 TB
+  *    pre-aggregate by a 64-bit content hash first so the shuffle
+  *    carries (hash, id) not full text.
+  *  - Jaccard all-pairs is O(n²) — kept ONLY as the correctness oracle
+  *    shape at small n; the scale path is q13 (LSH candidates, then
+  *    exact verify on the candidate set — linear in candidates).
+  *  - MinHash: signatures shuffle once on doc_id (map-side partial
+  *    min), bands self-join on (band, key) equi-key — broadcastable
+  *    when the bucketed side is small, AQE-skew-safe otherwise.
+  *  - SimHash: 60 conditional sums in one aggregation pass.
+  */
+object DedupQueries {
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand = 4
+  val ShingleN = 3
+
+  /** documents + a disjoint duplicated copy (doc_id + 1e6) — gives the
+    * exact-dedup operator real duplicates to collapse while staying
+    * fully deterministic and oracle-expressible. */
+  private def withDupes(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.union(d.select(col("doc_id") + lit(1000000L), col("text")))
+  }
+
+  /** (doc_id, shingles) — distinct word-3-gram sets per document. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(tokens(col("text")), ShingleN).as("sh"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_exact_dedup" -> ((s, dir) => {
+      withDupes(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies"))
+    }),
+    "q12_ngram_jaccard_pairs" -> ((s, dir) => {
+      val sh = shingleSets(s, dir)
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(intersectSize(col("sh_a"), col("sh_b")) * 2 >=
+          unionSize(col("sh_a"), col("sh_b")))
+        .select(col("id_a"), col("id_b"),
+          jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
+    }),
+    "q13_minhash_lsh_pairs" -> ((s, dir) => {
+      val sh = shingleSets(s, dir)
+      // signatures: explode shingles once, 16 seeded hashes per row,
+      // single groupBy(doc_id) with map-side partial min.
+      val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val sigCols = (0 until NumHashes).map(i =>
+        min(hash60Seeded(i, col("shingle"))).as(s"mh$i"))
+      val sig = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      // band keys: md5 over the 4 row values of each band
+      val bandStructs = (0 until NumBands).map { b =>
+        val key = md5(concat_ws(",",
+          (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string")): _*))
+        struct(lit(b).as("band"), key.as("bkey"))
+      }
+      val bands = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      // exact verify on the candidate set only (the scale path)
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(intersectSize(col("sh_a"), col("sh_b")) * 2 >=
+          unionSize(col("sh_a"), col("sh_b")))
+        .select(col("id_a"), col("id_b"),
+          jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
+    }),
+    "q14_simhash" -> ((s, dir) => {
+      // 60-bit SimHash over distinct tokens: one explode + one groupBy
+      // with 60 conditional sums (all codegen; no per-bit row blowup).
+      val th = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", hash60(col("tok")))
+      val bitSums = (0 until 60).map(b =>
+        sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b"))
+      val agg = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until 60).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      agg.select(col("doc_id"), simhash.as("simhash"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q11_exact_dedup" ->
+      """WITH du AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies
+        |FROM du GROUP BY text""".stripMargin,
+    "q12_ngram_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
+        |  FROM toks
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(ROUND(1000000.0 * len(list_intersect(a.sh, b.sh))
+        |       / len(list_distinct(a.sh || b.sh)), 0) AS BIGINT) AS jaccard_ppm
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(a.sh || b.sh))""".stripMargin,
+    "q13_minhash_lsh_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, sh,
+        |    [list_min([CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s),1,15) AS BIGINT)
+        |       for s in sh]) for i in range(0,16)] AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    md5(CAST(mh[4*b+1] AS VARCHAR) || ',' || CAST(mh[4*b+2] AS VARCHAR) || ','
+        |        || CAST(mh[4*b+3] AS VARCHAR) || ',' || CAST(mh[4*b+4] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0,4) t(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(ROUND(1000000.0 * len(list_intersect(x.sh, y.sh))
+        |       / len(list_distinct(x.sh || y.sh)), 0) AS BIGINT) AS jaccard_ppm
+        |FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
+        |WHERE len(list_intersect(x.sh, y.sh)) * 2 >= len(list_distinct(x.sh || y.sh))""".stripMargin,
+    "q14_simhash" ->
+      """WITH th AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(t),1,15) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS t
+        |        FROM documents)
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0,60) t(b) GROUP BY doc_id, b
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+  )
+}

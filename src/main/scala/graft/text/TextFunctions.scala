@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the dedup / similarity /
+  * text-analysis operators. Everything here is built from codegen'd
+  * `org.apache.spark.sql.functions` (no Scala UDFs) so the hot path
+  * stays inside whole-stage codegen, and every function has an exact
+  * DuckDB mirror for the oracle (md5-based hashing, not xxhash, for
+  * cross-engine determinism — swap `hash60` for `xxhash64` when oracle
+  * parity is not required).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Deterministic 60-bit hash of a string: first 15 hex chars of md5.
+    * 60 bits keeps the value positive in a signed long on both engines
+    * (DuckDB mirror: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for MinHash permutations: hash60(seed || ':' || x). */
+  def hash60Seeded(seed: Int, c: Column): Column =
+    hash60(concat(lit(s"$seed:"), c))
+
+  /** Distinct word n-gram shingles of a token array (n fixed at call
+    * site). Empty when fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** |a ∩ b| for two string arrays (set semantics). */
+  def intersectSize(a: Column, b: Column): Column =
+    size(array_intersect(a, b))
+
+  /** |a ∪ b| for two string arrays (set semantics). */
+  def unionSize(a: Column, b: Column): Column =
+    size(array_union(a, b))
+
+  /** Jaccard similarity in exact parts-per-million (integer — oracle
+    * hash parity; never a raw double). */
+  def jaccardPpm(a: Column, b: Column): Column =
+    round(lit(1000000.0) * intersectSize(a, b) / unionSize(a, b), 0).cast("long")
+
+  /** Rolling polynomial fingerprint over the ordered token stream:
+    * fold(acc * 1000003 + h60(tok) mod 2^40) mod 2^40. Mirrors the
+    * reference's string-identity checks as a scalable fingerprint
+    * (cf. /root/reference/src/util/TtlHelper.cpp:62-82 id-from-string).
+    */
+  def rollingFingerprint(toks: Column): Column = {
+    val m = 1099511627776L // 2^40
+    aggregate(
+      transform(toks, t => hash60(t) % m),
+      lit(0L),
+      (acc, h) => (acc * 1000003L + h) % m)
+  }
+}
