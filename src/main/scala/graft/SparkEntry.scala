@@ -18,6 +18,8 @@ object SparkEntry {
         _root_.graft.queries.DedupQueries.oracles),
       (_root_.graft.queries.SimilarityQueries.queries,
         _root_.graft.queries.SimilarityQueries.oracles),
+      (_root_.graft.queries.SpatialQueries.queries,
+        _root_.graft.queries.SpatialQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

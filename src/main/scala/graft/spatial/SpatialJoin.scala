@@ -1,0 +1,152 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import graft.geo.{CellIndex, GeoFunctions}
+
+/** Cell-prefiltered point-in-polygon join, kNN, and tile
+  * materialization — the north-rule core (SURVEY.md §2.3 J12, §2.5 W6,
+  * §4.3). Re-imagines the geometric containment the reference delegates
+  * to osm2rdf's GeometryHandler (/root/reference/src/osm/Osm2ttl.cpp:112-133)
+  * as explicit Spark plans:
+  *
+  *  - polygons are assembled from way_members ⋈ nodes (ordered ring
+  *    reconstruction, J8 shape) — never trusted from pre-baked params;
+  *  - each polygon explodes to its covering cells at the join
+  *    resolution (fan-out bounded by [[CellIndex.coverRes]] at scale);
+  *  - each point encodes to exactly ONE cell (codegen'd arithmetic) —
+  *    so the equi-join emits no duplicate candidates and needs no
+  *    post-dedup;
+  *  - exact JTS covers() refine on the candidate set only;
+  *  - the polygon side is broadcast when small; the partitioned path
+  *    salts the polygon side ×S and keys points by (cell, hash%S) to
+  *    split hot cells (explicit skew mitigation per the north rule).
+  */
+object SpatialJoin {
+
+  /** (way_id, xs, ys): closed ring coordinate arrays, pos-ordered. */
+  def polygons(wayMembers: DataFrame, nodes: DataFrame): DataFrame =
+    wayMembers.join(nodes, "node_id")
+      .groupBy(col("way_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lon"), col("lat")))).as("ring"))
+      .select(col("way_id"),
+        transform(col("ring"), r => r.getField("lon")).as("xs"),
+        transform(col("ring"), r => r.getField("lat")).as("ys"))
+
+  private val gf = new GeometryFactory()
+
+  private def mkPolygon(xs: Seq[Double], ys: Seq[Double]) = {
+    val coords = xs.zip(ys).map { case (x, y) => new Coordinate(x, y) }.toArray
+    val closed = if (coords.head == coords.last) coords else coords :+ coords.head
+    gf.createPolygon(closed)
+  }
+
+  /** Covering cells of a ring at `res` (JTS-refined envelope scan). */
+  val coverCellsUdf: Int => org.apache.spark.sql.expressions.UserDefinedFunction =
+    res => udf((xs: Seq[Double], ys: Seq[Double]) =>
+      CellIndex.coverGeometry(mkPolygon(xs, ys), res))
+
+  /** Inclusive point-in-polygon (JTS covers — boundary counts, matching
+    * the oracle's BETWEEN semantics). */
+  val coversUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((xs: Seq[Double], ys: Seq[Double], px: Double, py: Double) =>
+      mkPolygon(xs, ys).covers(gf.createPoint(new Coordinate(px, py))))
+
+  /** Cell-prefiltered PIP join.
+    *
+    * @param points   (pointCols..., lon, lat)
+    * @param polys    (way_id, xs, ys) from [[polygons]]
+    * @param res      join resolution (cell edge must be >= max polygon
+    *                 edge for single-res cover to stay small)
+    * @param broadcastPolys broadcast the exploded polygon side
+    * @param salt     >1 enables salted skew-split on the partitioned path
+    */
+  def pipJoin(points: DataFrame, polys: DataFrame, res: Int,
+      broadcastPolys: Boolean = true, salt: Int = 1): DataFrame = {
+    val cover = polys
+      .withColumn("cell", explode(coverCellsUdf(res)(col("xs"), col("ys"))))
+    val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
+    val joined =
+      if (broadcastPolys) pts.join(broadcast(cover), "cell")
+      else if (salt <= 1) pts.join(cover, "cell")
+      else {
+        // explicit salt-split: polygon rows replicate ×salt, point rows
+        // pick one deterministic shard — hot cells spread over `salt`
+        // reducers while join output stays exact (no dedup needed).
+        val saltedCover = cover.withColumn("s",
+          explode(sequence(lit(0), lit(salt - 1))))
+        val saltedPts = pts.withColumn("s",
+          pmod(hash(col("lon"), col("lat")), lit(salt)))
+        saltedPts.join(saltedCover, Seq("cell", "s")).drop("s")
+      }
+    joined
+      .filter(coversUdf(col("xs"), col("ys"), col("lon"), col("lat")))
+      .drop("cell", "xs", "ys")
+  }
+
+  /** Exact brute-force kNN against a broadcast centroid layer —
+    * the correctness baseline (probe side small). Tie-break: way_id. */
+  def knnBroadcast(points: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val d2 = (col("lon") - col("cx")) * (col("lon") - col("cx")) +
+      (col("lat") - col("cy")) * (col("lat") - col("cy"))
+    val w = Window.partitionBy(col("doc_id"), col("entity"))
+      .orderBy(col("d2").asc, col("way_id").asc)
+    points.crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** kNN via expanding cell rings — the 100 TB path: centroids are
+    * bucketed by cell once; each point probes rings of increasing
+    * radius and stops when the nearest candidate found so far is
+    * provably closer than anything outside the searched rings
+    * (ring r guarantees a Chebyshev moat of (r-1) cells).
+    * Returns the same rows as [[knnBroadcast]] with k=1.
+    */
+  def nearestByRings(points: DataFrame, centroids: DataFrame, res: Int,
+      maxRing: Int = 64): DataFrame = {
+    val cellW = 360.0 / CellIndex.width(res) // lon degrees per cell
+    val cellH = 180.0 / CellIndex.width(res)
+    val minEdge = math.min(cellW, cellH)
+    val cents = centroids.withColumn("ccell",
+      GeoFunctions.cellAt(col("cx"), col("cy"), res))
+    val pts = points.withColumn("pcell",
+      GeoFunctions.cellAt(col("lon"), col("lat"), res))
+
+    var unresolved = pts
+    var resolved: Option[DataFrame] = None
+    var ring = 1
+    while (ring <= maxRing && !unresolved.isEmpty) {
+      val probe = unresolved.withColumn("qcell",
+        explode(GeoFunctions.kRingArray(col("pcell"), ring, res)))
+      val cand = probe.join(broadcast(cents), col("qcell") === col("ccell"))
+        .withColumn("d2",
+          (col("lon") - col("cx")) * (col("lon") - col("cx")) +
+            (col("lat") - col("cy")) * (col("lat") - col("cy")))
+      val w = Window.partitionBy(col("doc_id"), col("entity"))
+        .orderBy(col("d2").asc, col("way_id").asc)
+      val best = cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .drop("qcell", "ccell", "pcell")
+      // sound iff best distance < moat of (ring-1) whole cells
+      val moat = (ring - 1).toDouble * minEdge
+      val sure = best.filter(sqrt(col("d2")) < lit(moat))
+      val sureKeys = sure.select(col("doc_id"), col("entity"))
+      resolved = Some(resolved.map(_.unionByName(sure)).getOrElse(sure))
+      unresolved = unresolved.join(sureKeys, Seq("doc_id", "entity"), "left_anti")
+      ring *= 2
+    }
+    val leftover =
+      if (unresolved.isEmpty) None
+      else Some(knnBroadcast(unresolved.drop("pcell"), centroids, 1))
+    (resolved, leftover) match {
+      case (Some(r), Some(l)) => r.unionByName(l, allowMissingColumns = true)
+      case (Some(r), None)    => r
+      case (None, Some(l))    => l
+      case (None, None)       => points.limit(0)
+    }
+  }
+}
