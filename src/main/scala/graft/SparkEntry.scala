@@ -20,6 +20,8 @@ object SparkEntry {
         _root_.graft.queries.SimilarityQueries.oracles),
       (_root_.graft.queries.SpatialQueries.queries,
         _root_.graft.queries.SpatialQueries.oracles),
+      (_root_.graft.queries.OsmQueries.queries,
+        _root_.graft.queries.OsmQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,116 @@
+package graft.osm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The OsmChange delta pipeline re-expressed as one declarative Spark
+  * DAG (SURVEY.md §3.1): the reference's nine id-sets, SPARQL semi-join
+  * round-trips and VALUES batching collapse into filters and in-plan
+  * joins — Catalyst picks broadcast vs shuffled hash per stage, and the
+  * W1 dedup window replaces the osmium merge-sort.
+  *
+  * Reference semantics donors:
+  *  - dedupLatest: comparator object_order_type_id_reverse_version_delete
+  *    (/root/reference/src/osm/OsmUpdater.cpp:117-168) — newest version
+  *    wins across a whole catch-up window.
+  *  - classify: storeIdsOfElementsInChangeFile
+  *    (/root/reference/src/osm/OsmChangeHandler.cpp:153-197).
+  *  - staleWays / staleRels: J1/J3 closure semi-joins
+  *    (/root/reference/src/sparql/QueryWriter.cpp:169-220) with the
+  *    "not already in change file" anti-join guards
+  *    (OsmChangeHandler.cpp:224-262).
+  *  - reconstructWays: J8 ordered GROUP_CONCAT reconstruction
+  *    (QueryWriter.cpp:115-134, OsmDataFetcher.cpp:281-330).
+  *  - deleteSet: two-hop delete id-set union
+  *    (OsmChangeHandler.cpp:442-491).
+  *  - applyNodeOps: SPARQL UPDATE replaced by an idempotent MERGE
+  *    (upsert ∪ anti-delete) per the north rule.
+  */
+object ChangePipeline {
+
+  /** W1: one winning op per (kind, id) — newest version, then newest
+    * ts, then highest seq. Idempotent and order-insensitive. */
+  def dedupLatest(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("kind"), col("id"))
+      .orderBy(col("version").desc, col("ts").desc, col("seq").desc)
+    changes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** P1/A6: batch statistics per (kind, action). */
+  def classify(changes: DataFrame): DataFrame =
+    changes.groupBy(col("kind"), col("action")).agg(count(lit(1)).as("n"))
+
+  private def idsOf(winners: DataFrame, kind: String, actions: String*): DataFrame = {
+    val base = winners.filter(col("kind") === kind)
+    (if (actions.isEmpty) base else base.filter(col("action").isin(actions: _*)))
+      .select(col("id"))
+  }
+
+  /** J1: distinct ways with >=1 modified member node, excluding ways
+    * already present in the change file. */
+  def staleWays(winners: DataFrame, wayMembers: DataFrame): DataFrame =
+    wayMembers
+      .join(idsOf(winners, "node", "modify"), col("node_id") === col("id"), "left_semi")
+      .select(col("way_id")).distinct()
+      .join(idsOf(winners, "way"), col("way_id") === col("id"), "left_anti")
+
+  /** J3: distinct relations referencing a modified or stale way,
+    * excluding relations already in the change file. */
+  def staleRels(winners: DataFrame, relMembers: DataFrame, stale: DataFrame): DataFrame = {
+    val probeWays = idsOf(winners, "way", "modify")
+      .union(stale.select(col("way_id").as("id"))).distinct()
+    relMembers
+      .join(probeWays, col("member_id") === col("id"), "left_semi")
+      .select(col("rel_id")).distinct()
+      .join(idsOf(winners, "relation"), col("rel_id") === col("id"), "left_anti")
+  }
+
+  /** J8: ordered member reconstruction + LINESTRING derivation for the
+    * geometry-stale ways. */
+  def reconstructWays(stale: DataFrame, wayMembers: DataFrame, nodes: DataFrame): DataFrame =
+    wayMembers
+      .join(stale, Seq("way_id"), "left_semi")
+      .join(nodes, "node_id")
+      .groupBy(col("way_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("node_id"), col("lon"), col("lat"))))
+        .as("ring"))
+      .select(col("way_id"),
+        array_join(transform(col("ring"), r => r.getField("node_id").cast("string")), ";")
+          .as("members"),
+        concat(lit("LINESTRING("),
+          array_join(transform(col("ring"),
+            r => format_string("%.7f %.7f", r.getField("lon"), r.getField("lat"))), ", "),
+          lit(")")).as("wkt"))
+
+  /** J11/A4: the full delete id-set — deleted ∪ modified ∪ stale per
+    * kind (stale objects are deleted then re-inserted). */
+  def deleteSet(winners: DataFrame, stale: DataFrame, staleR: DataFrame): DataFrame =
+    winners.filter(col("action").isin("delete", "modify"))
+      .select(col("kind"), col("id"))
+      .union(stale.select(lit("way").as("kind"), col("way_id").as("id")))
+      .union(staleR.select(lit("relation").as("kind"), col("rel_id").as("id")))
+      .distinct()
+
+  /** MERGE INTO nodes: upsert created/modified, drop deleted.
+    * Idempotent by (id) — re-applying the same winner set is a no-op. */
+  def applyNodeOps(nodes: DataFrame, winners: DataFrame): DataFrame = {
+    val upserts = winners.filter(col("kind") === "node" &&
+        col("action").isin("create", "modify"))
+      .select(col("id"), col("lon").as("new_lon"), col("lat").as("new_lat"))
+    val deletes = idsOf(winners, "node", "delete")
+    nodes
+      .join(deletes, col("node_id") === col("id"), "left_anti")
+      .join(upserts, col("node_id") === col("id"), "left")
+      .select(col("node_id"),
+        coalesce(col("new_lon"), col("lon")).as("lon"),
+        coalesce(col("new_lat"), col("lat")).as("lat"))
+      .unionByName(
+        // winners are unique per (kind,id), so an upsert id can never
+        // also be in the delete set — no extra guard needed here.
+        upserts.join(nodes, col("id") === col("node_id"), "left_anti")
+          .select(col("id").as("node_id"),
+            col("new_lon").as("lon"), col("new_lat").as("lat")))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.osm.ChangePipeline
+import graft.rdf.TripleDerive
+import graft.synth.{SynthSql, SynthUniverse}
+
+/** The OsmChange delta pipeline, oracle-checked stage by stage over the
+  * synthetic universe (changes derived from `events`, snapshot derived
+  * from `orders`): classification, W1 dedup-to-latest, J1/J3 dependency
+  * closure, J8 ordered reconstruction, J11 delete-set, triple
+  * derivation, and the final MERGE.
+  */
+object OsmQueries {
+
+  private def winners(s: SparkSession, dir: String): DataFrame =
+    ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir))
+
+  private def stale(s: SparkSession, dir: String): DataFrame =
+    ChangePipeline.staleWays(winners(s, dir), SynthUniverse.wayMembers(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_classify_changes" -> ((s, dir) =>
+      ChangePipeline.classify(SynthUniverse.changes(s, dir))),
+    "q34_changes_dedup" -> ((s, dir) =>
+      winners(s, dir).select(col("kind"), col("id"), col("action"),
+        col("version"), col("seq"))),
+    "q35_ways_stale" -> ((s, dir) => stale(s, dir)),
+    "q36_rels_stale" -> ((s, dir) =>
+      ChangePipeline.staleRels(winners(s, dir),
+        SynthUniverse.relMembers(s, dir), stale(s, dir))),
+    "q37_way_reconstruct" -> ((s, dir) =>
+      ChangePipeline.reconstructWays(stale(s, dir),
+        SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))),
+    "q38_delete_set" -> ((s, dir) => {
+      val w = winners(s, dir)
+      val st = stale(s, dir)
+      ChangePipeline.deleteSet(w, st,
+        ChangePipeline.staleRels(w, SynthUniverse.relMembers(s, dir), st))
+    }),
+    "q39_node_triples" -> ((s, dir) => {
+      val ops = winners(s, dir)
+        .filter(col("kind") === "node" && col("action").isin("create", "modify"))
+        .select(col("id"), col("lon"), col("lat"), col("ts"))
+      TripleDerive.nodeTriples(ops, SynthUniverse.tags(s, dir))
+    }),
+    "q40_nodes_after_merge" -> ((s, dir) =>
+      ChangePipeline.applyNodeOps(SynthUniverse.nodes(s, dir), winners(s, dir))
+        .select(col("node_id"),
+          round(col("lon") * 1e7, 0).cast("long").as("lon_e7"),
+          round(col("lat") * 1e7, 0).cast("long").as("lat_e7"))),
+  )
+
+  private val winnersCte: String =
+    """winners AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY kind, id
+      |      ORDER BY version DESC, ts DESC, seq DESC) AS rn FROM changes)
+      |  WHERE rn = 1)""".stripMargin
+
+  private val staleCte: String =
+    """stale_ways AS (
+      |  SELECT DISTINCT wm.way_id FROM way_members wm
+      |  JOIN (SELECT id FROM winners WHERE kind='node' AND action='modify') mn
+      |    ON wm.node_id = mn.id
+      |  WHERE wm.way_id NOT IN (SELECT id FROM winners WHERE kind='way'))""".stripMargin
+
+  private val staleRelsCte: String =
+    """stale_rels AS (
+      |  SELECT DISTINCT rm.rel_id FROM rel_members rm
+      |  JOIN (SELECT id FROM winners WHERE kind='way' AND action='modify'
+      |        UNION SELECT way_id AS id FROM stale_ways) pw
+      |    ON rm.member_id = pw.id
+      |  WHERE rm.rel_id NOT IN (SELECT id FROM winners WHERE kind='relation'))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q33_classify_changes" ->
+      s"""WITH ${SynthSql.changesCte}
+         |SELECT kind, action, COUNT(*) AS n FROM changes GROUP BY kind, action""".stripMargin,
+    "q34_changes_dedup" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte
+         |SELECT kind, id, action, version, seq FROM winners""".stripMargin,
+    "q35_ways_stale" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte}, $staleCte
+         |SELECT way_id FROM stale_ways""".stripMargin,
+    "q36_rels_stale" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
+         |  ${SynthSql.relMembersCte}, $staleCte, $staleRelsCte
+         |SELECT rel_id FROM stale_rels""".stripMargin,
+    "q37_way_reconstruct" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
+         |  ${SynthSql.waysCte}, ${SynthSql.nodesCte}, $staleCte
+         |SELECT wm.way_id,
+         |  STRING_AGG(CAST(wm.node_id AS VARCHAR), ';' ORDER BY wm.pos) AS members,
+         |  'LINESTRING(' || STRING_AGG(printf('%.7f %.7f', n.lon, n.lat), ', ' ORDER BY wm.pos) || ')' AS wkt
+         |FROM way_members wm
+         |JOIN stale_ways sw ON wm.way_id = sw.way_id
+         |JOIN nodes n ON wm.node_id = n.node_id
+         |GROUP BY wm.way_id""".stripMargin,
+    "q38_delete_set" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
+         |  ${SynthSql.relMembersCte}, $staleCte, $staleRelsCte
+         |SELECT kind, id FROM winners WHERE action IN ('delete','modify')
+         |UNION
+         |SELECT 'way' AS kind, way_id AS id FROM stale_ways
+         |UNION
+         |SELECT 'relation' AS kind, rel_id AS id FROM stale_rels""".stripMargin,
+    "q39_node_triples" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.waysCte}, ${SynthSql.nodesCte},
+         |ops AS (
+         |  SELECT id, lon, lat, ts, 'osmnode:' || id AS s FROM winners
+         |  WHERE kind='node' AND action IN ('create','modify')),
+         |node_tags AS (
+         |  SELECT node_id AS tag_id, 'k' || (node_id % 5) AS k, 'v' || (node_id % 7) AS v
+         |  FROM nodes)
+         |SELECT s, 'rdf:type' AS p, 'osm:node' AS o FROM ops
+         |UNION ALL
+         |SELECT s, 'geo:asWKT' AS p,
+         |  'POINT(' || printf('%.7f', lon) || ' ' || printf('%.7f', lat) || ')' AS o FROM ops
+         |UNION ALL
+         |SELECT s, 'osmmeta:timestamp' AS p, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS o FROM ops
+         |UNION ALL
+         |SELECT s, 'osmkey:' || t.k AS p, t.v AS o
+         |FROM ops JOIN node_tags t ON ops.id = t.tag_id
+         |UNION ALL
+         |SELECT s, 'osm2rdf:facts' AS p,
+         |  CAST(COUNT(t.tag_id) AS VARCHAR) AS o
+         |FROM ops LEFT JOIN node_tags t ON ops.id = t.tag_id GROUP BY s""".stripMargin,
+    "q40_nodes_after_merge" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.waysCte}, ${SynthSql.nodesCte},
+         |ups AS (SELECT id, lon, lat FROM winners
+         |        WHERE kind='node' AND action IN ('create','modify')),
+         |dels AS (SELECT id FROM winners WHERE kind='node' AND action='delete')
+         |SELECT n.node_id,
+         |  CAST(ROUND(COALESCE(u.lon, n.lon)*10000000,0) AS BIGINT) AS lon_e7,
+         |  CAST(ROUND(COALESCE(u.lat, n.lat)*10000000,0) AS BIGINT) AS lat_e7
+         |FROM nodes n LEFT JOIN ups u ON n.node_id = u.id
+         |WHERE n.node_id NOT IN (SELECT id FROM dels)
+         |UNION ALL
+         |SELECT u.id AS node_id,
+         |  CAST(ROUND(u.lon*10000000,0) AS BIGINT) AS lon_e7,
+         |  CAST(ROUND(u.lat*10000000,0) AS BIGINT) AS lat_e7
+         |FROM ups u WHERE u.id NOT IN (SELECT node_id FROM nodes)""".stripMargin,
+  )
+}
