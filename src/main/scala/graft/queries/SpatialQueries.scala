@@ -19,7 +19,7 @@ import graft.geo.GeoFunctions
   */
 object SpatialQueries {
 
-  val PipRes = 7   // cell edge (2.81° x 1.41°) >= max polygon edge (2.0°)
+  val PipRes = 6   // cell edge (5.63° x 2.81°) vs max polygon edge 4.5° — cover stays <= ~6 cells
   val TileRes = 5
 
   private def polys(s: SparkSession, dir: String): DataFrame =

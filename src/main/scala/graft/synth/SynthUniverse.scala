@@ -35,8 +35,8 @@ object SynthUniverse {
       col("o_orderkey").as("way_id"),
       ((col("o_orderkey") * 13 % 320).cast("double") - 160.0).as("x0"),
       ((col("o_orderkey") * 29 % 150).cast("double") - 75.0).as("y0"),
-      (lit(0.5) + (col("o_orderkey") % 16) * 0.1).as("w"),
-      (lit(0.5) + (col("o_orderkey") * 3 % 16) * 0.1).as("h"))
+      (lit(1.5) + (col("o_orderkey") % 16) * 0.2).as("w"),
+      (lit(1.5) + (col("o_orderkey") * 3 % 16) * 0.2).as("h"))
 
   /** nodes(node_id, lon, lat): 4 corners per way, ccw from (x0,y0). */
   def nodes(s: SparkSession, dir: String): DataFrame = {
@@ -95,8 +95,8 @@ object SynthUniverse {
       .withColumn("hlon", TextFunctions.hash60(col("entity")))
       .withColumn("hlat", TextFunctions.hash60(concat(lit("lat:"), col("entity"))))
       .select(col("doc_id"), col("entity"),
-        ((col("hlon") % 320000) / 1000.0 - 160.0 + (col("doc_id") % 97) * 0.003).as("lon"),
-        ((col("hlat") % 150000) / 1000.0 - 75.0 + (col("doc_id") * 7 % 89) * 0.003).as("lat"))
+        ((col("hlon") % 320000) / 1000.0 - 160.0 + (col("doc_id") % 97) * 0.03).as("lon"),
+        ((col("hlat") % 150000) / 1000.0 - 75.0 + (col("doc_id") * 7 % 89) * 0.03).as("lat"))
   }
 
   /** changes: OsmChange-style ops derived from events. Columns:
@@ -127,8 +127,8 @@ object SynthSql {
       |  SELECT o_orderkey AS way_id,
       |    CAST(o_orderkey*13 % 320 AS DOUBLE) - 160.0 AS x0,
       |    CAST(o_orderkey*29 % 150 AS DOUBLE) - 75.0 AS y0,
-      |    0.5 + (o_orderkey % 16) * 0.1 AS w,
-      |    0.5 + (o_orderkey*3 % 16) * 0.1 AS h
+      |    1.5 + (o_orderkey % 16) * 0.2 AS w,
+      |    1.5 + (o_orderkey*3 % 16) * 0.2 AS h
       |  FROM orders)""".stripMargin
 
   val nodesCte: String =
@@ -147,9 +147,9 @@ object SynthSql {
     """points AS (
       |  SELECT doc_id, entity,
       |    (CAST('0x' || substr(md5(entity),1,15) AS BIGINT) % 320000) / 1000.0
-      |      - 160.0 + (doc_id % 97) * 0.003 AS lon,
+      |      - 160.0 + (doc_id % 97) * 0.03 AS lon,
       |    (CAST('0x' || substr(md5('lat:' || entity),1,15) AS BIGINT) % 150000) / 1000.0
-      |      - 75.0 + (doc_id*7 % 89) * 0.003 AS lat
+      |      - 75.0 + (doc_id*7 % 89) * 0.03 AS lat
       |  FROM (SELECT DISTINCT doc_id, t AS entity
       |        FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
       |              FROM documents)

@@ -1,0 +1,102 @@
+package graft.osm
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import java.util.zip.GZIPOutputStream
+import graft.SparkTestBase
+import graft.tables.SnapshotTable
+
+class ReplicatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val p = Paths.get(s"target/test-repl/$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private def osc(body: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<osmChange version="0.6" generator="t">$body</osmChange>""".stripMargin
+
+  private def gz(s: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos); g.write(s.getBytes(StandardCharsets.UTF_8)); g.close()
+    bos.toByteArray
+  }
+
+  private def node(id: Long, v: Int, lon: Double, lat: Double): String =
+    s"""<node id="$id" version="$v" timestamp="2024-01-0${v}T00:00:00Z" lat="$lat" lon="$lon"/>"""
+
+  val batch1: String = osc(
+    s"""<modify>${node(1, 2, 10.5, 20.5)}</modify>
+       |<create>${node(5, 1, 1.0, 2.0)}</create>""".stripMargin)
+  // seq 2: node 1 bumped again (v3), node 2 deleted, node 5 deleted
+  val batch2: String = osc(
+    s"""<modify>${node(1, 3, 11.0, 21.0)}</modify>
+       |<delete><node id="2" version="2" timestamp="2024-02-01T00:00:00Z" visible="false"/>
+       |${node(5, 2, 0, 0).replace("<node", "<node visible=\"false\"").replace("/>", "/>")}</delete>""".stripMargin)
+
+  private def baseNodes = Seq(
+    (1L, 0.0, 0.0), (2L, 5.0, 5.0), (3L, 7.0, 7.0)).toDF("node_id", "lon", "lat")
+
+  private def finalState(root: String): Map[Long, (Double, Double)] =
+    SnapshotTable.load(spark, s"$root/nodes").read()
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("incremental catch-up equals one-shot merged application (ST2/W1)") {
+    // incremental: apply seq 1, then seq 2
+    val rootA = fresh("inc")
+    SnapshotTable.create(spark, s"$rootA/nodes", baseNodes)
+    val replA = new Replicator(spark, rootA)
+    val dirA = fresh("inc-changes")
+    Files.write(Paths.get(dirA, "000000001.osc.gz"), gz(batch1))
+    assert(replA.catchUp(dirA) > 0)
+    assert(replA.appliedSeq === Some(1))
+    Files.write(Paths.get(dirA, "000000002.osc.gz"), gz(batch2))
+    assert(replA.catchUp(dirA) > 0)
+    assert(replA.appliedSeq === Some(2))
+
+    // one-shot: both files present from the start
+    val rootB = fresh("oneshot")
+    SnapshotTable.create(spark, s"$rootB/nodes", baseNodes)
+    val replB = new Replicator(spark, rootB)
+    val dirB = fresh("oneshot-changes")
+    Files.write(Paths.get(dirB, "000000001.osc.gz"), gz(batch1))
+    Files.write(Paths.get(dirB, "000000002.osc.gz"), gz(batch2))
+    assert(replB.catchUp(dirB) > 0)
+
+    val expect = Map(1L -> (11.0, 21.0), 3L -> (7.0, 7.0))
+    assert(finalState(rootA) === expect)
+    assert(finalState(rootB) === expect)
+  }
+
+  test("up-to-date short-circuit (ST3) and idempotent re-apply (ST4)") {
+    val root = fresh("noop")
+    SnapshotTable.create(spark, s"$root/nodes", baseNodes)
+    val repl = new Replicator(spark, root)
+    val dir = fresh("noop-changes")
+    Files.write(Paths.get(dir, "000000001.osc.gz"), gz(batch1))
+    assert(repl.catchUp(dir) > 0)
+    val state = finalState(root)
+    assert(repl.catchUp(dir) === 0L) // nothing pending -> no-op
+    assert(finalState(root) === state)
+  }
+
+  test("ST1 start-offset resolution: user seq > user ts as-of > checkpoint") {
+    val root = fresh("offset")
+    val repl = new Replicator(spark, root)
+    val states = Seq(
+      (100, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (200, java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      (300, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))).toDF("seq", "ts")
+    assert(repl.decideStartSeq(Some(42), None, states) === 42)
+    assert(repl.decideStartSeq(None,
+      Some(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")), states) === 200)
+    assert(repl.decideStartSeq(None, None, states) === 0)
+  }
+}

@@ -1,0 +1,31 @@
+package graft.spatial
+
+import graft.SparkTestBase
+import graft.synth.SynthUniverse
+import org.apache.spark.sql.functions._
+
+/** The ring-expansion kNN (the 100 TB path) must return exactly the
+  * same nearest neighbor as the brute-force broadcast baseline. */
+class KnnRingSpec extends SparkTestBase {
+
+  test("nearestByRings == knnBroadcast(k=1) on sf0.001") {
+    val pts = SynthUniverse.points(spark, sfSmoke)
+    val polys = SpatialJoin.polygons(
+      SynthUniverse.wayMembers(spark, sfSmoke), SynthUniverse.nodes(spark, sfSmoke))
+    val cents = polys.select(col("way_id"),
+      ((array_min(col("xs")) + array_max(col("xs"))) / 2.0).as("cx"),
+      ((array_min(col("ys")) + array_max(col("ys"))) / 2.0).as("cy"))
+
+    val brute = SpatialJoin.knnBroadcast(pts, cents, 1)
+      .select(col("doc_id"), col("entity"), col("way_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val rings = SpatialJoin.nearestByRings(pts, cents, res = 6)
+      .select(col("doc_id"), col("entity"), col("way_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(rings.keySet === brute.keySet)
+    val diff = rings.collect { case (k, v) if brute(k) != v => (k, v, brute(k)) }
+    assert(diff.isEmpty, s"ring kNN disagrees on ${diff.take(5)}")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.tables
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+import java.util.Comparator
+
+class SnapshotTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get(s"target/test-tables/$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    p.toString
+  }
+
+  test("create / read / snapshot metadata") {
+    val root = freshRoot("basic")
+    val t = SnapshotTable.create(spark,
+      root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(t.currentSnapshot === Some(1L))
+    assert(t.read().count() === 2)
+    val info = t.snapshotInfo(1L)
+    assert(info("operation") === "create" && info("rowCount") === "2")
+    assert(info("bytes").toLong > 0)
+  }
+
+  test("mergeInto upserts, deletes, and is idempotent; time travel sees history") {
+    val root = freshRoot("merge")
+    val t = SnapshotTable.create(spark,
+      root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val updates = Seq((2L, "B", false), (3L, "x", true), (4L, "d", false))
+      .toDF("id", "v", "deleted")
+    t.mergeInto(updates, Seq("id"), deleteMarker = Some("deleted"))
+    val now = t.read().as[(Long, String)].collect().toMap
+    assert(now === Map(1L -> "a", 2L -> "B", 4L -> "d"))
+    // idempotent: same merge again -> same table
+    t.mergeInto(updates, Seq("id"), deleteMarker = Some("deleted"))
+    assert(t.read().as[(Long, String)].collect().toMap === now)
+    // time travel: snapshot 1 still shows the original rows
+    assert(t.readAt(1L).as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(t.snapshots === Seq(1L, 2L, 3L))
+  }
+}
+
+class LineageSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get(s"target/test-lineage/$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    p.toString
+  }
+
+  val outSchema = StructType(Seq(
+    StructField("id", LongType), StructField("doubled", LongType)))
+
+  test("killed stage resumes at partition granularity without recompute") {
+    val root = freshRoot("resume")
+    val lin = new Lineage(spark, root)
+    val input = spark.range(0, 100, 1, numPartitions = 4).toDF("id")
+
+    // first run: partition 2 blows up mid-stage (simulated kill)
+    val boom = intercept[Exception] {
+      lin.runStage("double", input, outSchema) { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          if (id == 60) throw new RuntimeException("simulated task kill")
+          Row(id, id * 2)
+        }
+      }
+    }
+    assert(boom.getMessage != null)
+    val done1 = lin.completedPartitions("double")
+    assert(done1.nonEmpty && done1.size < 4, s"expected partial progress, got $done1")
+
+    // resume: count how many partitions actually re-execute
+    val ran = spark.sparkContext.longAccumulator("ran")
+    val out = lin.runStage("double", input, outSchema) { it =>
+      ran.add(1)
+      it.map(r => Row(r.getLong(0), r.getLong(0) * 2))
+    }
+    assert(ran.value === (4 - done1.size), "completed partitions must not re-run")
+    assert(out.count() === 100)
+    assert(out.agg(sum(col("doubled"))).head().getLong(0) === (0L until 100L).map(_ * 2).sum)
+    // metrics: per-partition row counts sum to the total
+    assert(lin.metrics("double").values.sum === 100L)
+    // full re-run is a no-op
+    val ran2 = spark.sparkContext.longAccumulator("ran2")
+    lin.runStage("double", input, outSchema) { it => ran2.add(1); it.map(r => Row(r.getLong(0), 0L)) }
+    assert(ran2.value === 0)
+  }
+}
