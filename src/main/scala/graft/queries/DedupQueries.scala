@@ -33,10 +33,27 @@ object DedupQueries {
     d.union(d.select(col("doc_id") + lit(1000000L), col("text")))
   }
 
+  /** (doc_id, shingle) distinct rows. Built scalar-per-row (explode the
+    * index, concat ONE gram) — exploding a higher-order-function-built
+    * array re-evaluates the whole array expression per output row
+    * (measured 25x slower); this shape keeps the generator trivial. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val withTs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= ShingleN)
+    withTs
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - ShingleN)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until ShingleN).map(j =>
+          element_at(col("ts"), col("i") + j + 1)): _*).as("shingle"))
+      .distinct()
+  }
+
   /** (doc_id, shingles) — distinct word-3-gram sets per document. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(tokens(col("text")), ShingleN).as("sh"))
+    shingleRows(s, dir).groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_exact_dedup" -> ((s, dir) => {
@@ -57,11 +74,13 @@ object DedupQueries {
     }),
     "q13_minhash_lsh_pairs" -> ((s, dir) => {
       val sh = shingleSets(s, dir)
-      // signatures: explode shingles once, 16 seeded hashes per row,
-      // single groupBy(doc_id) with map-side partial min.
-      val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      // signatures: ONE md5 per (doc, shingle) row, then 16
+      // overflow-free integer permutations folded into 16 partial-min
+      // aggregates in a single groupBy(doc_id).
+      val exploded = shingleRows(s, dir)
+        .withColumn("h32", hash32(col("shingle")))
       val sigCols = (0 until NumHashes).map(i =>
-        min(hash60Seeded(i, col("shingle"))).as(s"mh$i"))
+        min(minhashPerm(i, col("h32"))).as(s"mh$i"))
       val sig = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
       // band keys: md5 over the 4 row values of each band
       val bandStructs = (0 until NumBands).map { b =>
@@ -102,6 +121,12 @@ object DedupQueries {
     }),
   )
 
+  /** The 16 permutation expressions, generated from the SAME constants
+    * the Spark side uses (TextFunctions.minhashA/B). */
+  private val minhashExprs: String = (0 until NumHashes).map(i =>
+    s"list_min([(h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP for h in h32s])")
+    .mkString(", ")
+
   val oracles: Map[String, String] = Map(
     "q11_exact_dedup" ->
       """WITH du AS (
@@ -131,11 +156,13 @@ object DedupQueries {
         |  SELECT doc_id, list_distinct(
         |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
         |  FROM toks
-        |), sig AS (
+        |), hs AS (
         |  SELECT doc_id, sh,
-        |    [list_min([CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s),1,15) AS BIGINT)
-        |       for s in sh]) for i in range(0,16)] AS mh
+        |    [CAST('0x' || substr(md5(s),1,15) AS BIGINT) & 4294967295 for s in sh] AS h32s
         |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, sh, list_value(MINHASH_EXPRS) AS mh
+        |  FROM hs
         |), bands AS (
         |  SELECT doc_id, b,
         |    md5(CAST(mh[4*b+1] AS VARCHAR) || ',' || CAST(mh[4*b+2] AS VARCHAR) || ','
@@ -149,7 +176,8 @@ object DedupQueries {
         |  CAST(ROUND(1000000.0 * len(list_intersect(x.sh, y.sh))
         |       / len(list_distinct(x.sh || y.sh)), 0) AS BIGINT) AS jaccard_ppm
         |FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
-        |WHERE len(list_intersect(x.sh, y.sh)) * 2 >= len(list_distinct(x.sh || y.sh))""".stripMargin,
+        |WHERE len(list_intersect(x.sh, y.sh)) * 2 >= len(list_distinct(x.sh || y.sh))""".stripMargin
+      .replace("MINHASH_EXPRS", minhashExprs),
     "q14_simhash" ->
       """WITH th AS (
         |  SELECT doc_id, CAST('0x' || substr(md5(t),1,15) AS BIGINT) AS h

@@ -26,10 +26,16 @@ object SpatialQueries {
     SpatialJoin.polygons(SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
 
   /** bbox-center centroids; formula mirrored exactly in the oracle. */
-  private def centroids(s: SparkSession, dir: String): DataFrame =
+  def centroids(s: SparkSession, dir: String): DataFrame =
     polys(s, dir).select(col("way_id"),
       ((array_min(col("xs")) + array_max(col("xs"))) / 2.0).as("cx"),
       ((array_min(col("ys")) + array_max(col("ys"))) / 2.0).as("cy"))
+
+  /** kNN target layer: every 40th polygon (brute force is the exact
+    * baseline — quadratic, so the probe layer is kept bounded; the
+    * scale path is [[graft.spatial.SpatialJoin.nearestByRings]]). */
+  def knnLayer(s: SparkSession, dir: String): DataFrame =
+    centroids(s, dir).filter(col("way_id") % 40 === 0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_extract_entities" -> ((s, dir) =>
@@ -47,7 +53,7 @@ object SpatialQueries {
           broadcastPolys = false, salt = 8)
         .select(col("doc_id"), col("entity"), col("way_id"))),
     "q31_knn" -> ((s, dir) =>
-      SpatialJoin.knnBroadcast(SynthUniverse.points(s, dir), centroids(s, dir), 3)
+      SpatialJoin.knnBroadcast(SynthUniverse.points(s, dir), knnLayer(s, dir), 3)
         .select(col("doc_id"), col("entity"), col("rank"),
           col("way_id").as("nearest_way"),
           round(col("d2") * 1e9, 0).cast("long").as("d2_e9"))),
@@ -86,7 +92,7 @@ object SpatialQueries {
       s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte},
          |cents AS (
          |  SELECT way_id, (x0 + (x0 + w)) / 2.0 AS cx, (y0 + (y0 + h)) / 2.0 AS cy
-         |  FROM ways)
+         |  FROM ways WHERE way_id % 40 = 0)
          |SELECT doc_id, entity, rank, way_id AS nearest_way,
          |  CAST(ROUND(d2*1000000000,0) AS BIGINT) AS d2_e9
          |FROM (

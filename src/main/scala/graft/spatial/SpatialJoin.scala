@@ -49,10 +49,26 @@ object SpatialJoin {
       CellIndex.coverGeometry(mkPolygon(xs, ys), res))
 
   /** Inclusive point-in-polygon (JTS covers — boundary counts, matching
-    * the oracle's BETWEEN semantics). */
-  val coversUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((xs: Seq[Double], ys: Seq[Double], px: Double, py: Double) =>
-      mkPolygon(xs, ys).covers(gf.createPoint(new Coordinate(px, py))))
+    * the oracle's BETWEEN semantics). Per-task cache of prepared
+    * geometries keyed by way_id: the polygon parse + index build is
+    * amortized across all candidate rows of that polygon in the task
+    * (candidates arrive clustered by cell, so hit rates are high). */
+  val coversUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val fn = new ((Long, Seq[Double], Seq[Double], Double, Double) => Boolean) with Serializable {
+      @transient private lazy val cache =
+        new java.util.HashMap[Long, org.locationtech.jts.geom.prep.PreparedGeometry]()
+      override def apply(wayId: Long, xs: Seq[Double], ys: Seq[Double],
+          px: Double, py: Double): Boolean = {
+        var p = cache.get(wayId)
+        if (p == null) {
+          p = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(mkPolygon(xs, ys))
+          if (cache.size() < 100000) cache.put(wayId, p)
+        }
+        p.covers(gf.createPoint(new Coordinate(px, py)))
+      }
+    }
+    udf(fn)
+  }
 
   /** Cell-prefiltered PIP join.
     *
@@ -82,21 +98,58 @@ object SpatialJoin {
         saltedPts.join(saltedCover, Seq("cell", "s")).drop("s")
       }
     joined
-      .filter(coversUdf(col("xs"), col("ys"), col("lon"), col("lat")))
+      .filter(coversUdf(col("way_id"), col("xs"), col("ys"), col("lon"), col("lat")))
       .drop("cell", "xs", "ys")
   }
 
-  /** Exact brute-force kNN against a broadcast centroid layer —
-    * the correctness baseline (probe side small). Tie-break: way_id. */
+  /** Exact brute-force kNN against a broadcast centroid layer — the
+    * correctness baseline. The small layer ships as ONE array literal
+    * and each point computes its top-k with an in-row array_sort —
+    * zero shuffle, zero window (a naive cross-join + window would
+    * shuffle |points|x|layer| candidate rows; this streams the points
+    * once). Tie-break: (d2, way_id) lexicographic, matching the
+    * oracle's ORDER BY. */
   def knnBroadcast(points: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    val d2 = (col("lon") - col("cx")) * (col("lon") - col("cx")) +
-      (col("lat") - col("cy")) * (col("lat") - col("cy"))
-    val w = Window.partitionBy(col("doc_id"), col("entity"))
-      .orderBy(col("d2").asc, col("way_id").asc)
-    points.crossJoin(broadcast(centroids))
-      .withColumn("d2", d2)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val spark = points.sparkSession
+    val cents: Array[(Double, Double, Long)] = centroids
+      .select(col("cx"), col("cy"), col("way_id"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._3)
+    val bc = spark.sparkContext.broadcast(cents)
+    // bounded insertion top-k per point in tight JVM code — a built-in
+    // array_sort over a big struct array falls back to interpreted
+    // ordering (O(n log n) boxed comparisons per row); this is O(n·k)
+    // primitive ops. Exact (d2, way_id) ordering, same IEEE arithmetic
+    // as the SQL oracle.
+    val topkUdf = udf((lon: Double, lat: Double) => {
+      val cs = bc.value
+      val bd = Array.fill(k)(Double.MaxValue)
+      val bw = new Array[Long](k)
+      var i = 0
+      while (i < cs.length) {
+        val (cx, cy, wid) = cs(i)
+        val dx = lon - cx; val dy = lat - cy
+        val d2 = dx * dx + dy * dy
+        if (d2 < bd(k - 1) || (d2 == bd(k - 1) && wid < bw(k - 1))) {
+          var j = k - 1
+          while (j > 0 && (d2 < bd(j - 1) || (d2 == bd(j - 1) && wid < bw(j - 1)))) {
+            bd(j) = bd(j - 1); bw(j) = bw(j - 1); j -= 1
+          }
+          bd(j) = d2; bw(j) = wid
+        }
+        i += 1
+      }
+      (0 until math.min(k, cs.length)).map(r => (r + 1, bd(r), bw(r)))
+    })
+    points
+      // CPU-bound per-row op: spread rows regardless of input file layout
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("topk", explode(topkUdf(col("lon"), col("lat"))))
+      .select(col("*"),
+        col("topk._1").as("rank"),
+        col("topk._2").as("d2"),
+        col("topk._3").as("way_id"))
+      .drop("topk")
   }
 
   /** kNN via expanding cell rings — the 100 TB path: centroids are

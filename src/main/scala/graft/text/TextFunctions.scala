@@ -27,6 +27,25 @@ object TextFunctions {
   def hash60Seeded(seed: Int, c: Column): Column =
     hash60(concat(lit(s"$seed:"), c))
 
+  // MinHash permutation family h_i(x) = (A_i * x32 + B_i) mod P over
+  // the 32 low bits of the base hash — ONE md5 per shingle, then 16
+  // overflow-free integer permutations (A_i < 2^29, x32 < 2^32 =>
+  // product < 2^61 < Long.Max). Constants are derived here and
+  // injected verbatim into the oracle SQL, so both engines share them.
+  final val MinhashP = 2305843009213693951L // 2^61 - 1
+  def minhashA(i: Int): Long = ((i * 2654435761L + 1013904223L) % (1L << 29)) | 1L
+  def minhashB(i: Int): Long = (i * 1442695040888963407L) % MinhashP match {
+    case b if b < 0 => b + MinhashP
+    case b => b
+  }
+
+  /** 32 low bits of [[hash60]] — the MinHash base value. */
+  def hash32(c: Column): Column = hash60(c).bitwiseAND(lit(4294967295L))
+
+  /** The i-th MinHash permutation applied to a hash32 column. */
+  def minhashPerm(i: Int, h32: Column): Column =
+    (h32 * minhashA(i) + minhashB(i)) % MinhashP
+
   /** Distinct word n-gram shingles of a token array (n fixed at call
     * site). Empty when fewer than n tokens. */
   def shingles(toks: Column, n: Int): Column = {
