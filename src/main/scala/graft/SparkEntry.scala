@@ -22,6 +22,8 @@ object SparkEntry {
         _root_.graft.queries.SpatialQueries.oracles),
       (_root_.graft.queries.OsmQueries.queries,
         _root_.graft.queries.OsmQueries.oracles),
+      (_root_.graft.queries.FunctionQueries.queries,
+        _root_.graft.queries.FunctionQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

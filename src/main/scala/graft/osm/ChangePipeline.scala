@@ -84,6 +84,31 @@ object ChangePipeline {
             r => format_string("%.7f %.7f", r.getField("lon"), r.getField("lat"))), ", "),
           lit(")")).as("wkt"))
 
+  /** J9: ordered relation-member reconstruction — the reference's
+    * GROUP_CONCAT(uri/role/pos) + client-side std::map reorder
+    * (/root/reference/src/sparql/QueryWriter.cpp:90-112,
+    * OsmDataFetcher.cpp:205-278) as one collect_list + sort_array. */
+  def reconstructRels(staleR: DataFrame, relMembers: DataFrame): DataFrame =
+    relMembers
+      .join(staleR, Seq("rel_id"), "left_semi")
+      .groupBy(col("rel_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("member_id"), col("role"))))
+        .as("ms"))
+      .select(col("rel_id"),
+        array_join(transform(col("ms"),
+          m => concat(m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
+          ";").as("members"))
+
+  /** J5 + SO2 guard: distinct member nodes of geometry-stale ways that
+    * are NOT themselves in the change file
+    * (/root/reference/src/osm/OsmChangeHandler.cpp:325-341, 688-699). */
+  def referencedNodes(stale: DataFrame, wayMembers: DataFrame, winners: DataFrame): DataFrame =
+    wayMembers
+      .join(stale, Seq("way_id"), "left_semi")
+      .select(col("node_id")).distinct()
+      .join(winners.filter(col("kind") === "node").select(col("id")),
+        col("node_id") === col("id"), "left_anti")
+
   /** J11/A4: the full delete id-set — deleted ∪ modified ∪ stale per
     * kind (stale objects are deleted then re-inserted). */
   def deleteSet(winners: DataFrame, stale: DataFrame, staleR: DataFrame): DataFrame =

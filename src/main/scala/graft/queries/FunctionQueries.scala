@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.{BinaryFeatures, MediaRow}
+import graft.synth.{SynthSql, SynthUniverse}
+
+/** The reference's scalar-function family (SURVEY.md §2.7) exercised as
+  * oracle-checked projections, plus the multimodal binary-column path.
+  *
+  *  - q28: F1 trailing-digit id extraction
+  *    (/root/reference/src/util/OsmObjectHelper.cpp:25-43), F3 zero-pad
+  *    sequence → XXX/XXX/XXX path (util/URLHelper.cpp:57-72), F4 url
+  *    join (URLHelper.cpp:43-54), F7 xmlEncode entity escaping
+  *    (util/XmlReader.cpp:141-159) — all whole-stage-codegen string ops,
+  *    no UDFs.
+  *  - q41: multimodal binary metadata — documents.text re-encoded as an
+  *    opaque binary payload (the pages.html column shape), pushed
+  *    through the typed mapPartitions feature extractor
+  *    [[graft.multimodal.BinaryFeatures.extract]] (real histogram +
+  *    clearly-marked deterministic decode STUB), metadata checked
+  *    against a byte-level DuckDB oracle.
+  */
+object FunctionQueries {
+
+  /** F7 xmlEncode: '&' first so later entities aren't double-escaped. */
+  private def xmlEncode(c: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+      "\"" -> "&quot;", "'" -> "&apos;")
+      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_uri_scalars" -> ((s, dir) => {
+      val seq9 = format_string("%09d", col("seq"))
+      val path = concat_ws("/",
+        substring(seq9, 1, 3), substring(seq9, 4, 3), substring(seq9, 7, 3))
+      SynthUniverse.changes(s, dir)
+        .select(col("seq"),
+          path.as("path"),
+          concat(lit("https://planet.osm.org/replication/day/"), path,
+            lit(".osc.gz")).as("url"),
+          regexp_extract(concat(lit("osmnode:"), col("id")), "(\\d+)$", 1)
+            .cast("long").as("id_rt"),
+          xmlEncode(concat(lit("a&b<"), col("kind"), lit(">\"c'"))).as("xml_enc"))
+    }),
+    "q41_binary_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(
+        concat(lit("doc:"), col("doc_id")).as("url"),
+        lit("text/html").as("mediaType"),
+        encode(col("text"), "UTF-8").as("media")).as[MediaRow]
+      BinaryFeatures.extract(media)
+        .select(col("url"), col("nBytes").as("n_bytes"),
+          col("width"), col("height"),
+          element_at(col("histogram"), 3).as("hist_bin2"),
+          element_at(col("histogram"), 8).as("hist_bin7"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q28_uri_scalars" ->
+      s"""WITH ${SynthSql.changesCte},
+         |f AS (SELECT seq, kind, id, printf('%09d', seq) AS seq9 FROM changes),
+         |g AS (SELECT seq, kind, id,
+         |        substr(seq9,1,3) || '/' || substr(seq9,4,3) || '/' || substr(seq9,7,3) AS path
+         |      FROM f)
+         |SELECT seq, path,
+         |  'https://planet.osm.org/replication/day/' || path || '.osc.gz' AS url,
+         |  CAST(regexp_extract('osmnode:' || id, '(\\d+)$$', 1) AS BIGINT) AS id_rt,
+         |  replace(replace(replace(replace(replace(
+         |    'a&b<' || kind || '>"c''',
+         |    '&','&amp;'), '<','&lt;'), '>','&gt;'), '"','&quot;'), '''','&apos;') AS xml_enc
+         |FROM g""".stripMargin,
+    "q41_binary_meta" ->
+      """SELECT 'doc:' || doc_id AS url,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  1 + (ascii(text[1]) & 127) AS width,
+        |  1 + (ascii(text[-1]) & 127) AS height,
+        |  length(text) - length(regexp_replace(text, '[ -/]', '', 'g')) AS hist_bin2,
+        |  length(text) - length(regexp_replace(text, '[p-~\x7f]', '', 'g')) AS hist_bin7
+        |FROM documents""".stripMargin,
+  )
+}

@@ -21,6 +21,48 @@ object OsmQueries {
     ChangePipeline.staleWays(winners(s, dir), SynthUniverse.wayMembers(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_rel_reconstruct" -> ((s, dir) => {
+      val w = winners(s, dir)
+      val sr = ChangePipeline.staleRels(w, SynthUniverse.relMembers(s, dir), stale(s, dir))
+      ChangePipeline.reconstructRels(sr, SynthUniverse.relMembers(s, dir))
+    }),
+    "q24_referenced_nodes" -> ((s, dir) =>
+      ChangePipeline.referencedNodes(stale(s, dir),
+        SynthUniverse.wayMembers(s, dir), winners(s, dir))),
+    "q25_rel_member_split" -> ((s, dir) => {
+      // J6 + F1/F2: members of stale relations split by URI-prefix kind,
+      // ids round-tripped through the trailing-digit extraction
+      // (/root/reference/src/util/OsmObjectHelper.cpp:25-43,
+      // OsmDataFetcher.cpp:413-433).
+      val w = winners(s, dir)
+      val sr = ChangePipeline.staleRels(w, SynthUniverse.relMembers(s, dir), stale(s, dir))
+      SynthUniverse.relMembers(s, dir)
+        .join(sr, Seq("rel_id"), "left_semi")
+        .withColumn("member_uri", concat(lit("osmway:"), col("member_id")))
+        .select(col("rel_id"),
+          when(col("member_uri").startsWith("osmnode:"), "node")
+            .when(col("member_uri").startsWith("osmway:"), "way")
+            .otherwise("relation").as("member_kind"),
+          regexp_extract(col("member_uri"), "(\\d+)$", 1).cast("long").as("member_ref"))
+    }),
+    "q26_insert_triples" -> ((s, dir) => {
+      val insertIds = winners(s, dir)
+        .filter(col("kind") === "node" && col("action").isin("create", "modify"))
+        .select(col("id"))
+      TripleDerive.filterRelevant(
+        TripleDerive.linkedNodeTriples(SynthUniverse.nodes(s, dir)), insertIds)
+    }),
+    "q27_multipolygon_areas" -> ((s, dir) => {
+      // P2: changed ways carrying type=multipolygon → "modified areas"
+      // (/root/reference/src/util/OsmObjectHelper.cpp:12-23).
+      val areaWays = SynthUniverse.tags(s, dir)
+        .filter(col("kind") === "way" && col("k") === "type" && col("v") === "multipolygon")
+        .select(col("id"))
+      winners(s, dir)
+        .filter(col("kind") === "way" && col("action").isin("create", "modify"))
+        .select(col("id").as("way_id"))
+        .join(areaWays, col("way_id") === col("id"), "left_semi")
+    }),
     "q33_classify_changes" -> ((s, dir) =>
       ChangePipeline.classify(SynthUniverse.changes(s, dir))),
     "q34_changes_dedup" -> ((s, dir) =>
@@ -75,6 +117,50 @@ object OsmQueries {
       |  WHERE rm.rel_id NOT IN (SELECT id FROM winners WHERE kind='relation'))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q23_rel_reconstruct" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
+         |  ${SynthSql.relMembersCte}, $staleCte, $staleRelsCte
+         |SELECT rm.rel_id,
+         |  STRING_AGG(CAST(rm.member_id AS VARCHAR) || '/' || rm.role, ';' ORDER BY rm.pos) AS members
+         |FROM rel_members rm JOIN stale_rels sr ON rm.rel_id = sr.rel_id
+         |GROUP BY rm.rel_id""".stripMargin,
+    "q24_referenced_nodes" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte}, $staleCte
+         |SELECT DISTINCT wm.node_id FROM way_members wm
+         |JOIN stale_ways sw ON wm.way_id = sw.way_id
+         |WHERE wm.node_id NOT IN (SELECT id FROM winners WHERE kind='node')""".stripMargin,
+    "q25_rel_member_split" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
+         |  ${SynthSql.relMembersCte}, $staleCte, $staleRelsCte
+         |SELECT rm.rel_id,
+         |  CASE WHEN starts_with('osmway:' || rm.member_id, 'osmnode:') THEN 'node'
+         |       WHEN starts_with('osmway:' || rm.member_id, 'osmway:') THEN 'way'
+         |       ELSE 'relation' END AS member_kind,
+         |  CAST(regexp_extract('osmway:' || rm.member_id, '(\\d+)$$', 1) AS BIGINT) AS member_ref
+         |FROM rel_members rm JOIN stale_rels sr ON rm.rel_id = sr.rel_id""".stripMargin,
+    "q26_insert_triples" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.waysCte}, ${SynthSql.nodesCte},
+         |triples AS (
+         |  SELECT 'osmnode:' || node_id AS s, 'geo:hasGeometry' AS p,
+         |    'osm2rdfgeom:osm_node_' || node_id AS o FROM nodes
+         |  UNION ALL
+         |  SELECT 'osm2rdfgeom:osm_node_' || node_id AS s, 'geo:asWKT' AS p,
+         |    'POINT(' || printf('%.7f', lon) || ' ' || printf('%.7f', lat) || ')' AS o
+         |  FROM nodes),
+         |ins AS (SELECT id FROM winners WHERE kind='node' AND action IN ('create','modify')),
+         |kept1 AS (
+         |  SELECT t.* FROM triples t
+         |  WHERE starts_with(t.s, 'osmnode:')
+         |    AND CAST(regexp_extract(t.s, '(\\d+)$$', 1) AS BIGINT) IN (SELECT id FROM ins)),
+         |kept2 AS (
+         |  SELECT t.* FROM triples t
+         |  WHERE t.s IN (SELECT o FROM kept1 WHERE p = 'geo:hasGeometry'))
+         |SELECT * FROM kept1 UNION ALL SELECT * FROM kept2""".stripMargin,
+    "q27_multipolygon_areas" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte
+         |SELECT id AS way_id FROM winners
+         |WHERE kind='way' AND action IN ('create','modify')
+         |  AND id % 4 = 0 AND id IN (SELECT o_orderkey FROM orders)""".stripMargin,
     "q33_classify_changes" ->
       s"""WITH ${SynthSql.changesCte}
          |SELECT kind, action, COUNT(*) AS n FROM changes GROUP BY kind, action""".stripMargin,

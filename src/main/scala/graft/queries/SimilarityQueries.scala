@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   *  - q20: sign-LSH bucketed variant — the 100 TB path: each vector
   *    hashes to a 6-bit hyperplane-sign bucket (2^6 buckets; widen with data volume); candidate generation
   *    is an equi-join on the bucket id instead of a cross product.
+  *  - q21: IVF variant — the other canonical scale path: a small
+  *    coarse-quantizer centroid set is broadcast, every vector is
+  *    assigned to its nearest centroid in ONE scan (argmin via a
+  *    row_number window over the tiny broadcast fan-out), and search
+  *    becomes an equi-join on the centroid id (nprobe=1).
+  *  - q22: embedding-cosine near-duplicate detection — plants
+  *    deterministic sign-preserving perturbed copies, then finds all
+  *    pairs with cos >= 0.98 via the same LSH bucket equi-join (never
+  *    an all-pairs cross product).
   *
   * All vector math is forced to double precision BEFORE any arithmetic
   * and folded sequentially (functions.aggregate), giving bit-identical
@@ -67,12 +76,55 @@ object SimilarityQueries {
           (dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))).as("cos"))
       topK(pairs, 3)
     }),
+    "q21_ivf_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embAsDouble(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+      // one-scan assignment: broadcast the centroid set, argmin by cosine
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("centroid_id").asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+        .withColumn("crn", row_number().over(aw))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("v"), col("centroid_id"))
+      val q = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))
+      val pairs = assigned.join(broadcast(q), "centroid_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))).as("cos"))
+      topK(pairs, 3)
+    }),
+    "q22_embedding_neardup" -> ((s, dir) => {
+      val e = embAsDouble(s, dir)
+      // plant deterministic near-duplicates: every 20th vector gets a
+      // perturbed copy (id+1000000); multipliers {0.99,1.0,1.01} keep
+      // every sign, so original and copy land in the same LSH bucket
+      val planted = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x * (lit(1.0) + (i % 3 - 1).cast("double") * 0.01)).as("v"))
+      val all = e.unionByName(planted).withColumn("bucket", signBucket(col("v")))
+      val a = all.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+      val b = all.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))).as("cos"))
+        .filter(col("cos") >= 0.98)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos") * 1e9, 0).cast("long").as("cos_ppb"))
+    }),
   )
 
-  private val dotSql =
-    "list_reduce(list_prepend(0.0, [a.v[i] * q.qv[i] for i in range(1, len(a.v)+1)]), (x,y) -> x+y)"
+  private def dotSql2(x: String, y: String) =
+    s"list_reduce(list_prepend(0.0, [$x[i] * $y[i] for i in range(1, len($x)+1)]), (x,y) -> x+y)"
+  private val dotSql = dotSql2("a.v", "q.qv")
   private def normSql(t: String, c: String) =
-    s"sqrt(list_reduce(list_prepend(0.0, [$t.$c[i] * $t.$c[i] for i in range(1, len($t.$c)+1)]), (x,y) -> x+y))"
+    s"sqrt(${dotSql2(s"$t.$c", s"$t.$c")})"
 
   val oracles: Map[String, String] = Map(
     "q19_cosine_topk" ->
@@ -104,5 +156,45 @@ object SimilarityQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p)
          |WHERE rank <= 3""".stripMargin,
+    "q21_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT vec_id, v, centroid_id FROM (
+         |    SELECT e.vec_id, e.v, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotSql2("e.v", "c.cv")} / (${normSql("e", "v")} * ${normSql("c", "cv")}) DESC,
+         |        c.centroid_id ASC) AS crn
+         |    FROM e, c)
+         |  WHERE crn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM asg WHERE vec_id % 50 = 0),
+         |p AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    $dotSql / (${normSql("a", "v")} * ${normSql("q", "qv")}) AS cos
+         |  FROM asg a JOIN q USING (centroid_id) WHERE a.vec_id <> q.query_id)
+         |SELECT query_id, rank, neighbor_id,
+         |  CAST(ROUND(cos*1000000000,0) AS BIGINT) AS cos_ppb
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p)
+         |WHERE rank <= 3""".stripMargin,
+    "q22_embedding_neardup" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    [v[i] * (1.0 + CAST((i-1) % 3 - 1 AS DOUBLE) * 0.01)
+         |     for i in range(1, len(v)+1)] AS v
+         |  FROM e0 WHERE vec_id % 20 = 0),
+         |e AS (
+         |  SELECT vec_id, v,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |       for i in range(0, 6)]), (x,y) -> x+y) AS bucket
+         |  FROM (SELECT * FROM e0 UNION ALL SELECT * FROM planted)),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dotSql2("a.v", "b.v")} / (${normSql("a", "v")} * ${normSql("b", "v")}) AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, CAST(ROUND(cos*1000000000,0) AS BIGINT) AS cos_ppb
+         |FROM p WHERE cos >= 0.98""".stripMargin,
   )
 }

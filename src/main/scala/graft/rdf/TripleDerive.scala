@@ -33,4 +33,41 @@ object TripleDerive {
       .select(col("s"), lit("osm2rdf:facts").as("p"), col("n").cast("string").as("o"))
     typeT.union(geomT).union(tsT).union(tagT).union(factsT)
   }
+
+  /** The hasGeometry link family: parent triple `osmnode:N
+    * geo:hasGeometry osm2rdfgeom:osm_node_N` plus the linked geometry
+    * subject's own `geo:asWKT` triple — the shape that drives the
+    * reference's sequential link state machine
+    * (/root/reference/src/osm/OsmChangeHandler.cpp:577-660). */
+  def linkedNodeTriples(nodes: DataFrame): DataFrame = {
+    val base = nodes.select(
+      concat(lit("osmnode:"), col("node_id")).as("s"),
+      lit("geo:hasGeometry").as("p"),
+      concat(lit("osm2rdfgeom:osm_node_"), col("node_id")).as("o"))
+    val geom = nodes.select(
+      concat(lit("osm2rdfgeom:osm_node_"), col("node_id")).as("s"),
+      lit("geo:asWKT").as("p"),
+      concat(lit("POINT("), format_string("%.7f", col("lon")), lit(" "),
+        format_string("%.7f", col("lat")), lit(")")).as("o"))
+    base.unionByName(geom)
+  }
+
+  /** P5: relevant-triple filter with link propagation
+    * (/root/reference/src/osm/OsmChangeHandler.cpp:577-660,
+    * util/TtlHelper.cpp:40-60). The reference's one-pass `currentLink`
+    * state machine over the sequential TTL file becomes two set-oriented
+    * semi-joins: (1) keep relevant-namespace (P4) triples whose subject
+    * id is in the insert set; (2) follow the hasGeometry link edge —
+    * keep triples whose subject equals the object of a kept link triple. */
+  def filterRelevant(triples: DataFrame, insertIds: DataFrame): DataFrame = {
+    val kept1 = triples
+      .filter(col("s").startsWith("osmnode:"))
+      .withColumn("sid", regexp_extract(col("s"), "(\\d+)$", 1).cast("long"))
+      .join(insertIds, col("sid") === col("id"), "left_semi")
+      .drop("sid")
+    val linkObjs = kept1.filter(col("p") === "geo:hasGeometry")
+      .select(col("o").as("link_o")).distinct()
+    val kept2 = triples.join(linkObjs, col("s") === col("link_o"), "left_semi")
+    kept1.unionByName(kept2)
+  }
 }
