@@ -24,6 +24,8 @@ object SparkEntry {
         _root_.graft.queries.OsmQueries.oracles),
       (_root_.graft.queries.FunctionQueries.queries,
         _root_.graft.queries.FunctionQueries.oracles),
+      (_root_.graft.queries.GeomTripleQueries.queries,
+        _root_.graft.queries.GeomTripleQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -29,7 +29,24 @@ object FunctionQueries {
       "\"" -> "&quot;", "'" -> "&apos;")
       .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
 
+  /** F8 xmlDecode incl. the reference's backslash quirk: `&quot;` →
+    * `\"` and `&apos;` → `\'` — backslash-ESCAPED, not bare — as applied
+    * to osmkey: objects (/root/reference/src/util/XmlReader.cpp:162-205,
+    * applied at OsmChangeHandler.cpp:609-611). Entity order is the
+    * inverse of [[xmlEncode]]: `&amp;` last so it can't re-trigger. */
+  private def xmlDecodeQuirk(c: Column): Column =
+    Seq("&quot;" -> "\\\"", "&apos;" -> "\\'",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_xml_decode" -> ((s, dir) => {
+      val raw = concat(col("v"), lit("&\"x'<>"))
+      SynthUniverse.tags(s, dir)
+        .filter(col("kind") === "node")
+        .select(col("id"), xmlEncode(raw).as("enc"),
+          xmlDecodeQuirk(xmlEncode(raw)).as("dec"))
+    }),
     "q28_uri_scalars" -> ((s, dir) => {
       val seq9 = format_string("%09d", col("seq"))
       val path = concat_ws("/",
@@ -58,6 +75,17 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_xml_decode" ->
+      s"""WITH ${SynthSql.waysCte}, ${SynthSql.nodesCte},
+         |t AS (SELECT node_id AS id, 'v' || (node_id % 7) || '&"x''<>' AS raw FROM nodes),
+         |e AS (SELECT id, replace(replace(replace(replace(replace(raw,
+         |        '&','&amp;'), '<','&lt;'), '>','&gt;'), '"','&quot;'),
+         |        '''','&apos;') AS enc FROM t)
+         |SELECT id, enc,
+         |  replace(replace(replace(replace(replace(enc,
+         |    '&quot;', '\\"'), '&apos;', '\\'''), '&lt;','<'), '&gt;','>'),
+         |    '&amp;','&') AS dec
+         |FROM e""".stripMargin,
     "q28_uri_scalars" ->
       s"""WITH ${SynthSql.changesCte},
          |f AS (SELECT seq, kind, id, printf('%09d', seq) AS seq9 FROM changes),

@@ -52,6 +52,59 @@ object TripleDerive {
     base.unionByName(geom)
   }
 
+  /** Ordered way-member triples with deterministic member keys
+    * `osm2rdfmember:way_W_P` replacing the reference's blank nodes
+    * (/root/reference/tests/data/relation.ttl:28-31 blank-node scheme
+    * `_:6_N`; ordered GROUP_CONCAT reconstruction J8,
+    * src/sparql/QueryWriter.cpp:115-134). Three triples per member:
+    * parent→member link, member id, member pos. */
+  def wayMemberTriples(wayMembers: DataFrame): DataFrame = {
+    val m = wayMembers.withColumn("mk",
+      concat(lit("osm2rdfmember:way_"), col("way_id"), lit("_"), col("pos")))
+    val link = m.select(concat(lit("osmway:"), col("way_id")).as("s"),
+      lit("osmway:member").as("p"), col("mk").as("o"))
+    val id = m.select(col("mk").as("s"), lit("osm2rdfmember:id").as("p"),
+      concat(lit("osmnode:"), col("node_id")).as("o"))
+    val pos = m.select(col("mk").as("s"), lit("osm2rdfmember:pos").as("p"),
+      col("pos").cast("string").as("o"))
+    link.unionByName(id).unionByName(pos)
+  }
+
+  /** Relation-member triples with deterministic `(relId, pos)` keys and
+    * the role triple (relation.ttl:28-31 member/role/pos family; J9
+    * reconstruction src/osm/OsmDataFetcher.cpp:205-278). */
+  def relMemberTriples(relMembers: DataFrame): DataFrame = {
+    val m = relMembers.withColumn("mk",
+      concat(lit("osm2rdfmember:rel_"), col("rel_id"), lit("_"), col("pos")))
+    val link = m.select(concat(lit("osmrel:"), col("rel_id")).as("s"),
+      lit("osmrel:member").as("p"), col("mk").as("o"))
+    val id = m.select(col("mk").as("s"), lit("osm2rdfmember:id").as("p"),
+      concat(lit("osmway:"), col("member_id")).as("o"))
+    val role = m.select(col("mk").as("s"), lit("osm2rdfmember:role").as("p"),
+      col("role").as("o"))
+    val pos = m.select(col("mk").as("s"), lit("osm2rdfmember:pos").as("p"),
+      col("pos").cast("string").as("o"))
+    link.unionByName(id).unionByName(role).unionByName(pos)
+  }
+
+  /** J11: two-hop delete — remove triples whose subject is a deleted
+    * element AND triples of objects linked from them (the OPTIONAL
+    * second hop of the reference's DELETE statement,
+    * /root/reference/src/sparql/QueryWriter.cpp:42-60, callers
+    * OsmChangeHandler.cpp:442-491). Returns the surviving triples;
+    * both hops are anti-joins, the link edge is derived from the
+    * doomed subjects' own geo:hasGeometry triples. */
+  def twoHopDelete(triples: DataFrame, delIds: DataFrame): DataFrame = {
+    val doomedSubjects = delIds
+      .select(concat(lit("osmnode:"), col("id")).as("ds"))
+    val hop1 = triples.join(doomedSubjects, col("s") === col("ds"), "left_semi")
+    val hop2Subjects = hop1.filter(col("p") === "geo:hasGeometry")
+      .select(col("o").as("dl")).distinct()
+    triples
+      .join(doomedSubjects, col("s") === col("ds"), "left_anti")
+      .join(hop2Subjects, col("s") === col("dl"), "left_anti")
+  }
+
   /** P5: relevant-triple filter with link propagation
     * (/root/reference/src/osm/OsmChangeHandler.cpp:577-660,
     * util/TtlHelper.cpp:40-60). The reference's one-pass `currentLink`
