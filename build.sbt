@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Keep the heap MODERATE and pinned: on this VM large heaps (≥16g)
+  // page-fault-storm under G1's big young gen and run 2-5x SLOWER
+  // (measured q30b 3.9s@8g → 16.3s@48g, same code). Xms=Xmx avoids
+  // growth re-faulting mid-benchmark.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

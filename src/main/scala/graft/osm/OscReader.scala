@@ -31,10 +31,16 @@ object OscReader {
   }
 
   def parseFile(path: String, bytes: Array[Byte]): Iterator[ChangeOp] = {
-    val seq = "(\\d+)\\.osc(\\.gz)?$".r.findFirstMatchIn(path)
+    val seq = "(\\d+)\\.osc(\\.gz|\\.bz2)?$".r.findFirstMatchIn(path)
       .map(_.group(1).toInt).getOrElse(0)
     val raw: InputStream = new ByteArrayInputStream(bytes)
-    val in = if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
+    // S1 gzip / S2 bzip2 (Decompressor.cpp:34-68); commons-compress
+    // ships with Spark so the bzip2 leg costs no extra dependency.
+    val in =
+      if (path.endsWith(".gz")) new GZIPInputStream(raw)
+      else if (path.endsWith(".bz2"))
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(raw)
+      else raw
     parseStream(seq, in)
   }
 

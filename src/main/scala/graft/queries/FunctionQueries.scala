@@ -39,7 +39,32 @@ object FunctionQueries {
       "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
       .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
 
+  /** F5 percent-encoding (keep `[A-Za-z0-9._~-]` unreserved, encode the
+    * rest as uppercase %XX — /root/reference/src/util/URLHelper.cpp:75-91)
+    * expressed as a codegen'd replace chain over the exercised alphabet;
+    * '%' first so already-encoded input can't double-escape. */
+  private def percentEncode(c: Column): Column =
+    Seq("%" -> "%25", " " -> "%20", "&" -> "%26", "/" -> "%2F",
+      ":" -> "%3A", "?" -> "%3F", "=" -> "%3D")
+      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_url_encode" -> ((s, dir) => {
+      SynthUniverse.changes(s, dir).select(col("seq"),
+        percentEncode(concat(lit("update=DELETE WHERE { ?s ?p "),
+          col("kind"), lit(":"), col("id"), lit(" } & flag=1/2?x=y"))).as("encoded"))
+    }),
+    "q48_state_parse" -> ((s, dir) => {
+      // S5/F15: state.txt has backslash-escaped colons
+      // (extractStateFromStateFile, OsmDataFetcher.cpp:178-202).
+      val state = concat(lit("#Sat Aug 16 00:00:00 UTC 2025\nsequenceNumber="),
+        col("seq"), lit("\ntimestamp=2025-08-0"), (col("seq") % 9) + 1,
+        lit("T00\\:00\\:0"), col("seq") % 10, lit("Z"))
+      SynthUniverse.changes(s, dir).select(col("seq").as("in_seq"),
+        regexp_extract(state, "sequenceNumber=(\\d+)", 1).cast("long").as("seq_out"),
+        replace(regexp_extract(state, "timestamp=(\\S+)", 1),
+          lit("\\:"), lit(":")).as("ts_out"))
+    }),
     "q46_xml_decode" -> ((s, dir) => {
       val raw = concat(col("v"), lit("&\"x'<>"))
       SynthUniverse.tags(s, dir)
@@ -75,6 +100,25 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_url_encode" ->
+      s"""WITH ${SynthSql.changesCte}
+         |SELECT seq,
+         |  replace(replace(replace(replace(replace(replace(replace(
+         |    'update=DELETE WHERE { ?s ?p ' || kind || ':' || id || ' } & flag=1/2?x=y',
+         |    '%','%25'), ' ','%20'), '&','%26'), '/','%2F'),
+         |    ':','%3A'), '?','%3F'), '=','%3D') AS encoded
+         |FROM changes""".stripMargin,
+    "q48_state_parse" ->
+      s"""WITH ${SynthSql.changesCte},
+         |st AS (SELECT seq AS in_seq,
+         |  '#Sat Aug 16 00:00:00 UTC 2025' || chr(10) || 'sequenceNumber=' || seq
+         |    || chr(10) || 'timestamp=2025-08-0' || (seq % 9 + 1)
+         |    || 'T00\\:00\\:0' || (seq % 10) || 'Z' AS state
+         |  FROM changes)
+         |SELECT in_seq,
+         |  CAST(regexp_extract(state, 'sequenceNumber=(\\d+)', 1) AS BIGINT) AS seq_out,
+         |  replace(regexp_extract(state, 'timestamp=(\\S+)', 1), '\\:', ':') AS ts_out
+         |FROM st""".stripMargin,
     "q46_xml_decode" ->
       s"""WITH ${SynthSql.waysCte}, ${SynthSql.nodesCte},
          |t AS (SELECT node_id AS id, 'v' || (node_id % 7) || '&"x''<>' AS raw FROM nodes),

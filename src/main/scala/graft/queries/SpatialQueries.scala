@@ -49,8 +49,11 @@ object SpatialQueries {
     "q30b_pip_join_salted" -> ((s, dir) =>
       // identical output over the partitioned+salted path (north rule:
       // explicit skew mitigation must preserve exact join output)
+      // low hotThreshold so the histogram pre-pass actually salts the
+      // gazetteer hot cells here — the oracle then PROVES the salted
+      // plan's output is exactly the unsalted join's output
       SpatialJoin.pipJoin(SynthUniverse.points(s, dir), polys(s, dir), PipRes,
-          broadcastPolys = false, salt = 8)
+          mode = "partitioned", salt = 8, hotThreshold = 500L)
         .select(col("doc_id"), col("entity"), col("way_id"))),
     "q31_knn" -> ((s, dir) =>
       SpatialJoin.knnBroadcast(SynthUniverse.points(s, dir), knnLayer(s, dir), 3)

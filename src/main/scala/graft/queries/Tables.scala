@@ -12,8 +12,22 @@ import org.apache.spark.sql.Column
   * floating-point accumulation order.
   */
 object Tables {
+  /** Spread a scan to the session's core count before CPU-bound narrow
+    * work. The test parquet files have ONE row group, so their scans
+    * are inherently one task — every narrow pipeline downstream
+    * (tokenize / shingle / hash / PIP refine) would run single-threaded
+    * no matter how many cores the executor has, which destroys the
+    * N→4N scaling the north rule requires. Gated on the plan's actual
+    * scan partitioning, so at production scale (many files / many row
+    * groups → already ≥cores scan tasks) this is a strict no-op and no
+    * shuffle is added. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    spread(s.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame   = t(s, dir, "orders")

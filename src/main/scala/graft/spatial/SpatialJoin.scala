@@ -48,27 +48,39 @@ object SpatialJoin {
     res => udf((xs: Seq[Double], ys: Seq[Double]) =>
       CellIndex.coverGeometry(mkPolygon(xs, ys), res))
 
-  /** Inclusive point-in-polygon (JTS covers — boundary counts, matching
-    * the oracle's BETWEEN semantics). Per-task cache of prepared
-    * geometries keyed by way_id: the polygon parse + index build is
-    * amortized across all candidate rows of that polygon in the task
-    * (candidates arrive clustered by cell, so hit rates are high). */
-  val coversUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val fn = new ((Long, Seq[Double], Seq[Double], Double, Double) => Boolean) with Serializable {
-      @transient private lazy val cache =
-        new java.util.HashMap[Long, org.locationtech.jts.geom.prep.PreparedGeometry]()
-      override def apply(wayId: Long, xs: Seq[Double], ys: Seq[Double],
-          px: Double, py: Double): Boolean = {
-        var p = cache.get(wayId)
-        if (p == null) {
-          p = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(mkPolygon(xs, ys))
-          if (cache.size() < 100000) cache.put(wayId, p)
-        }
-        p.covers(gf.createPoint(new Coordinate(px, py)))
+  /** Boundary-inclusive point-in-ring: crossing-number with an exact
+    * on-segment pre-test (covers semantics — boundary counts, matching
+    * the oracle's BETWEEN). Pure primitive arithmetic, ZERO allocation
+    * per candidate row — the earlier JTS PreparedGeometry-per-task
+    * cache held millions of live objects across 32 tasks and made the
+    * refine stage heap-bound (2-5x slower at large heaps) instead of
+    * CPU-bound. Rings here are small (the refine input is already
+    * cell-prefiltered), so an R-tree per polygon buys nothing. */
+  def pointInRing(xs: Array[Double], ys: Array[Double],
+      px: Double, py: Double): Boolean = {
+    val n = xs.length
+    var inside = false
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      val xi = xs(i); val yi = ys(i); val xj = xs(j); val yj = ys(j)
+      val cross = (px - xi) * (yj - yi) - (py - yi) * (xj - xi)
+      if (cross == 0.0 &&
+          px >= math.min(xi, xj) && px <= math.max(xi, xj) &&
+          py >= math.min(yi, yj) && py <= math.max(yi, yj)) return true
+      if ((yi > py) != (yj > py)) {
+        val xCross = xi + (py - yi) * (xj - xi) / (yj - yi)
+        if (px < xCross) inside = !inside
       }
+      j = i; i += 1
     }
-    udf(fn)
+    inside
   }
+
+  /** UDF face of [[pointInRing]]. */
+  val coversUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((xs: Seq[Double], ys: Seq[Double], px: Double, py: Double) =>
+      pointInRing(xs.toArray, ys.toArray, px, py))
 
   /** Cell-prefiltered PIP join.
     *
@@ -76,30 +88,67 @@ object SpatialJoin {
     * @param polys    (way_id, xs, ys) from [[polygons]]
     * @param res      join resolution (cell edge must be >= max polygon
     *                 edge for single-res cover to stay small)
-    * @param broadcastPolys broadcast the exploded polygon side
-    * @param salt     >1 enables salted skew-split on the partitioned path
+    * @param mode     "auto"      — no hints; Catalyst/AQE picks the
+    *                               build side from runtime stats (the
+    *                               default: the exploded cover carries
+    *                               ring arrays and is often BIGGER than
+    *                               the point batch — force-broadcasting
+    *                               it serializes the whole join behind
+    *                               a single-threaded broadcast build);
+    *                 "broadcast" — force-broadcast the cover (small
+    *                               polygon layers);
+    *                 "partitioned" — shuffle both sides on cell.
+    * @param salt     >1 enables salted skew-split on the partitioned
+    *                 path (the MAX per-cell salt factor)
+    * @param hotThreshold point rows per cell above which that cell is
+    *                 salted. Salting is HISTOGRAM-DRIVEN (SURVEY §4.3):
+    *                 a pre-pass counts points per cell and only hot
+    *                 cells replicate their polygon rows — blanket ×salt
+    *                 replication of the whole cover multiplies the
+    *                 shuffle by `salt` for data that was never skewed
+    *                 (measured: blanket ×8 made the join slower than
+    *                 unsalted at every parallelism level).
     */
   def pipJoin(points: DataFrame, polys: DataFrame, res: Int,
-      broadcastPolys: Boolean = true, salt: Int = 1): DataFrame = {
+      mode: String = "auto", salt: Int = 1,
+      hotThreshold: Long = 2000000L): DataFrame = {
+    // bbox columns ride along as 4 scalars: the refine first rejects on
+    // them (fixed-width reads only) and dereferences the ring arrays'
+    // variable-length bytes ONLY for bbox-passing candidates — at ~80
+    // candidates vs ~27 matches per point the array bytes dominate the
+    // join's memory traffic, which is the single-box scaling ceiling.
     val cover = polys
       .withColumn("cell", explode(coverCellsUdf(res)(col("xs"), col("ys"))))
+      .withColumn("minx", array_min(col("xs"))).withColumn("maxx", array_max(col("xs")))
+      .withColumn("miny", array_min(col("ys"))).withColumn("maxy", array_max(col("ys")))
     val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
     val joined =
-      if (broadcastPolys) pts.join(broadcast(cover), "cell")
-      else if (salt <= 1) pts.join(cover, "cell")
+      if (mode == "broadcast") pts.join(broadcast(cover), "cell")
+      else if (mode == "auto") pts.join(cover, "cell")
+      else if (salt <= 1) pts.join(cover.hint("shuffle_hash"), "cell")
       else {
-        // explicit salt-split: polygon rows replicate ×salt, point rows
-        // pick one deterministic shard — hot cells spread over `salt`
-        // reducers while join output stays exact (no dedup needed).
-        val saltedCover = cover.withColumn("s",
-          explode(sequence(lit(0), lit(salt - 1))))
-        val saltedPts = pts.withColumn("s",
-          pmod(hash(col("lon"), col("lat")), lit(salt)))
-        saltedPts.join(saltedCover, Seq("cell", "s")).drop("s")
+        // per-cell histogram → salt factor min(salt, ceil(cnt/threshold))
+        // for hot cells only; join output stays exact (each point picks
+        // ONE deterministic shard, each hot polygon row covers all).
+        val hist = pts.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > hotThreshold)
+          .select(col("cell"),
+            least(lit(salt.toLong), ceil(col("cnt").cast("double") / hotThreshold).cast("long"))
+              .cast("int").as("saltN"))
+        val saltedCover = cover.join(broadcast(hist), Seq("cell"), "left")
+          .withColumn("s", explode(sequence(lit(0), coalesce(col("saltN"), lit(1)) - 1)))
+          .drop("saltN")
+        val saltedPts = pts.join(broadcast(hist), Seq("cell"), "left")
+          .withColumn("s",
+            coalesce(pmod(hash(col("lon"), col("lat")), col("saltN")), lit(0)))
+          .drop("saltN")
+        saltedPts.join(saltedCover.hint("shuffle_hash"), Seq("cell", "s")).drop("s")
       }
     joined
-      .filter(coversUdf(col("way_id"), col("xs"), col("ys"), col("lon"), col("lat")))
-      .drop("cell", "xs", "ys")
+      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy") &&
+        PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
+      .drop("cell", "xs", "ys", "minx", "maxx", "miny", "maxy")
   }
 
   /** Exact brute-force kNN against a broadcast centroid layer — the

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.osm.ChangeOp
+
+/** Structured-Streaming face of the replication loop: the W1
+  * dedup-to-latest semantics (comparator
+  * /root/reference/src/osm/OsmUpdater.cpp:117-134 — newest version
+  * wins, delete-status then newest timestamp break ties) kept as
+  * PER-KEY STATE over an unbounded change stream instead of a bounded
+  * catch-up window.
+  *
+  * Batch mode replays the whole window through one window function
+  * ([[graft.osm.ChangePipeline.dedupLatest]]); here each (kind, id)
+  * group holds its current winner in `GroupState` and emits an update
+  * row only when a strictly newer op arrives — so the downstream MERGE
+  * sees exactly the reference's "only the final version of each object
+  * is applied" contract (ST5) per trigger, and state size is bounded
+  * by the number of live objects, not the stream length.
+  *
+  * At scale: state is hash-partitioned by (kind, id) across executors
+  * (the same shuffle key the batch window uses); RocksDB state store +
+  * watermark-based TTL are config knobs, not code changes.
+  */
+object ChangeStream {
+
+  case class ObjKey(kind: String, id: Long)
+
+  /** The reference comparator as a total order: true if `a` should
+    * replace `b` (a is strictly newer). */
+  def newerThan(a: ChangeOp, b: ChangeOp): Boolean =
+    if (a.version != b.version) a.version > b.version
+    else if (a.ts != null && b.ts != null && !a.ts.equals(b.ts)) a.ts.after(b.ts)
+    else a.seq > b.seq
+
+  /** Stateful dedup-to-latest. Works on both streaming and batch
+    * Datasets (batch = one trigger over the whole input). */
+  def latestPerKey(ops: Dataset[ChangeOp]): Dataset[ChangeOp] = {
+    import ops.sparkSession.implicits._
+    ops
+      .groupByKey(o => ObjKey(o.kind, o.id))
+      .flatMapGroupsWithState[ChangeOp, ChangeOp](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: ObjKey, incoming: Iterator[ChangeOp], state: GroupState[ChangeOp]) =>
+          val batchWinner = incoming.reduceOption((a, b) => if (newerThan(b, a)) b else a)
+          batchWinner match {
+            case Some(w) if !state.exists || newerThan(w, state.get) =>
+              state.update(w)
+              Iterator.single(w)
+            case _ => Iterator.empty
+          }
+      }
+  }
+
+  /** File-source replication stream: watch a directory of `.osc[.gz|.bz2]`
+    * batches (the reference's lexicographically-ordered change dir,
+    * README.md:22-26) and emit winner updates per trigger. The caller
+    * attaches the sink (`foreachBatch` → MERGE INTO snapshot tables). */
+  def fromChangeDir(spark: SparkSession, dir: String): Dataset[ChangeOp] = {
+    import spark.implicits._
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema) // streaming sources require explicit schema
+      .option("pathGlobFilter", "*.osc*")
+      .option("maxFilesPerTrigger", 1) // W5 ordering: one seq per trigger
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+    latestPerKey(files.flatMap { case (p, b) => graft.osm.OscReader.parseFile(p, b) })
+  }
+}

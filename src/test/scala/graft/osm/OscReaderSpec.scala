@@ -79,6 +79,15 @@ class OscReaderSpec extends SparkTestBase {
     assert(ops.count(_.id == 9L) === 2) // node create + modify renamed in seq 2
   }
 
+  test("bzip2 round-trip (S2, Decompressor.cpp:53-68 analog)") {
+    val bos = new ByteArrayOutputStream()
+    val bz = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos)
+    bz.write(oscXml.getBytes(StandardCharsets.UTF_8)); bz.close()
+    val ops = OscReader.parseFile("changes/000000003.osc.bz2", bos.toByteArray).toVector
+    assert(ops.size === 4)
+    assert(ops.map(_.seq).distinct === Vector(3))
+  }
+
   test("timestamp parsing keeps UTC instant with and without Z") {
     assert(OscReader.parseTs("2024-07-07T19:48:37Z").toInstant ===
       java.time.Instant.parse("2024-07-07T19:48:37Z"))
