@@ -146,9 +146,10 @@ object Bench {
     }
     val docs = Tables.documents(spark, sfDir).count() * E2eFactor
     // best-of-3: JIT/GC variance dominates single runs at this scale
+    val e2eReps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "3").toInt
     val e2eSec =
       if (skipE2e) 0.0
-      else (1 to 3).map(_ => time(e2ePipeline(spark, sfDir))._1).min
+      else (1 to e2eReps).map(_ => time(e2ePipeline(spark, sfDir))._1).min
     val docsPerSec = if (skipE2e) 0.0 else docs / e2eSec
 
     val qs = (if (skipE2e) results else results :+ ("e2e_pipeline" -> e2eSec))

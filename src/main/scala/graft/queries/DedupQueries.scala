@@ -72,7 +72,57 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"),
           jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
     }),
-    "q13_minhash_lsh_pairs" -> ((s, dir) => {
+    "q13_minhash_lsh_pairs" -> ((s, dir) => lshPairs(s, dir)),
+    "q49_neardup_clusters" -> ((s, dir) => {
+      // Connected components over the LSH near-dup pairs: min-label
+      // propagation to FIXPOINT (each doc converges to the smallest
+      // doc_id reachable through near-dup edges) — the canonical
+      // "collapse duplicate clusters, keep one representative" step of
+      // a training-data pipeline. Each iteration is one equi-join +
+      // min-aggregate; at 100 TB labels/edges shuffle on doc_id and
+      // iterations are O(component diameter), not O(n).
+      val pairs = lshPairs(s, dir).select(col("id_a"), col("id_b"))
+      val edges = pairs
+        .union(pairs.select(col("id_b"), col("id_a")))
+        .union(pairs.select(col("id_a"), col("id_a")))
+        .union(pairs.select(col("id_b"), col("id_b")))
+        .toDF("src", "dst").distinct()
+        .cache()
+      var lbl = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
+        .select(col("src").as("doc_id"), col("lbl"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 24) {
+        val next = edges
+          .join(lbl, edges("dst") === lbl("doc_id"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
+          .select(col("src").as("doc_id"), col("lbl"))
+          .cache()
+        converged = next.join(lbl.withColumnRenamed("lbl", "old"), "doc_id")
+          .filter(col("lbl") =!= col("old")).isEmpty
+        lbl = next
+        iter += 1
+      }
+      lbl.select(col("doc_id"), col("lbl").as("cluster_id"))
+    }),
+    "q14_simhash" -> ((s, dir) => {
+      // 60-bit SimHash over distinct tokens: one explode + one groupBy
+      // with 60 conditional sums (all codegen; no per-bit row blowup).
+      val th = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", hash60(col("tok")))
+      val bitSums = (0 until 60).map(b =>
+        sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b"))
+      val agg = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until 60).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      agg.select(col("doc_id"), simhash.as("simhash"))
+    }),
+  )
+
+  /** q13 body (LSH candidates → exact verify), shared with q49. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
       val sh = shingleSets(s, dir)
       // signatures: ONE md5 per (doc, shingle) row, then 16
       // overflow-free integer permutations folded into 16 partial-min
@@ -104,28 +154,45 @@ object DedupQueries {
           unionSize(col("sh_a"), col("sh_b")))
         .select(col("id_a"), col("id_b"),
           jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
-    }),
-    "q14_simhash" -> ((s, dir) => {
-      // 60-bit SimHash over distinct tokens: one explode + one groupBy
-      // with 60 conditional sums (all codegen; no per-bit row blowup).
-      val th = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-        .withColumn("h", hash60(col("tok")))
-      val bitSums = (0 until 60).map(b =>
-        sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b"))
-      val agg = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until 60).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      agg.select(col("doc_id"), simhash.as("simhash"))
-    }),
-  )
+  }
 
   /** The 16 permutation expressions, generated from the SAME constants
     * the Spark side uses (TextFunctions.minhashA/B). */
   private val minhashExprs: String = (0 until NumHashes).map(i =>
     s"list_min([(h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP for h in h32s])")
     .mkString(", ")
+
+  /** Shared DuckDB CTE chain: shingles -> minhash signatures -> LSH
+    * bands -> verified near-dup `pairs(id_a, id_b, jaccard_ppm)`. */
+  private val lshCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
+      |  FROM toks
+      |), hs AS (
+      |  SELECT doc_id, sh,
+      |    [CAST('0x' || substr(md5(s),1,15) AS BIGINT) & 4294967295 for s in sh] AS h32s
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, sh, list_value(MINHASH_EXPRS) AS mh
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, b,
+      |    md5(CAST(mh[4*b+1] AS VARCHAR) || ',' || CAST(mh[4*b+2] AS VARCHAR) || ',' ||
+      |        CAST(mh[4*b+3] AS VARCHAR) || ',' || CAST(mh[4*b+4] AS VARCHAR)) AS bkey
+      |  FROM sig, range(0,4) t(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |), pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(ROUND(1000000.0 * len(list_intersect(x.sh, y.sh))
+      |         / len(list_distinct(x.sh || y.sh)), 0) AS BIGINT) AS jaccard_ppm
+      |  FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
+      |  WHERE len(list_intersect(x.sh, y.sh)) * 2 >= len(list_distinct(x.sh || y.sh))
+      |)""".stripMargin.replace("MINHASH_EXPRS", minhashExprs)
 
   val oracles: Map[String, String] = Map(
     "q11_exact_dedup" ->
@@ -150,34 +217,21 @@ object DedupQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(a.sh || b.sh))""".stripMargin,
     "q13_minhash_lsh_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_distinct(
-        |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
-        |  FROM toks
-        |), hs AS (
-        |  SELECT doc_id, sh,
-        |    [CAST('0x' || substr(md5(s),1,15) AS BIGINT) & 4294967295 for s in sh] AS h32s
-        |  FROM sh
-        |), sig AS (
-        |  SELECT doc_id, sh, list_value(MINHASH_EXPRS) AS mh
-        |  FROM hs
-        |), bands AS (
-        |  SELECT doc_id, b,
-        |    md5(CAST(mh[4*b+1] AS VARCHAR) || ',' || CAST(mh[4*b+2] AS VARCHAR) || ','
-        |        || CAST(mh[4*b+3] AS VARCHAR) || ',' || CAST(mh[4*b+4] AS VARCHAR)) AS bkey
-        |  FROM sig, range(0,4) t(b)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        |)
-        |SELECT id_a, id_b,
-        |  CAST(ROUND(1000000.0 * len(list_intersect(x.sh, y.sh))
-        |       / len(list_distinct(x.sh || y.sh)), 0) AS BIGINT) AS jaccard_ppm
-        |FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
-        |WHERE len(list_intersect(x.sh, y.sh)) * 2 >= len(list_distinct(x.sh || y.sh))""".stripMargin
-      .replace("MINHASH_EXPRS", minhashExprs),
+      s"""WITH $lshCtes
+         |SELECT id_a, id_b, jaccard_ppm FROM pairs""".stripMargin,
+    "q49_neardup_clusters" ->
+      s"""WITH RECURSIVE $lshCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |  UNION SELECT id_a, id_a FROM pairs
+         |  UNION SELECT id_b, id_b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
     "q14_simhash" ->
       """WITH th AS (
         |  SELECT doc_id, CAST('0x' || substr(md5(t),1,15) AS BIGINT) AS h

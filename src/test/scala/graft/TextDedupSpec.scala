@@ -39,6 +39,18 @@ class TextDedupSpec extends SparkTestBase {
     assert(counts.map(_.getLong(0)).forall(_ <= 5))
   }
 
+  test("q49 clusters: both ends of every near-dup pair share a cluster id <= both ids") {
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("q13_minhash_lsh_pairs")(spark, sfSmoke)
+      .select(col("id_a"), col("id_b"))
+    val cl = SparkEntry.queries("q49_neardup_clusters")(spark, sfSmoke)
+    val joined = pairs
+      .join(cl.select(col("doc_id").as("id_a"), col("cluster_id").as("ca")), "id_a")
+      .join(cl.select(col("doc_id").as("id_b"), col("cluster_id").as("cb")), "id_b")
+    assert(joined.filter(col("ca") =!= col("cb")).count() === 0)
+    assert(cl.filter(col("cluster_id") > col("doc_id")).count() === 0)
+  }
+
   test("q18 fingerprint is stable across repeated runs") {
     val a = SparkEntry.queries("q18_fingerprint")(spark, sfSmoke).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
