@@ -10,4 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression into an ALREADY-BUILT session (for
+    * sessions not constructed with `spark.sql.extensions` — e.g. the
+    * shared test session). Prefer `graft.GraftExtensions` at build
+    * time in production. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

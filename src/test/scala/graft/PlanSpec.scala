@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan conformance: the properties that make the engine hold
+  * at 100 TB are asserted, not assumed — filter pushdown and column
+  * pruning reach the parquet scan THROUGH the partition-count-gated
+  * spread, the partitioned spatial join really shuffles (no accidental
+  * broadcast of a TB-scale side), and the refine predicate is the
+  * native codegen expression. */
+class PlanSpec extends SparkTestBase {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter pushdown + column pruning survive the spread repartition") {
+    val q = queries.Tables.lineitem(spark, sfSmall)
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val plan = formatted(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("partitioned+salted PIP join plans a shuffled join with the codegen refine") {
+    val plan = formatted(SparkEntry.queries("q30b_pip_join_salted")(spark, sfSmall))
+    assert(plan.contains("ShuffledHashJoin"), plan.linesIterator.take(40).mkString("\n"))
+    assert(plan.contains("pip_contains"), "native refine expression missing from plan")
+  }
+
+  test("broadcast PIP path plans a BroadcastHashJoin") {
+    val pts = synth.SynthUniverse.points(spark, sfSmall)
+    val polys = spatial.SpatialJoin.polygons(
+      synth.SynthUniverse.wayMembers(spark, sfSmall),
+      synth.SynthUniverse.nodes(spark, sfSmall))
+    val plan = formatted(
+      spatial.SpatialJoin.pipJoin(pts, polys, res = 6, mode = "broadcast"))
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("pip_contains is SQL-callable (registered expression) with covers semantics") {
+    org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "pip_contains",
+      cs => spatial.PointInRingExpr(cs(0), cs(1), cs(2), cs(3)))
+    val rows = spark.sql(
+      """SELECT
+        |  pip_contains(array(0D,2D,2D,0D,0D), array(0D,0D,2D,2D,0D), 1D, 1D) AS inside,
+        |  pip_contains(array(0D,2D,2D,0D,0D), array(0D,0D,2D,2D,0D), 2D, 1D) AS boundary,
+        |  pip_contains(array(0D,2D,2D,0D,0D), array(0D,0D,2D,2D,0D), 3D, 1D) AS outside
+        |""".stripMargin).collect().head
+    assert(rows.getBoolean(0) === true)
+    assert(rows.getBoolean(1) === true)  // boundary counts (covers)
+    assert(rows.getBoolean(2) === false)
+  }
+}
