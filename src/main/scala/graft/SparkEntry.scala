@@ -26,6 +26,8 @@ object SparkEntry {
         _root_.graft.queries.FunctionQueries.oracles),
       (_root_.graft.queries.GeomTripleQueries.queries,
         _root_.graft.queries.GeomTripleQueries.oracles),
+      (_root_.graft.queries.TripleSinkQueries.queries,
+        _root_.graft.queries.TripleSinkQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

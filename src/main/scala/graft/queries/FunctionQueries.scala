@@ -83,6 +83,9 @@ object FunctionQueries {
             lit(".osc.gz")).as("url"),
           regexp_extract(concat(lit("osmnode:"), col("id")), "(\\d+)$", 1)
             .cast("long").as("id_rt"),
+          // F6 isValidUri (/root/reference/src/util/URLHelper.cpp:93-96)
+          concat(lit("https://planet.osm.org/replication/day/"), path,
+            lit(".osc.gz")).rlike("^https?://[A-Za-z0-9./_~-]+$").as("is_valid"),
           xmlEncode(concat(lit("a&b<"), col("kind"), lit(">\"c'"))).as("xml_enc"))
     }),
     "q41_binary_meta" -> ((s, dir) => {
@@ -139,6 +142,8 @@ object FunctionQueries {
          |SELECT seq, path,
          |  'https://planet.osm.org/replication/day/' || path || '.osc.gz' AS url,
          |  CAST(regexp_extract('osmnode:' || id, '(\\d+)$$', 1) AS BIGINT) AS id_rt,
+         |  regexp_matches('https://planet.osm.org/replication/day/' || path || '.osc.gz',
+         |    '^https?://[A-Za-z0-9./_~-]+$$') AS is_valid,
          |  replace(replace(replace(replace(replace(
          |    'a&b<' || kind || '>"c''',
          |    '&','&amp;'), '<','&lt;'), '>','&gt;'), '"','&quot;'), '''','&apos;') AS xml_enc
