@@ -14,6 +14,7 @@ import graft.spatial.PointInRingExpr
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.spatial.PipJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("pip_contains"),
       new ExpressionInfo(classOf[PointInRingExpr].getName, "pip_contains"),

@@ -1,0 +1,57 @@
+package graft.spatial
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import graft.geo.CellIndex
+
+/** Native cell-encode: `CellAtExpr(lon, lat, res)` — the optimizer-rule
+  * counterpart of [[graft.geo.GeoFunctions.cellAt]]. Needed because a
+  * `Rule[LogicalPlan]` runs after analysis: Column-API arithmetic
+  * builds UnresolvedFunction nodes that would never be analyzed. Calls
+  * the same [[CellIndex.cellAt]] scalar from generated code. */
+case class CellAtExpr(left: Expression, right: Expression, res: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cell_at"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    CellIndex.cellAt(lon.asInstanceOf[Double], lat.asInstanceOf[Double], res)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat) =>
+      s"${ev.value} = graft.geo.CellIndex.cellAt($lon, $lat, $res);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellAtExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native polygon cover: `CoverCellsExpr(xs, ys, res)` →
+  * array<long> of covering cells (JTS-refined envelope scan, same as
+  * [[SpatialJoin.coverCellsUdf]]). CodegenFallback: runs once per
+  * POLYGON row (the small side), never in the per-candidate hot loop. */
+case class CoverCellsExpr(left: Expression, right: Expression, res: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cover_cells"
+
+  @transient private lazy val gf = new GeometryFactory()
+
+  override def nullSafeEval(xsAny: Any, ysAny: Any): Any = {
+    val xs = xsAny.asInstanceOf[ArrayData]
+    val ys = ysAny.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val coords = Array.tabulate(n)(i => new Coordinate(xs.getDouble(i), ys.getDouble(i)))
+    val closed = if (n > 0 && coords.head == coords.last) coords else coords :+ coords.head
+    val cells = CellIndex.coverGeometry(gf.createPolygon(closed), res)
+    new GenericArrayData(cells.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CoverCellsExpr =
+    copy(left = newLeft, right = newRight)
+}
