@@ -52,4 +52,20 @@ class PlanSpec extends SparkTestBase {
     assert(rows.getBoolean(1) === true)  // boundary counts (covers)
     assert(rows.getBoolean(2) === false)
   }
+
+  test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cell_at",
+      cs => spatial.CellAtExpr(cs(0), cs(1),
+        cs(2).asInstanceOf[Literal].value.asInstanceOf[Int]))
+    org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cover_cells",
+      cs => spatial.CoverCellsExpr(cs(0), cs(1),
+        cs(2).asInstanceOf[Literal].value.asInstanceOf[Int]))
+    val r = spark.sql(
+      """SELECT cell_at(13.5D, 42.7D, 6) AS c,
+        |  cover_cells(array(13D,14D,14D,13D,13D), array(42D,42D,43D,43D,42D), 6) AS cov
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) === geo.CellIndex.cellAt(13.5, 42.7, 6))
+    assert(r.getSeq[Long](1).contains(geo.CellIndex.cellAt(13.5, 42.7, 6)))
+  }
 }
