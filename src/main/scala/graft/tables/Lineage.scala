@@ -61,8 +61,11 @@ class Lineage(val spark: SparkSession, val root: String) {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))
+      val bytes = Files.size(dir.resolve(s"part-$pid.parquet"))
+      // commit point: "rows,bytes" — the north rule's per-partition
+      // row-count/byte metrics live in the same atomic sidecar
       Files.write(dir.resolve(s"part-$pid.done"),
-        rows.size.toString.getBytes(StandardCharsets.UTF_8))
+        s"${rows.size},$bytes".getBytes(StandardCharsets.UTF_8))
     }
     readStage(stage)
   }
@@ -71,14 +74,20 @@ class Lineage(val spark: SparkSession, val root: String) {
     spark.read.parquet(stageDir(stage).toString + "/part-*.parquet")
 
   /** (partitionId -> rowCount) metrics from the .done sidecars. */
-  def metrics(stage: String): Map[Int, Long] = {
+  def metrics(stage: String): Map[Int, Long] =
+    rowByteMetrics(stage).map { case (pid, (rows, _)) => pid -> rows }
+
+  /** (partitionId -> (rowCount, bytes)) — the full north-rule metric
+    * pair. Tolerates legacy rows-only sidecars (bytes = 0). */
+  def rowByteMetrics(stage: String): Map[Int, (Long, Long)] = {
     val d = stageDir(stage)
     if (!Files.exists(d)) Map.empty
     else Files.list(d).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".done"))
       .map { p =>
         val pid = p.getFileName.toString.stripPrefix("part-").stripSuffix(".done").toInt
-        pid -> new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+        val parts = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.split(",")
+        pid -> (parts(0).toLong, if (parts.length > 1) parts(1).toLong else 0L)
       }.toMap
   }
 }

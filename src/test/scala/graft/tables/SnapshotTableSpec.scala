@@ -88,8 +88,10 @@ class LineageSpec extends SparkTestBase {
     assert(ran.value === (4 - done1.size), "completed partitions must not re-run")
     assert(out.count() === 100)
     assert(out.agg(sum(col("doubled"))).head().getLong(0) === (0L until 100L).map(_ * 2).sum)
-    // metrics: per-partition row counts sum to the total
+    // metrics: per-partition row counts sum to the total; bytes recorded
     assert(lin.metrics("double").values.sum === 100L)
+    assert(lin.rowByteMetrics("double").values.forall(_._2 > 0L),
+      "per-partition byte metric missing")
     // full re-run is a no-op
     val ran2 = spark.sparkContext.longAccumulator("ran2")
     lin.runStage("double", input, outSchema) { it => ran2.add(1); it.map(r => Row(r.getLong(0), 0L)) }
