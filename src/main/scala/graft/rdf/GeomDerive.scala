@@ -50,4 +50,59 @@ object GeomDerive {
     val f = udf((xs: Seq[Double], ys: Seq[Double]) => stats(xs, ys))
     (xs, ys) => f(xs, ys)
   }
+
+  // ---- byte-identical osm2rdf WKT emission (way.ttl golden family) ----
+
+  @inline private def fmt(v: Double): String = "%.7f".formatLocal(java.util.Locale.ROOT, v)
+  @inline private def pt(x: Double, y: Double): String = fmt(x) + " " + fmt(y)
+
+  /** LINESTRING(...) of the ordered vertices, 7-decimal, no spaces
+    * after commas (way.ttl:52). */
+  def lineWkt(xs: Seq[Double], ys: Seq[Double]): String =
+    xs.zip(ys).map { case (x, y) => pt(x, y) }
+      .mkString("LINESTRING(", ",", ")")
+
+  /** Envelope polygon in osm2rdf corner order (way.ttl:54):
+    * (minx miny, minx maxy, maxx maxy, maxx miny, close). */
+  def envelopeWkt(xs: Seq[Double], ys: Seq[Double]): String = {
+    val (x0, x1, y0, y1) = (xs.min, xs.max, ys.min, ys.max)
+    Seq(pt(x0, y0), pt(x0, y1), pt(x1, y1), pt(x1, y0), pt(x0, y0))
+      .mkString("POLYGON((", ",", "))")
+  }
+
+  /** Convex hull in boost::geometry's emission convention (way.ttl:53):
+    * closed ring, CLOCKWISE (y-up), starting at the vertex with minimum
+    * x (then minimum y). JTS computes the hull; this normalizes the
+    * ring's start and orientation. */
+  def hullWkt(xs: Seq[Double], ys: Seq[Double]): String = {
+    val coords = xs.zip(ys).map { case (x, y) => new Coordinate(x, y) }.toArray
+    val hull = gf.createMultiPointFromCoords(coords).convexHull()
+    val ring0 = hull.getCoordinates.dropRight(1) // drop closing dup
+    // signed area > 0 => CCW in y-up; boost emits CW
+    val area2 = ring0.indices.map { i =>
+      val a = ring0(i); val b = ring0((i + 1) % ring0.length)
+      a.x * b.y - b.x * a.y
+    }.sum
+    val cw = if (area2 > 0) ring0.reverse else ring0
+    val start = cw.indices.minBy(i => (cw(i).x, cw(i).y))
+    val rot = cw.drop(start) ++ cw.take(start)
+    (rot :+ rot.head).map(c => pt(c.x, c.y)).mkString("POLYGON((", ",", "))")
+  }
+
+  /** osm2rdf length: 6-decimal fixed (std::to_string-style) of the JTS
+    * line length (way.ttl:56 `"0.005285"`). */
+  def lengthStr(xs: Seq[Double], ys: Seq[Double]): String = {
+    val coords = xs.zip(ys).map { case (x, y) => new Coordinate(x, y) }.toArray
+    val len = gf.createLineString(coords).getLength
+    "%.6f".formatLocal(java.util.Locale.ROOT, len)
+  }
+
+  /** Minimum-area oriented bounding rectangle (JTS MinimumDiameter) —
+    * corner ORDER is algorithm-specific, so goldens compare the corner
+    * set and area, not the byte string. */
+  def obbCorners(xs: Seq[Double], ys: Seq[Double]): Array[(Double, Double)] = {
+    val coords = xs.zip(ys).map { case (x, y) => new Coordinate(x, y) }.toArray
+    new MinimumDiameter(gf.createLineString(coords)).getMinimumRectangle
+      .getCoordinates.dropRight(1).map(c => (c.x, c.y))
+  }
 }

@@ -52,6 +52,23 @@ object TripleDerive {
     base.unionByName(geom)
   }
 
+  /** Degenerate per-node geometry-derivation triples — osm2rdf emits
+    * convex_hull / envelope / obb for EVERY object, a point's being the
+    * 5-fold repetition of itself
+    * (/root/reference/tests/data/node.ttl:35-37). Byte-identical
+    * 7-decimal formatting. */
+  def nodeGeomTriples(nodes: DataFrame): DataFrame = {
+    val pt = concat(format_string("%.7f", col("lon")), lit(" "),
+      format_string("%.7f", col("lat")))
+    val poly = concat(lit("POLYGON(("),
+      array_join(array_repeat(pt, 5), ","), lit("))"))
+    val s = concat(lit("osmnode:"), col("node_id"))
+    Seq("convex_hull", "envelope", "obb").map { fam =>
+      nodes.select(s.as("s"),
+        lit(s"osm2rdfgeom:$fam").as("p"), poly.as("o"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Ordered way-member triples with deterministic member keys
     * `osm2rdfmember:way_W_P` replacing the reference's blank nodes
     * (/root/reference/tests/data/relation.ttl:28-31 blank-node scheme
