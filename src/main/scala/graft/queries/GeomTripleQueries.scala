@@ -80,7 +80,10 @@ object GeomTripleQueries {
          |      FROM rel_members)
          |SELECT 'osmrel:' || rel_id AS s, 'osmrel:member' AS p, mk AS o FROM m
          |UNION ALL
-         |SELECT mk AS s, 'osm2rdfmember:id' AS p, 'osmway:' || member_id AS o FROM m
+         |SELECT mk AS s, 'osm2rdfmember:id' AS p,
+         |  (CASE WHEN member_kind='node' THEN 'osmnode:'
+         |        WHEN member_kind='way' THEN 'osmway:'
+         |        ELSE 'osmrel:' END) || member_id AS o FROM m
          |UNION ALL
          |SELECT mk AS s, 'osm2rdfmember:role' AS p, role AS o FROM m
          |UNION ALL

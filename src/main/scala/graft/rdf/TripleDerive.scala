@@ -95,8 +95,11 @@ object TripleDerive {
       concat(lit("osm2rdfmember:rel_"), col("rel_id"), lit("_"), col("pos")))
     val link = m.select(concat(lit("osmrel:"), col("rel_id")).as("s"),
       lit("osmrel:member").as("p"), col("mk").as("o"))
+    val prefix = when(col("member_kind") === "node", "osmnode:")
+      .when(col("member_kind") === "way", "osmway:")
+      .otherwise("osmrel:")
     val id = m.select(col("mk").as("s"), lit("osm2rdfmember:id").as("p"),
-      concat(lit("osmway:"), col("member_id")).as("o"))
+      concat(prefix, col("member_id")).as("o"))
     val role = m.select(col("mk").as("s"), lit("osm2rdfmember:role").as("p"),
       col("role").as("o"))
     val pos = m.select(col("mk").as("s"), lit("osm2rdfmember:pos").as("p"),
