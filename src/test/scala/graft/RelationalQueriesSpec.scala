@@ -13,6 +13,18 @@ class RelationalQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("no query key collides across modules (map merge would silently drop one)") {
+    val moduleMaps = Seq(
+      queries.RelationalQueries.queries, queries.TextQueries.queries,
+      queries.DedupQueries.queries, queries.SimilarityQueries.queries,
+      queries.SpatialQueries.queries, queries.OsmQueries.queries,
+      queries.FunctionQueries.queries, queries.GeomTripleQueries.queries,
+      queries.TripleSinkQueries.queries)
+    assert(moduleMaps.map(_.size).sum === SparkEntry.queries.size,
+      "duplicate query key across modules")
+    assert(SparkEntry.queries.size === SparkEntry.oracleSql.size)
+  }
+
   test("every query has matching oracle coverage or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the rows-only list deliberate and small
