@@ -118,7 +118,10 @@ object SpatialJoin {
     // candidates vs ~27 matches per point the array bytes dominate the
     // join's memory traffic, which is the single-box scaling ceiling.
     val cover = polys
-      .withColumn("cell", explode(coverCellsUdf(res)(col("xs"), col("ys"))))
+      .withColumn("cell", explode(org.apache.spark.sql.GraftSqlShim.column(
+        CoverCellsExpr(
+          org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("ys")), res))))
       .withColumn("minx", array_min(col("xs"))).withColumn("maxx", array_max(col("xs")))
       .withColumn("miny", array_min(col("ys"))).withColumn("maxy", array_max(col("ys")))
     val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
