@@ -29,11 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object ChangePipeline {
 
-  /** W1: one winning op per (kind, id) — newest version, then newest
-    * ts, then highest seq. Idempotent and order-insensitive. */
+  /** W1: one winning op per (kind, id) — newest version, then (per the
+    * reference comparator's `_delete` suffix) the DELETED op wins a
+    * same-version tie, then newest ts (NULLS LAST, Spark's desc
+    * default), then highest seq. Idempotent and order-insensitive;
+    * bit-identical to the streaming comparator
+    * [[graft.streaming.ChangeStream.newerThan]]. */
   def dedupLatest(changes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("kind"), col("id"))
-      .orderBy(col("version").desc, col("ts").desc, col("seq").desc)
+      .orderBy(col("version").desc,
+        when(col("action") === "delete", 0).otherwise(1).asc,
+        col("ts").desc, col("seq").desc)
     changes.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }

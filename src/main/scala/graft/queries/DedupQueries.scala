@@ -92,17 +92,27 @@ object DedupQueries {
         .select(col("src").as("doc_id"), col("lbl"))
       var converged = false
       var iter = 0
-      while (!converged && iter < 24) {
-        val next = edges
+      val maxIter = 40
+      while (!converged && iter < maxIter) {
+        val step = edges
           .join(lbl, edges("dst") === lbl("doc_id"))
           .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
           .select(col("src").as("doc_id"), col("lbl"))
-          .cache()
+        // every 5th iteration localCheckpoint (materialize + TRUNCATE the
+        // logical plan) so planning cost stays bounded; otherwise cache.
+        val next = if (iter % 5 == 4) step.localCheckpoint() else step.cache()
         converged = next.join(lbl.withColumnRenamed("lbl", "old"), "doc_id")
           .filter(col("lbl") =!= col("old")).isEmpty
+        lbl.unpersist() // previous iteration's cache is dead after the check
         lbl = next
         iter += 1
       }
+      edges.unpersist()
+      if (!converged)
+        // silent truncation would return WRONG cluster ids for any
+        // component with diameter > maxIter — fail loudly instead.
+        throw new IllegalStateException(
+          s"q49 label propagation did not converge within $maxIter iterations")
       lbl.select(col("doc_id"), col("lbl").as("cluster_id"))
     }),
     "q14_simhash" -> ((s, dir) => {

@@ -44,12 +44,7 @@ object GeomTripleQueries {
     }),
   )
 
-  private val winnersCte: String =
-    """winners AS (
-      |  SELECT * FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY kind, id
-      |      ORDER BY version DESC, ts DESC, seq DESC) AS rn FROM changes)
-      |  WHERE rn = 1)""".stripMargin
+  private val winnersCte: String = SynthSql.winnersCte
 
   val oracles: Map[String, String] = Map(
     "q42_way_geoms" ->

@@ -94,12 +94,7 @@ object OsmQueries {
           round(col("lat") * 1e7, 0).cast("long").as("lat_e7"))),
   )
 
-  private val winnersCte: String =
-    """winners AS (
-      |  SELECT * FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY kind, id
-      |      ORDER BY version DESC, ts DESC, seq DESC) AS rn FROM changes)
-      |  WHERE rn = 1)""".stripMargin
+  private val winnersCte: String = SynthSql.winnersCte
 
   private val staleCte: String =
     """stale_ways AS (

@@ -82,12 +82,7 @@ object TripleSinkQueries {
     }),
   )
 
-  private val winnersCte: String =
-    """winners AS (
-      |  SELECT * FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY kind, id
-      |      ORDER BY version DESC, ts DESC, seq DESC) AS rn FROM changes)
-      |  WHERE rn = 1)""".stripMargin
+  private val winnersCte: String = SynthSql.winnersCte
 
   private val linkedTriplesCte: String =
     """triples AS (

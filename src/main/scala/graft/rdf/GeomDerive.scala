@@ -32,8 +32,12 @@ object GeomDerive {
 
   def stats(xs: Seq[Double], ys: Seq[Double]): GeomStats = {
     val coords = xs.zip(ys).map { case (x, y) => new Coordinate(x, y) }.toArray
+    if (coords.isEmpty) return null // degenerate ring → null row, not a task kill
     val closed = if (coords.head == coords.last) coords else coords :+ coords.head
-    val poly = gf.createPolygon(closed)
+    val poly: org.locationtech.jts.geom.Geometry =
+      if (closed.length >= 4) gf.createPolygon(closed)
+      else if (coords.length >= 2) gf.createLineString(coords)
+      else gf.createPoint(coords(0))
     val c = org.locationtech.jts.algorithm.Centroid.getCentroid(poly)
     val env = poly.getEnvelopeInternal
     val hull = poly.convexHull()

@@ -45,9 +45,17 @@ case class CoverCellsExpr(left: Expression, right: Expression, res: Int)
     val xs = xsAny.asInstanceOf[ArrayData]
     val ys = ysAny.asInstanceOf[ArrayData]
     val n = xs.numElements()
+    // degenerate rings must not kill the task: empty → empty cover;
+    // 1-2 vertices → cover of the point/segment instead of an (invalid)
+    // JTS polygon.
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
     val coords = Array.tabulate(n)(i => new Coordinate(xs.getDouble(i), ys.getDouble(i)))
-    val closed = if (n > 0 && coords.head == coords.last) coords else coords :+ coords.head
-    val cells = CellIndex.coverGeometry(gf.createPolygon(closed), res)
+    val closed = if (coords.head == coords.last) coords else coords :+ coords.head
+    val geom =
+      if (closed.length >= 4) gf.createPolygon(closed)
+      else if (n >= 2) gf.createLineString(coords)
+      else gf.createPoint(coords(0))
+    val cells = CellIndex.coverGeometry(geom, res)
     new GenericArrayData(cells.toArray)
   }
 

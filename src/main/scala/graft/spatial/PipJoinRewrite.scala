@@ -77,6 +77,15 @@ object PipJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     Project(origOut, Filter(cond, join))
   }
 
+  /** The rewritten join is Join(ptSide, gen(polySide)); when findPip
+    * matched with the point side on the ORIGINAL right, a user's
+    * left/right join hints must swap with the sides or a broadcast hint
+    * would attach to the wrong input. */
+  private def alignHint(hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint,
+      origLeft: LogicalPlan, ptSide: LogicalPlan) =
+    if (ptSide eq origLeft) hint
+    else org.apache.spark.sql.catalyst.plans.logical.JoinHint(hint.rightHint, hint.leftHint)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // shape 1: filter still sitting above a condition-less cross join
     case f @ Filter(cond, Join(left, right, jt, None, hint))
@@ -84,7 +93,7 @@ object PipJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           findPip(splitConjunctivePredicates(cond), left, right).isDefined =>
       val Some((pip, pt, poly)) =
         findPip(splitConjunctivePredicates(cond), left, right)
-      rewrite(f.output, cond, pip, pt, poly, hint)
+      rewrite(f.output, cond, pip, pt, poly, alignHint(hint, left, pt))
     // shape 2: the optimizer already pushed the predicate into the join
     case j @ Join(left, right, jt, Some(cond), hint)
         if (jt == Cross || jt == Inner) && {
@@ -93,6 +102,6 @@ object PipJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         } =>
       val Some((pip, pt, poly)) =
         findPip(splitConjunctivePredicates(cond), left, right)
-      rewrite(j.output, cond, pip, pt, poly, hint)
+      rewrite(j.output, cond, pip, pt, poly, alignHint(hint, left, pt))
   }
 }

@@ -37,16 +37,21 @@ object SpatialJoin {
 
   private val gf = new GeometryFactory()
 
-  private def mkPolygon(xs: Seq[Double], ys: Seq[Double]) = {
+  /** Ring → JTS geometry, degenerate-safe: <3 distinct vertices fall
+    * back to line/point (an invalid JTS polygon would throw). */
+  private def mkPolygon(xs: Seq[Double], ys: Seq[Double]): org.locationtech.jts.geom.Geometry = {
     val coords = xs.zip(ys).map { case (x, y) => new Coordinate(x, y) }.toArray
+    if (coords.isEmpty) return gf.createPolygon()
     val closed = if (coords.head == coords.last) coords else coords :+ coords.head
-    gf.createPolygon(closed)
+    if (closed.length >= 4) gf.createPolygon(closed)
+    else if (coords.length >= 2) gf.createLineString(coords)
+    else gf.createPoint(coords(0))
   }
 
   /** Covering cells of a ring at `res` (JTS-refined envelope scan). */
   val coverCellsUdf: Int => org.apache.spark.sql.expressions.UserDefinedFunction =
     res => udf((xs: Seq[Double], ys: Seq[Double]) =>
-      CellIndex.coverGeometry(mkPolygon(xs, ys), res))
+      if (xs.isEmpty) Seq.empty[Long] else CellIndex.coverGeometry(mkPolygon(xs, ys), res))
 
   /** Boundary-inclusive point-in-ring: crossing-number with an exact
     * on-segment pre-test (covers semantics — boundary counts, matching
@@ -112,6 +117,8 @@ object SpatialJoin {
   def pipJoin(points: DataFrame, polys: DataFrame, res: Int,
       mode: String = "auto", salt: Int = 1,
       hotThreshold: Long = 2000000L): DataFrame = {
+    require(Set("auto", "broadcast", "partitioned")(mode),
+      s"pipJoin mode must be auto|broadcast|partitioned, got '$mode'")
     // bbox columns ride along as 4 scalars: the refine first rejects on
     // them (fixed-width reads only) and dereferences the ring arrays'
     // variable-length bytes ONLY for bbox-passing candidates — at ~80

@@ -28,11 +28,23 @@ object ChangeStream {
   case class ObjKey(kind: String, id: Long)
 
   /** The reference comparator as a total order: true if `a` should
-    * replace `b` (a is strictly newer). */
+    * replace `b` (a is strictly newer). Mirrors
+    * object_order_type_id_reverse_version_delete
+    * (/root/reference/src/osm/OsmUpdater.cpp:117-134) exactly: version
+    * DESC, then the DELETED op wins a same-version tie, then ts DESC
+    * with NULLS LAST (identical to the batch window in
+    * [[graft.osm.ChangePipeline.dedupLatest]]), then seq DESC. */
   def newerThan(a: ChangeOp, b: ChangeOp): Boolean =
     if (a.version != b.version) a.version > b.version
-    else if (a.ts != null && b.ts != null && !a.ts.equals(b.ts)) a.ts.after(b.ts)
-    else a.seq > b.seq
+    else {
+      val ad = a.action == "delete"
+      val bd = b.action == "delete"
+      if (ad != bd) ad
+      else if (a.ts != null && b.ts == null) true  // ts DESC NULLS LAST
+      else if (a.ts == null && b.ts != null) false
+      else if (a.ts != null && !a.ts.equals(b.ts)) a.ts.after(b.ts)
+      else a.seq > b.seq
+    }
 
   /** Stateful dedup-to-latest. Works on both streaming and batch
     * Datasets (batch = one trigger over the whole input). */

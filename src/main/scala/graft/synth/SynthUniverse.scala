@@ -170,6 +170,20 @@ object SynthSql {
       |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
       |  FROM events)""".stripMargin
 
+  /** W1 winners — the ONE definition of the dedup-to-latest tie-break,
+    * mirrored by [[graft.osm.ChangePipeline.dedupLatest]] and the
+    * streaming comparator: version DESC, deleted-first at equal
+    * version, ts DESC (DuckDB default NULLS LAST = Spark desc), seq
+    * DESC. */
+  val winnersCte: String =
+    """winners AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY kind, id
+      |      ORDER BY version DESC,
+      |        CASE WHEN action = 'delete' THEN 0 ELSE 1 END,
+      |        ts DESC, seq DESC) AS rn FROM changes)
+      |  WHERE rn = 1)""".stripMargin
+
   val relMembersCte: String =
     """rel_members AS (
       |  SELECT (o_orderkey - o_orderkey % 10) // 10 AS rel_id,
