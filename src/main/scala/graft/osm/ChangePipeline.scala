@@ -124,6 +124,48 @@ object ChangePipeline {
       .union(staleR.select(lit("relation").as("kind"), col("rel_id").as("id")))
       .distinct()
 
+  /** MERGE INTO ways — the reference applies delete-then-insert for ALL
+    * three kinds (/root/reference/src/osm/OsmChangeHandler.cpp:442-575);
+    * this is the way layer's merge in snapshot form. Base and output
+    * rows are the reconstructed (way_id, members, wkt) shape of
+    * [[reconstructWays]].
+    *
+    * @param membership POST-change (way_id, pos, node_id) rows for every
+    *        way that may need (re)construction — change-file member
+    *        lists for created/modified ways, current membership for
+    *        geometry-stale ways.
+    * @param mergedNodes node layer AFTER [[applyNodeOps]] — stale ways
+    *        rebuild against the moved node coordinates; members whose
+    *        node was deleted drop out of the reconstruction.
+    */
+  def applyWayOps(baseWays: DataFrame, winners: DataFrame, membership: DataFrame,
+      mergedNodes: DataFrame, stale: DataFrame): DataFrame = {
+    val upsertIds = idsOf(winners, "way", "create", "modify")
+      .select(col("id").as("way_id"))
+      .union(stale.select(col("way_id"))).distinct()
+    val upserts = reconstructWays(upsertIds, membership, mergedNodes)
+    // delete-set for the layer: deleted ∪ re-inserted (stale objects are
+    // deleted then re-inserted, J11 semantics)
+    val gone = idsOf(winners, "way", "delete").select(col("id").as("way_id"))
+      .union(upsertIds).distinct()
+    baseWays.join(gone, Seq("way_id"), "left_anti").unionByName(upserts)
+  }
+
+  /** MERGE INTO relations — same delete-then-insert contract over the
+    * reconstructed (rel_id, members) shape of [[reconstructRels]].
+    * `membership` is the post-change (rel_id, pos, member_id, role)
+    * rows; stale relations re-insert with their current members. */
+  def applyRelOps(baseRels: DataFrame, winners: DataFrame, membership: DataFrame,
+      staleR: DataFrame): DataFrame = {
+    val upsertIds = idsOf(winners, "relation", "create", "modify")
+      .select(col("id").as("rel_id"))
+      .union(staleR.select(col("rel_id"))).distinct()
+    val upserts = reconstructRels(upsertIds, membership)
+    val gone = idsOf(winners, "relation", "delete").select(col("id").as("rel_id"))
+      .union(upsertIds).distinct()
+    baseRels.join(gone, Seq("rel_id"), "left_anti").unionByName(upserts)
+  }
+
   /** MERGE INTO nodes: upsert created/modified, drop deleted.
     * Idempotent by (id) — re-applying the same winner set is a no-op. */
   def applyNodeOps(nodes: DataFrame, winners: DataFrame): DataFrame = {

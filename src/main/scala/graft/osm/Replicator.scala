@@ -22,6 +22,14 @@ import graft.tables.SnapshotTable
 class Replicator(spark: SparkSession, root: String) {
 
   val nodes: SnapshotTable = SnapshotTable.load(spark, s"$root/nodes")
+  /** Way layer in reconstructed snapshot form (way_id, members, wkt) —
+    * members = ';'-joined ordered node refs. Merged only when the table
+    * has an initial snapshot (a node-only deployment stays node-only). */
+  val ways: SnapshotTable = SnapshotTable.load(spark, s"$root/ways")
+  /** Relation layer (rel_id, members) — members = ';'-joined ordered
+    * `mtype/ref/role` entries (the kind is kept so stale-relation
+    * detection can restrict to way members, J3 semantics). */
+  val rels: SnapshotTable = SnapshotTable.load(spark, s"$root/rels")
   private val ckpt = Paths.get(root, "applied_seq")
 
   def appliedSeq: Option[Int] =
@@ -43,7 +51,10 @@ class Replicator(spark: SparkSession, root: String) {
     }
 
   /** Apply every pending change file under `changeDir` as ONE merged
-    * batch. Returns the number of winning ops applied (0 = up to date). */
+    * batch across all three layers (nodes, then ways, then relations —
+    * the reference's delete+insert for every kind,
+    * /root/reference/src/osm/OsmChangeHandler.cpp:442-575). Returns the
+    * number of winning ops applied (0 = up to date). */
   def catchUp(changeDir: String): Long = {
     import spark.implicits._
     val from = appliedSeq.map(_ + 1).getOrElse(0)
@@ -52,14 +63,89 @@ class Replicator(spark: SparkSession, root: String) {
     if (all.isEmpty) return 0L // ST3
 
     val ops = all.toDF()
-    val winners = ChangePipeline.dedupLatest(ops) // ST2+ST5, whole window
+    val winners = ChangePipeline.dedupLatest(ops).cache() // ST2+ST5, reused per layer
     val nodeOps = winners.filter(col("kind") === "node")
       .select(col("id").as("node_id"),
         col("lon").as("lon"), col("lat").as("lat"),
         (col("action") === "delete").as("deleted"))
-    val applied = nodeOps.count()
+    var applied = nodeOps.count()
     nodes.mergeInto(nodeOps, Seq("node_id"), deleteMarker = Some("deleted")) // ST4
+    // ways/relations rebuild against the POST-merge node layer (the
+    // reference reconstructs from change-file nodes overlaid on the db)
+    val mergedNodes = nodes.read()
+
+    // ---- way layer ----
+    // stale detection reads the PRE-merge way snapshot; the change file
+    // itself supplies member lists for created/modified ways.
+    val noWays = winners.filter(lit(false)).select(col("id").as("way_id"))
+    val staleW: DataFrame = if (ways.currentSnapshot.isEmpty) noWays else {
+      val base = ways.read()
+      val snapMembers = base
+        .select(col("way_id"), posexplode(split(col("members"), ";")).as(Seq("pos", "nid")))
+        .select(col("way_id"), col("pos"), col("nid").cast("long").as("node_id"))
+      val st = ChangePipeline.staleWays(winners, snapMembers)
+      val changeMembers = winners
+        .filter(col("kind") === "way" && col("action").isin("create", "modify"))
+        .select(col("id").as("way_id"), posexplode(col("nodeRefs")).as(Seq("pos", "node_id")))
+      val membership = changeMembers
+        .unionByName(snapMembers.join(st, Seq("way_id"), "left_semi"))
+      val upsertIds = winners
+        .filter(col("kind") === "way" && col("action").isin("create", "modify"))
+        .select(col("id").as("way_id"))
+        .union(st.select(col("way_id"))).distinct()
+      val upserts = ChangePipeline.reconstructWays(upsertIds, membership, mergedNodes)
+        .withColumn("deleted", lit(false))
+      val dels = winners.filter(col("kind") === "way" && col("action") === "delete")
+        .select(col("id").as("way_id"), lit(null).cast("string").as("members"),
+          lit(null).cast("string").as("wkt"), lit(true).as("deleted"))
+      val delta = upserts.unionByName(dels)
+      applied += delta.count()
+      ways.mergeInto(delta, Seq("way_id"), deleteMarker = Some("deleted"))
+      st
+    }
+
+    // ---- relation layer ----
+    if (rels.currentSnapshot.isDefined) {
+      val base = rels.read()
+      val snapRm = base
+        .select(col("rel_id"), posexplode(split(col("members"), ";")).as(Seq("pos", "m")))
+        .select(col("rel_id"), col("pos"),
+          split_part(col("m"), lit("/"), lit(1)).as("mtype"),
+          split_part(col("m"), lit("/"), lit(2)).cast("long").as("member_id"),
+          split_part(col("m"), lit("/"), lit(3)).as("role"))
+      val staleR = ChangePipeline.staleRels(winners,
+        snapRm.filter(col("mtype") === "way"), staleW)
+      val changeRm = winners
+        .filter(col("kind") === "relation" && col("action").isin("create", "modify"))
+        .select(col("id").as("rel_id"), posexplode(col("members")).as(Seq("pos", "m")))
+        .select(col("rel_id"), col("pos"),
+          col("m.mtype").as("mtype"), col("m.ref").as("member_id"), col("m.role").as("role"))
+      val membership = changeRm
+        .unionByName(snapRm.join(staleR, Seq("rel_id"), "left_semi"))
+      val upsertIds = winners
+        .filter(col("kind") === "relation" && col("action").isin("create", "modify"))
+        .select(col("id").as("rel_id"))
+        .union(staleR.select(col("rel_id"))).distinct()
+      val upserts = membership.join(upsertIds, Seq("rel_id"), "left_semi")
+        .groupBy(col("rel_id"))
+        .agg(sort_array(collect_list(struct(
+          col("pos"), col("mtype"), col("member_id"), col("role")))).as("ms"))
+        .select(col("rel_id"),
+          array_join(transform(col("ms"), m =>
+            concat(m.getField("mtype"), lit("/"),
+              m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
+            ";").as("members"))
+        .withColumn("deleted", lit(false))
+      val dels = winners.filter(col("kind") === "relation" && col("action") === "delete")
+        .select(col("id").as("rel_id"), lit(null).cast("string").as("members"),
+          lit(true).as("deleted"))
+      val delta = upserts.unionByName(dels)
+      applied += delta.count()
+      rels.mergeInto(delta, Seq("rel_id"), deleteMarker = Some("deleted"))
+    }
+
     val maxSeq = ops.agg(max(col("seq"))).head().getInt(0)
+    winners.unpersist()
     Files.createDirectories(ckpt.getParent)
     Files.write(ckpt, maxSeq.toString.getBytes(StandardCharsets.UTF_8))
     applied

@@ -92,6 +92,27 @@ object OsmQueries {
         .select(col("node_id"),
           round(col("lon") * 1e7, 0).cast("long").as("lon_e7"),
           round(col("lat") * 1e7, 0).cast("long").as("lat_e7"))),
+    "q52_ways_after_merge" -> ((s, dir) => {
+      // Way-layer MERGE (OsmChangeHandler.cpp:442-575 parity): stale and
+      // changed ways rebuild against the POST-merge node layer; deleted
+      // ways drop; everything else carries forward.
+      val w = winners(s, dir)
+      val st = stale(s, dir)
+      val wm = SynthUniverse.wayMembers(s, dir)
+      val nodes = SynthUniverse.nodes(s, dir)
+      val merged = ChangePipeline.applyNodeOps(nodes, w)
+      val base = ChangePipeline.reconstructWays(
+        wm.select(col("way_id")).distinct(), wm, nodes)
+      ChangePipeline.applyWayOps(base, w, wm, merged, st)
+    }),
+    "q53_rels_after_merge" -> ((s, dir) => {
+      val w = winners(s, dir)
+      val rm = SynthUniverse.relMembers(s, dir)
+      val sr = ChangePipeline.staleRels(w, rm, stale(s, dir))
+      val base = ChangePipeline.reconstructRels(
+        rm.select(col("rel_id")).distinct(), rm)
+      ChangePipeline.applyRelOps(base, w, rm, sr)
+    }),
   )
 
   private val winnersCte: String = SynthSql.winnersCte
@@ -223,5 +244,64 @@ object OsmQueries {
          |  CAST(ROUND(u.lon*10000000,0) AS BIGINT) AS lon_e7,
          |  CAST(ROUND(u.lat*10000000,0) AS BIGINT) AS lat_e7
          |FROM ups u WHERE u.id NOT IN (SELECT node_id FROM nodes)""".stripMargin,
+    "q52_ways_after_merge" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
+         |  ${SynthSql.waysCte}, ${SynthSql.nodesCte}, $staleCte,
+         |ups AS (SELECT id, lon, lat FROM winners
+         |        WHERE kind='node' AND action IN ('create','modify')),
+         |dels AS (SELECT id FROM winners WHERE kind='node' AND action='delete'),
+         |merged_nodes AS (
+         |  SELECT n.node_id, COALESCE(u.lon, n.lon) AS lon, COALESCE(u.lat, n.lat) AS lat
+         |  FROM nodes n LEFT JOIN ups u ON n.node_id = u.id
+         |  WHERE n.node_id NOT IN (SELECT id FROM dels)
+         |  UNION ALL
+         |  SELECT u.id AS node_id, u.lon, u.lat FROM ups u
+         |  WHERE u.id NOT IN (SELECT node_id FROM nodes)),
+         |base AS (
+         |  SELECT wm.way_id,
+         |    STRING_AGG(CAST(wm.node_id AS VARCHAR), ';' ORDER BY wm.pos) AS members,
+         |    'LINESTRING(' || STRING_AGG(printf('%.7f %.7f', n.lon, n.lat), ', ' ORDER BY wm.pos) || ')' AS wkt
+         |  FROM way_members wm JOIN nodes n ON wm.node_id = n.node_id
+         |  GROUP BY wm.way_id),
+         |upsert_ids AS (
+         |  SELECT id AS way_id FROM winners WHERE kind='way' AND action IN ('create','modify')
+         |  UNION SELECT way_id FROM stale_ways),
+         |upserts AS (
+         |  SELECT wm.way_id,
+         |    STRING_AGG(CAST(wm.node_id AS VARCHAR), ';' ORDER BY wm.pos) AS members,
+         |    'LINESTRING(' || STRING_AGG(printf('%.7f %.7f', mn.lon, mn.lat), ', ' ORDER BY wm.pos) || ')' AS wkt
+         |  FROM way_members wm
+         |  JOIN upsert_ids ui ON wm.way_id = ui.way_id
+         |  JOIN merged_nodes mn ON wm.node_id = mn.node_id
+         |  GROUP BY wm.way_id),
+         |gone AS (
+         |  SELECT id AS way_id FROM winners WHERE kind='way' AND action='delete'
+         |  UNION SELECT way_id FROM upsert_ids)
+         |SELECT way_id, members, wkt FROM base
+         |WHERE way_id NOT IN (SELECT way_id FROM gone)
+         |UNION ALL
+         |SELECT way_id, members, wkt FROM upserts""".stripMargin,
+    "q53_rels_after_merge" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
+         |  ${SynthSql.relMembersCte}, $staleCte, $staleRelsCte,
+         |base AS (
+         |  SELECT rm.rel_id,
+         |    STRING_AGG(CAST(rm.member_id AS VARCHAR) || '/' || rm.role, ';' ORDER BY rm.pos) AS members
+         |  FROM rel_members rm GROUP BY rm.rel_id),
+         |upsert_ids AS (
+         |  SELECT id AS rel_id FROM winners WHERE kind='relation' AND action IN ('create','modify')
+         |  UNION SELECT rel_id FROM stale_rels),
+         |upserts AS (
+         |  SELECT rm.rel_id,
+         |    STRING_AGG(CAST(rm.member_id AS VARCHAR) || '/' || rm.role, ';' ORDER BY rm.pos) AS members
+         |  FROM rel_members rm JOIN upsert_ids ui ON rm.rel_id = ui.rel_id
+         |  GROUP BY rm.rel_id),
+         |gone AS (
+         |  SELECT id AS rel_id FROM winners WHERE kind='relation' AND action='delete'
+         |  UNION SELECT rel_id FROM upsert_ids)
+         |SELECT rel_id, members FROM base
+         |WHERE rel_id NOT IN (SELECT rel_id FROM gone)
+         |UNION ALL
+         |SELECT rel_id, members FROM upserts""".stripMargin,
   )
 }

@@ -87,6 +87,56 @@ class ReplicatorSpec extends SparkTestBase {
     assert(finalState(root) === state)
   }
 
+  private def wayXml(id: Long, v: Int, refs: Seq[Long]): String =
+    s"""<way id="$id" version="$v" timestamp="2024-01-0${v}T00:00:00Z">""" +
+      refs.map(r => s"""<nd ref="$r"/>""").mkString + "</way>"
+
+  private def relXml(id: Long, v: Int, members: Seq[(String, Long, String)]): String =
+    s"""<relation id="$id" version="$v" timestamp="2024-01-0${v}T00:00:00Z">""" +
+      members.map { case (t, r, ro) => s"""<member type="$t" ref="$r" role="$ro"/>""" }
+        .mkString + "</relation>"
+
+  test("all three layers merge: stale way/rel rebuild, create, delete") {
+    val root = fresh("threelayer")
+    SnapshotTable.create(spark, s"$root/nodes", baseNodes)
+    SnapshotTable.create(spark, s"$root/ways", Seq(
+      (10L, "1;2;3",
+        "LINESTRING(0.0000000 0.0000000, 5.0000000 5.0000000, 7.0000000 7.0000000)"))
+      .toDF("way_id", "members", "wkt"))
+    SnapshotTable.create(spark, s"$root/rels",
+      Seq((100L, "way/10/outer")).toDF("rel_id", "members"))
+    val repl = new Replicator(spark, root)
+    val dir = fresh("threelayer-changes")
+
+    // seq 1: node 1 moves (way 10 geometry-stale -> rel 100 stale);
+    // way 20 + relation 200 created from change-file member lists
+    val b1 = osc(
+      s"""<modify>${node(1, 2, 10.5, 20.5)}</modify>
+         |<create>${wayXml(20, 1, Seq(2, 3))}${relXml(200, 1, Seq(("way", 20L, "a")))}</create>""".stripMargin)
+    Files.write(Paths.get(dir, "000000001.osc.gz"), gz(b1))
+    assert(repl.catchUp(dir) > 0)
+
+    import spark.implicits._
+    val ways1 = repl.ways.read().as[(Long, String, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(ways1(10L) === ("1;2;3",
+      "LINESTRING(10.5000000 20.5000000, 5.0000000 5.0000000, 7.0000000 7.0000000)"))
+    assert(ways1(20L) === ("2;3", "LINESTRING(5.0000000 5.0000000, 7.0000000 7.0000000)"))
+    val rels1 = repl.rels.read().as[(Long, String)].collect().toMap
+    assert(rels1 === Map(100L -> "way/10/outer", 200L -> "way/20/a"))
+
+    // seq 2: delete the created way and relation; untouched rows carry
+    val b2 = osc(
+      """<delete><way id="20" version="2" timestamp="2024-02-01T00:00:00Z" visible="false"/>
+        |<relation id="200" version="2" timestamp="2024-02-01T00:00:00Z" visible="false"/></delete>""".stripMargin)
+    Files.write(Paths.get(dir, "000000002.osc.gz"), gz(b2))
+    assert(repl.catchUp(dir) > 0)
+    assert(repl.ways.read().as[(Long, String, String)].collect().map(_._1).toSet === Set(10L))
+    assert(repl.rels.read().as[(Long, String)].collect().toMap === Map(100L -> "way/10/outer"))
+    // node layer still merged alongside
+    assert(finalState(root)(1L) === ((10.5, 20.5)))
+  }
+
   test("ST1 start-offset resolution: user seq > user ts as-of > checkpoint") {
     val root = fresh("offset")
     val repl = new Replicator(spark, root)
