@@ -27,9 +27,9 @@ object Bench {
     "q11_exact_dedup", "q13_minhash_lsh_pairs", "q14_simhash",
     "q15_langid", "q17_token_count", "q18_fingerprint",
     "q19_cosine_topk", "q29_extract_entities", "q30_pip_join",
-    "q30b_pip_join_salted", "q31_knn", "q32_raster_tiles",
+    "q30b_pip_join_salted", "q31b_knn_rings", "q32_raster_tiles",
     "q34_changes_dedup", "q38_delete_set", "q39_node_triples",
-    "q40_nodes_after_merge")
+    "q40_nodes_after_merge", "q52_ways_after_merge")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -60,6 +60,14 @@ object SpatialQueries {
         .select(col("doc_id"), col("entity"), col("rank"),
           col("way_id").as("nearest_way"),
           round(col("d2") * 1e9, 0).cast("long").as("d2_e9"))),
+    "q31b_knn_rings" -> ((s, dir) =>
+      // the 100 TB path: ring-expansion kNN with a k-th-distance moat —
+      // must emit exactly q31's rows (same oracle)
+      SpatialJoin.knnByRings(SynthUniverse.points(s, dir), knnLayer(s, dir),
+          res = 5, k = 3)
+        .select(col("doc_id"), col("entity"), col("rank"),
+          col("way_id").as("nearest_way"),
+          round(col("d2") * 1e9, 0).cast("long").as("d2_e9"))),
     "q32_raster_tiles" -> ((s, dir) =>
       SynthUniverse.points(s, dir)
         .withColumn("tile", GeoFunctions.cellAt(col("lon"), col("lat"), TileRes))
@@ -74,7 +82,7 @@ object SpatialQueries {
           array_join(sort_array(collect_list(col("way_id"))), ";").as("poly_ids"))),
   )
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     "q29_extract_entities" ->
       s"""WITH ${SynthSql.pointsCte}
          |SELECT doc_id, entity,
@@ -91,7 +99,13 @@ object SpatialQueries {
          |SELECT doc_id, entity, way_id
          |FROM points JOIN ways
          |  ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h""".stripMargin,
-    "q31_knn" ->
+    "q31b_knn_rings" -> knnOracle,
+    "q31_knn" -> knnOracle,
+  ) ++ tileOracles
+
+  /** One oracle for both kNN paths — the ring path must reproduce the
+    * brute-force rows exactly. */
+  private lazy val knnOracle: String =
       s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte},
          |cents AS (
          |  SELECT way_id, (x0 + (x0 + w)) / 2.0 AS cx, (y0 + (y0 + h)) / 2.0 AS cy
@@ -105,7 +119,9 @@ object SpatialQueries {
          |      ORDER BY (p.lon - c.cx)*(p.lon - c.cx) + (p.lat - c.cy)*(p.lat - c.cy) ASC,
          |               c.way_id ASC) AS rank
          |  FROM points p, cents c)
-         |WHERE rank <= 3""".stripMargin,
+         |WHERE rank <= 3""".stripMargin
+
+  private val tileOracles: Map[String, String] = Map(
     "q32_raster_tiles" ->
       s"""WITH ${SynthSql.pointsCte}
          |SELECT ${GeoFunctions.cellAtSql("lon", "lat", TileRes)} AS tile,

@@ -213,13 +213,22 @@ object SpatialJoin {
 
   /** kNN via expanding cell rings — the 100 TB path: centroids are
     * bucketed by cell once; each point probes rings of increasing
-    * radius and stops when the nearest candidate found so far is
-    * provably closer than anything outside the searched rings
-    * (ring r guarantees a Chebyshev moat of (r-1) cells).
-    * Returns the same rows as [[knnBroadcast]] with k=1.
+    * Chebyshev radius and resolves when it has k candidates whose k-th
+    * distance is provably closer than anything outside the searched
+    * rings (radius r guarantees a moat of (r-1) whole cells). Output
+    * rows are IDENTICAL to [[knnBroadcast]] with the same k — the
+    * brute-force path serves only stragglers past `maxRing` (sparse
+    * regions) and tests.
+    *
+    * Scale shape: every round is one explode + equi-join + window over
+    * the still-unresolved points only; no driver-side collect of the
+    * centroid layer, no cross product. Each round's sure set is
+    * localCheckpoint'ed so the accumulated union never re-runs earlier
+    * rounds; the unresolved set is cached per round and released as
+    * soon as its successor materializes.
     */
-  def nearestByRings(points: DataFrame, centroids: DataFrame, res: Int,
-      maxRing: Int = 64): DataFrame = {
+  def knnByRings(points: DataFrame, centroids: DataFrame, res: Int, k: Int,
+      maxRing: Int = 8, keyCols: Seq[String] = Seq("doc_id", "entity")): DataFrame = {
     val cellW = 360.0 / CellIndex.width(res) // lon degrees per cell
     val cellH = 180.0 / CellIndex.width(res)
     val minEdge = math.min(cellW, cellH)
@@ -227,33 +236,44 @@ object SpatialJoin {
       GeoFunctions.cellAt(col("cx"), col("cy"), res))
     val pts = points.withColumn("pcell",
       GeoFunctions.cellAt(col("lon"), col("lat"), res))
+    val key = keyCols.map(col)
 
-    var unresolved = pts
+    var unresolved = pts.cache()
     var resolved: Option[DataFrame] = None
     var ring = 1
-    while (ring <= maxRing && !unresolved.isEmpty) {
+    var empty = unresolved.isEmpty
+    while (ring <= maxRing && !empty) {
       val probe = unresolved.withColumn("qcell",
         explode(GeoFunctions.kRingArray(col("pcell"), ring, res)))
       val cand = probe.join(broadcast(cents), col("qcell") === col("ccell"))
         .withColumn("d2",
           (col("lon") - col("cx")) * (col("lon") - col("cx")) +
             (col("lat") - col("cy")) * (col("lat") - col("cy")))
-      val w = Window.partitionBy(col("doc_id"), col("entity"))
-        .orderBy(col("d2").asc, col("way_id").asc)
-      val best = cand.withColumn("rank", row_number().over(w))
-        .filter(col("rank") === 1)
-        .drop("qcell", "ccell", "pcell")
-      // sound iff best distance < moat of (ring-1) whole cells
+      val w = Window.partitionBy(key: _*).orderBy(col("d2").asc, col("way_id").asc)
+      val ranked = cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+      // sound iff k candidates exist and the k-th (worst kept) distance
+      // is inside the moat of (ring-1) whole cells
       val moat = (ring - 1).toDouble * minEdge
-      val sure = best.filter(sqrt(col("d2")) < lit(moat))
-      val sureKeys = sure.select(col("doc_id"), col("entity"))
+      val per = Window.partitionBy(key: _*)
+      val sure = ranked
+        .withColumn("nc", count(lit(1)).over(per))
+        .withColumn("kd2", max(col("d2")).over(per))
+        .filter(col("nc") === k && sqrt(col("kd2")) < lit(moat))
+        .drop("nc", "kd2", "qcell", "ccell", "pcell", "cx", "cy")
+        .localCheckpoint() // materialize round output, truncate lineage
+      val sureKeys = sure.select(key: _*).distinct()
       resolved = Some(resolved.map(_.unionByName(sure)).getOrElse(sure))
-      unresolved = unresolved.join(sureKeys, Seq("doc_id", "entity"), "left_anti")
+      val next = unresolved.join(sureKeys, keyCols, "left_anti").cache()
+      empty = next.isEmpty
+      unresolved.unpersist()
+      unresolved = next
       ring *= 2
     }
+    if (empty) unresolved.unpersist()
     val leftover =
-      if (unresolved.isEmpty) None
-      else Some(knnBroadcast(unresolved.drop("pcell"), centroids, 1))
+      if (empty) None
+      else Some(knnBroadcast(unresolved.drop("pcell"), centroids, k))
     (resolved, leftover) match {
       case (Some(r), Some(l)) => r.unionByName(l, allowMissingColumns = true)
       case (Some(r), None)    => r
@@ -261,4 +281,9 @@ object SpatialJoin {
       case (None, None)       => points.limit(0)
     }
   }
+
+  /** k=1 face of [[knnByRings]] (kept for the exactness spec). */
+  def nearestByRings(points: DataFrame, centroids: DataFrame, res: Int,
+      maxRing: Int = 8): DataFrame =
+    knnByRings(points, centroids, res, k = 1, maxRing = maxRing)
 }

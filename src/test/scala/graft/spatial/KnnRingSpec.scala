@@ -28,4 +28,26 @@ class KnnRingSpec extends SparkTestBase {
     val diff = rings.collect { case (k, v) if brute(k) != v => (k, v, brute(k)) }
     assert(diff.isEmpty, s"ring kNN disagrees on ${diff.take(5)}")
   }
+
+  test("knnByRings(k=3) == knnBroadcast(k=3) on sf0.001, sparse layer") {
+    val pts = SynthUniverse.points(spark, sfSmoke)
+    val polys = SpatialJoin.polygons(
+      SynthUniverse.wayMembers(spark, sfSmoke), SynthUniverse.nodes(spark, sfSmoke))
+    // every 40th polygon — the q31 layer shape: sparse enough that ring
+    // expansion needs several rounds AND the brute fallback serves a
+    // straggler tail, covering both paths
+    val cents = polys.filter(col("way_id") % 40 === 0).select(col("way_id"),
+      ((array_min(col("xs")) + array_max(col("xs"))) / 2.0).as("cx"),
+      ((array_min(col("ys")) + array_max(col("ys"))) / 2.0).as("cy"))
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("entity"), col("rank"), col("way_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+
+    val brute = key(SpatialJoin.knnBroadcast(pts, cents, 3))
+    val rings = key(SpatialJoin.knnByRings(pts, cents, res = 5, k = 3))
+    assert(rings.keySet === brute.keySet)
+    val diff = rings.collect { case (k, v) if brute(k) != v => (k, v, brute(k)) }
+    assert(diff.isEmpty, s"k=3 ring kNN disagrees on ${diff.take(5)}")
+  }
 }
