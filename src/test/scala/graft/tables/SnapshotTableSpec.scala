@@ -70,7 +70,12 @@ class LineageSpec extends SparkTestBase {
       lin.runStage("double", input, outSchema) { it =>
         it.map { r =>
           val id = r.getLong(0)
-          if (id == 60) throw new RuntimeException("simulated task kill")
+          if (id == 60) {
+            // die SLOWLY so sibling tasks commit first — models a long
+            // task killed mid-stage while the rest of the job completes
+            Thread.sleep(2000)
+            throw new RuntimeException("simulated task kill")
+          }
           Row(id, id * 2)
         }
       }
@@ -96,5 +101,27 @@ class LineageSpec extends SparkTestBase {
     val ran2 = spark.sparkContext.longAccumulator("ran2")
     lin.runStage("double", input, outSchema) { it => ran2.add(1); it.map(r => Row(r.getLong(0), 0L)) }
     assert(ran2.value === 0)
+  }
+
+  test("task-side writer round-trips string/double/bool/int and nulls") {
+    val root = freshRoot("types")
+    val lin = new Lineage(spark, root)
+    val input = spark.range(0, 8, 1, numPartitions = 2).toDF("id")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("x", DoubleType), StructField("flag", BooleanType),
+      StructField("small", IntegerType)))
+    val out = lin.runStage("typed", input, schema) { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, if (id % 3 == 0) null else s"n$id", id * 1.5, id % 2 == 0, id.toInt)
+      }
+    }
+    assert(out.schema === schema)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (Option(r.getString(1)), r.getDouble(2), r.getBoolean(3), r.getInt(4))).toMap
+    assert(rows(3L) === ((None, 4.5, false, 3)))
+    assert(rows(4L) === ((Some("n4"), 6.0, true, 4)))
+    assert(rows.size === 8)
   }
 }
