@@ -51,7 +51,7 @@ class ReplicatorSpec extends SparkTestBase {
   test("incremental catch-up equals one-shot merged application (ST2/W1)") {
     // incremental: apply seq 1, then seq 2
     val rootA = fresh("inc")
-    SnapshotTable.create(spark, s"$rootA/nodes", baseNodes)
+    SnapshotTable.create(spark, s"$rootA/nodes", baseNodes, Seq("node_id"))
     val replA = new Replicator(spark, rootA)
     val dirA = fresh("inc-changes")
     Files.write(Paths.get(dirA, "000000001.osc.gz"), gz(batch1))
@@ -63,7 +63,7 @@ class ReplicatorSpec extends SparkTestBase {
 
     // one-shot: both files present from the start
     val rootB = fresh("oneshot")
-    SnapshotTable.create(spark, s"$rootB/nodes", baseNodes)
+    SnapshotTable.create(spark, s"$rootB/nodes", baseNodes, Seq("node_id"))
     val replB = new Replicator(spark, rootB)
     val dirB = fresh("oneshot-changes")
     Files.write(Paths.get(dirB, "000000001.osc.gz"), gz(batch1))
@@ -77,7 +77,7 @@ class ReplicatorSpec extends SparkTestBase {
 
   test("up-to-date short-circuit (ST3) and idempotent re-apply (ST4)") {
     val root = fresh("noop")
-    SnapshotTable.create(spark, s"$root/nodes", baseNodes)
+    SnapshotTable.create(spark, s"$root/nodes", baseNodes, Seq("node_id"))
     val repl = new Replicator(spark, root)
     val dir = fresh("noop-changes")
     Files.write(Paths.get(dir, "000000001.osc.gz"), gz(batch1))
@@ -98,13 +98,13 @@ class ReplicatorSpec extends SparkTestBase {
 
   test("all three layers merge: stale way/rel rebuild, create, delete") {
     val root = fresh("threelayer")
-    SnapshotTable.create(spark, s"$root/nodes", baseNodes)
+    SnapshotTable.create(spark, s"$root/nodes", baseNodes, Seq("node_id"))
     SnapshotTable.create(spark, s"$root/ways", Seq(
       (10L, "1;2;3",
         "LINESTRING(0.0000000 0.0000000, 5.0000000 5.0000000, 7.0000000 7.0000000)"))
-      .toDF("way_id", "members", "wkt"))
+      .toDF("way_id", "members", "wkt"), Seq("way_id"))
     SnapshotTable.create(spark, s"$root/rels",
-      Seq((100L, "way/10/outer")).toDF("rel_id", "members"))
+      Seq((100L, "way/10/outer")).toDF("rel_id", "members"), Seq("rel_id"))
     val repl = new Replicator(spark, root)
     val dir = fresh("threelayer-changes")
 

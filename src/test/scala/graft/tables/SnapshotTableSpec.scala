@@ -43,6 +43,40 @@ class SnapshotTableSpec extends SparkTestBase {
       Map(1L -> "a", 2L -> "b", 3L -> "c"))
     assert(t.snapshots === Seq(1L, 2L, 3L))
   }
+
+  test("bucketed merge rewrites only touched buckets; untouched carry by reference") {
+    val root = freshRoot("bucketed")
+    val base = (0L until 64L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = SnapshotTable.create(spark, root, base, keyCols = Seq("id"), numBuckets = 8)
+    val s1 = t.currentSnapshot.get
+    val paths1 = t.bucketPaths(s1)
+    assert(paths1.nonEmpty, "bucketed create must produce a bucket manifest")
+
+    val updates = Seq((1L, "ONE", false), (999L, "new", false), (2L, "x", true))
+      .toDF("id", "v", "deleted")
+    t.mergeInto(updates, Seq("id"), Some("deleted"))
+    val s2 = t.currentSnapshot.get
+    val paths2 = t.bucketPaths(s2)
+    val touched = Seq(1L, 999L, 2L).toDF("id")
+      .select(pmod(hash(col("id")), lit(8))).collect().map(_.getInt(0)).toSet
+    paths1.keySet.foreach { b =>
+      if (!touched(b))
+        assert(paths2(b) === paths1(b),
+          s"untouched bucket $b must keep the SAME data path (carried by reference)")
+    }
+    touched.foreach { b =>
+      assert(!paths1.get(b).contains(paths2(b)), s"touched bucket $b must move")
+    }
+    val now = t.read().as[(Long, String)].collect().toMap
+    assert(now.size === 64) // one delete (2), one insert (999)
+    assert(now(1L) === "ONE" && !now.contains(2L) && now(999L) === "new")
+    // idempotent: same merge again -> identical table, untouched still shared
+    t.mergeInto(updates, Seq("id"), Some("deleted"))
+    assert(t.read().as[(Long, String)].collect().toMap === now)
+    // time travel across the bucketed history
+    assert(t.readAt(s1).count() === 64)
+    assert(t.readAt(s1).as[(Long, String)].collect().toMap.apply(2L) === "v2")
+  }
 }
 
 class LineageSpec extends SparkTestBase {
