@@ -42,6 +42,25 @@ object GeomTripleQueries {
       TripleDerive.twoHopDelete(
         TripleDerive.linkedNodeTriples(SynthUniverse.nodes(s, dir)), delIds)
     }),
+    "q54_way_triples" -> ((s, dir) => {
+      // J10 parity: the FULL per-stale-way triple family (type / wkt /
+      // ts / tags / facts) the reference fetches before re-insert.
+      val winners = ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir))
+      val st = ChangePipeline.staleWays(winners, SynthUniverse.wayMembers(s, dir))
+      val recon = ChangePipeline.reconstructWays(st,
+        SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+      val ways = recon.withColumn("ts", expr(
+        "timestampadd(SECOND, CAST(way_id % 86400 AS INT), TIMESTAMP '2024-06-01 00:00:00')"))
+      TripleDerive.wayTriples(ways, SynthUniverse.tags(s, dir))
+    }),
+    "q55_rel_triples" -> ((s, dir) => {
+      val winners = ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir))
+      val st = ChangePipeline.staleWays(winners, SynthUniverse.wayMembers(s, dir))
+      val sr = ChangePipeline.staleRels(winners, SynthUniverse.relMembers(s, dir), st)
+      val rels = sr.withColumn("ts", expr(
+        "timestampadd(SECOND, CAST(rel_id % 86400 AS INT), TIMESTAMP '2024-06-01 00:00:00')"))
+      TripleDerive.relTriples(rels, SynthUniverse.tags(s, dir))
+    }),
   )
 
   private val winnersCte: String = SynthSql.winnersCte
@@ -101,5 +120,55 @@ object GeomTripleQueries {
          |SELECT t.* FROM triples t
          |WHERE t.s NOT IN (SELECT ds FROM doomed)
          |  AND t.s NOT IN (SELECT dl FROM hop2)""".stripMargin,
+    "q54_way_triples" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
+         |  ${SynthSql.waysCte}, ${SynthSql.nodesCte},
+         |stale_ways AS (
+         |  SELECT DISTINCT wm.way_id FROM way_members wm
+         |  JOIN (SELECT id FROM winners WHERE kind='node' AND action='modify') mn
+         |    ON wm.node_id = mn.id
+         |  WHERE wm.way_id NOT IN (SELECT id FROM winners WHERE kind='way')),
+         |recon AS (
+         |  SELECT wm.way_id,
+         |    'LINESTRING(' || STRING_AGG(printf('%.7f %.7f', n.lon, n.lat), ', ' ORDER BY wm.pos) || ')' AS wkt
+         |  FROM way_members wm JOIN stale_ways sw ON wm.way_id = sw.way_id
+         |  JOIN nodes n ON wm.node_id = n.node_id
+         |  GROUP BY wm.way_id),
+         |w AS (SELECT way_id, 'osmway:' || way_id AS s, wkt,
+         |  strftime(TIMESTAMP '2024-06-01 00:00:00' + to_seconds(way_id % 86400),
+         |    '%Y-%m-%dT%H:%M:%S') AS tss
+         |  FROM recon),
+         |way_tags AS (
+         |  SELECT way_id AS tag_id, 'name' AS k, 'way_' || way_id AS v FROM ways
+         |  UNION ALL
+         |  SELECT way_id, 'type', 'multipolygon' FROM ways WHERE way_id % 4 = 0)
+         |SELECT s, 'rdf:type' AS p, 'osm:way' AS o FROM w
+         |UNION ALL SELECT s, 'geo:asWKT' AS p, wkt AS o FROM w
+         |UNION ALL SELECT s, 'osmmeta:timestamp' AS p, tss AS o FROM w
+         |UNION ALL SELECT s, 'osmkey:' || t.k AS p, t.v AS o
+         |  FROM w JOIN way_tags t ON w.way_id = t.tag_id
+         |UNION ALL SELECT s, 'osm2rdf:facts' AS p, CAST(COUNT(t.tag_id) AS VARCHAR) AS o
+         |  FROM w LEFT JOIN way_tags t ON w.way_id = t.tag_id GROUP BY s""".stripMargin,
+    "q55_rel_triples" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
+         |  ${SynthSql.relMembersCte},
+         |stale_ways AS (
+         |  SELECT DISTINCT wm.way_id FROM way_members wm
+         |  JOIN (SELECT id FROM winners WHERE kind='node' AND action='modify') mn
+         |    ON wm.node_id = mn.id
+         |  WHERE wm.way_id NOT IN (SELECT id FROM winners WHERE kind='way')),
+         |stale_rels AS (
+         |  SELECT DISTINCT rm.rel_id FROM rel_members rm
+         |  JOIN (SELECT id FROM winners WHERE kind='way' AND action='modify'
+         |        UNION SELECT way_id AS id FROM stale_ways) pw
+         |    ON rm.member_id = pw.id
+         |  WHERE rm.rel_id NOT IN (SELECT id FROM winners WHERE kind='relation')),
+         |r AS (SELECT rel_id, 'osmrel:' || rel_id AS s,
+         |  strftime(TIMESTAMP '2024-06-01 00:00:00' + to_seconds(rel_id % 86400),
+         |    '%Y-%m-%dT%H:%M:%S') AS tss
+         |  FROM stale_rels)
+         |SELECT s, 'rdf:type' AS p, 'osm:relation' AS o FROM r
+         |UNION ALL SELECT s, 'osmmeta:timestamp' AS p, tss AS o FROM r
+         |UNION ALL SELECT s, 'osm2rdf:facts' AS p, '0' AS o FROM r""".stripMargin,
   )
 }

@@ -34,6 +34,47 @@ object TripleDerive {
     typeT.union(geomT).union(tsT).union(tagT).union(factsT)
   }
 
+  /** J10 parity for ways: the FULL triple family the reference fetches
+    * per stale way (type / geometry / timestamp / tags / facts,
+    * /root/reference/src/sparql/QueryWriter.cpp:242-255,
+    * src/osm/OsmDataFetcher.cpp:333-395) — same shape as
+    * [[nodeTriples]] but over reconstructed ways. `ways` needs
+    * (way_id, wkt, ts). */
+  def wayTriples(ways: DataFrame, tags: DataFrame): DataFrame =
+    objectTriples(ways, tags, "way", "osmway:", "osm:way", "way_id",
+      geomCol = Some("wkt"))
+
+  /** J10 parity for relations: type / timestamp / tags / facts (the
+    * member family is [[relMemberTriples]]; relations carry no own
+    * geometry triple here, matching the reference's per-relation
+    * fetch). `rels` needs (rel_id, ts). */
+  def relTriples(rels: DataFrame, tags: DataFrame): DataFrame =
+    objectTriples(rels, tags, "relation", "osmrel:", "osm:relation", "rel_id",
+      geomCol = None)
+
+  private def objectTriples(objs: DataFrame, tags: DataFrame, kind: String,
+      prefix: String, rdfType: String, idCol: String,
+      geomCol: Option[String]): DataFrame = {
+    val base = objs.withColumn("s", concat(lit(prefix), col(idCol)))
+    val typeT = base.select(col("s"), lit("rdf:type").as("p"), lit(rdfType).as("o"))
+    val tsT = base.select(col("s"), lit("osmmeta:timestamp").as("p"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("o"))
+    val kindTags = tags.filter(col("kind") === kind)
+      .select(col("id").as("tag_id"), col("k"), col("v"))
+    val tagT = base.join(kindTags, col(idCol) === col("tag_id"))
+      .select(col("s"), concat(lit("osmkey:"), col("k")).as("p"), col("v").as("o"))
+    val factsT = base.join(kindTags, col(idCol) === col("tag_id"), "left")
+      .groupBy(col("s"))
+      .agg(sum(when(col("tag_id").isNotNull, 1L).otherwise(0L)).as("n"))
+      .select(col("s"), lit("osm2rdf:facts").as("p"), col("n").cast("string").as("o"))
+    val withGeom = geomCol match {
+      case Some(g) => typeT.union(
+        base.select(col("s"), lit("geo:asWKT").as("p"), col(g).as("o")))
+      case None => typeT
+    }
+    withGeom.union(tsT).union(tagT).union(factsT)
+  }
+
   /** The hasGeometry link family: parent triple `osmnode:N
     * geo:hasGeometry osm2rdfgeom:osm_node_N` plus the linked geometry
     * subject's own `geo:asWKT` triple — the shape that drives the
