@@ -39,20 +39,40 @@ object FunctionQueries {
       "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
       .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
 
-  /** F5 percent-encoding (keep `[A-Za-z0-9._~-]` unreserved, encode the
-    * rest as uppercase %XX — /root/reference/src/util/URLHelper.cpp:75-91)
-    * expressed as a codegen'd replace chain over the exercised alphabet;
-    * '%' first so already-encoded input can't double-escape. */
+  /** F5 percent-encoding — the GENERAL byte encoder
+    * [[graft.functions.UrlCodec]] (full non-unreserved set, uppercase
+    * %XX, UTF-8 multi-byte per byte). The oracle mirrors it with an
+    * exhaustive replace chain over every character class the test
+    * string exercises. */
   private def percentEncode(c: Column): Column =
-    Seq("%" -> "%25", " " -> "%20", "&" -> "%26", "/" -> "%2F",
-      ":" -> "%3A", "?" -> "%3F", "=" -> "%3D")
-      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    graft.functions.UrlCodec.percentEncode(c)
+
+  /** Every (char -> %XX bytes) pair the q47 probe string exercises —
+    * reserved ASCII plus multi-byte UTF-8. '%' first so the chain can't
+    * double-escape its own output. */
+  private val encPairs: Seq[(String, String)] = Seq(
+    "%" -> "%25", " " -> "%20", "!" -> "%21", "\"" -> "%22", "#" -> "%23",
+    "$" -> "%24", "&" -> "%26", "'" -> "%27", "(" -> "%28", ")" -> "%29",
+    "*" -> "%2A", "+" -> "%2B", "," -> "%2C", "/" -> "%2F", ":" -> "%3A",
+    ";" -> "%3B", "<" -> "%3C", "=" -> "%3D", ">" -> "%3E", "?" -> "%3F",
+    "@" -> "%40", "[" -> "%5B", "\\" -> "%5C", "]" -> "%5D", "^" -> "%5E",
+    "`" -> "%60", "{" -> "%7B", "|" -> "%7C", "}" -> "%7D",
+    "é" -> "%C3%A9", "ß" -> "%C3%9F", "€" -> "%E2%82%AC")
+
+  /** The reserved-set + non-ASCII probe suffix ('~' stays unreserved). */
+  private val probeSuffix: String = " !\"#$%'()*+,;<>@[\\]^`|~éß€"
+
+  private def sqlPercentEncode(expr: String): String =
+    encPairs.foldLeft(expr) { case (acc, (from, to)) =>
+      s"replace($acc, '${from.replace("'", "''")}', '$to')"
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_url_encode" -> ((s, dir) => {
       SynthUniverse.changes(s, dir).select(col("seq"),
         percentEncode(concat(lit("update=DELETE WHERE { ?s ?p "),
-          col("kind"), lit(":"), col("id"), lit(" } & flag=1/2?x=y"))).as("encoded"))
+          col("kind"), lit(":"), col("id"), lit(" } & flag=1/2?x=y"),
+          lit(probeSuffix))).as("encoded"))
     }),
     "q48_state_parse" -> ((s, dir) => {
       // S5/F15: state.txt has backslash-escaped colons
@@ -104,13 +124,13 @@ object FunctionQueries {
 
   val oracles: Map[String, String] = Map(
     "q47_url_encode" ->
-      s"""WITH ${SynthSql.changesCte}
-         |SELECT seq,
-         |  replace(replace(replace(replace(replace(replace(replace(
-         |    'update=DELETE WHERE { ?s ?p ' || kind || ':' || id || ' } & flag=1/2?x=y',
-         |    '%','%25'), ' ','%20'), '&','%26'), '/','%2F'),
-         |    ':','%3A'), '?','%3F'), '=','%3D') AS encoded
-         |FROM changes""".stripMargin,
+      s"""WITH ${SynthSql.changesCte},
+         |raw AS (SELECT seq,
+         |  'update=DELETE WHERE { ?s ?p ' || kind || ':' || id || ' } & flag=1/2?x=y'
+         |    || '${probeSuffix.replace("'", "''")}' AS r
+         |  FROM changes)
+         |SELECT seq, ${sqlPercentEncode("r")} AS encoded
+         |FROM raw""".stripMargin,
     "q48_state_parse" ->
       s"""WITH ${SynthSql.changesCte},
          |st AS (SELECT seq AS in_seq,
