@@ -73,6 +73,28 @@ object ChangePipeline {
       .join(idsOf(winners, "relation"), col("rel_id") === col("id"), "left_anti")
   }
 
+  /** J4 relations-of-relations — the closure leg the reference SHIPS
+    * DISABLED (/root/reference/src/osm/OsmChangeHandler.cpp:84-85,
+    * 264-297; query shape src/sparql/QueryWriter.cpp:223-240): relations
+    * referencing a modified or stale RELATION. Gated on
+    * `spark.graft.relsOfRels` (default false = reference parity);
+    * returns an empty id set when off. `relMembers` needs
+    * (rel_id, member_id, member_kind). */
+  def staleRelsOfRels(winners: DataFrame, relMembers: DataFrame,
+      staleR: DataFrame): DataFrame = {
+    val enabled = winners.sparkSession.conf
+      .getOption("spark.graft.relsOfRels").exists(_.toBoolean)
+    if (!enabled) staleR.select(col("rel_id")).limit(0)
+    else {
+      val probeRels = idsOf(winners, "relation", "modify")
+        .union(staleR.select(col("rel_id").as("id"))).distinct()
+      relMembers.filter(col("member_kind") === "relation")
+        .join(probeRels, col("member_id") === col("id"), "left_semi")
+        .select(col("rel_id")).distinct()
+        .join(idsOf(winners, "relation"), col("rel_id") === col("id"), "left_anti")
+    }
+  }
+
   /** J8: ordered member reconstruction + LINESTRING derivation for the
     * geometry-stale ways. */
   def reconstructWays(stale: DataFrame, wayMembers: DataFrame, nodes: DataFrame): DataFrame =
