@@ -78,19 +78,26 @@ object SimilarityQueries {
       topK(pairs, 3)
     }),
     "q21_ivf_ann" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = embAsDouble(s, dir)
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-      // one-scan assignment: broadcast the centroid set, argmin by cosine
-      val aw = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("centroid_id").asc)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          cos(col("v"), col("cv")))
-        .withColumn("crn", row_number().over(aw))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("v"), col("centroid_id"))
+      // one-scan assignment: the centroid set collapses to ONE broadcast
+      // array row and each vector folds an argmax over it in a single
+      // pass — no xK candidate-row blowup, no window exchange
+      val centArr = cents
+        .agg(sort_array(collect_list(struct(col("centroid_id"), col("cv")))).as("cs"))
+      val best = aggregate(
+        transform(col("cs"), c =>
+          struct(cos(col("v"), c.getField("cv")).as("ccos"),
+            c.getField("centroid_id").as("cid"))),
+        struct(lit(Double.NegativeInfinity).as("ccos"), lit(Long.MaxValue).as("cid")),
+        (acc, x) => when(x.getField("ccos") > acc.getField("ccos") ||
+            (x.getField("ccos") === acc.getField("ccos") &&
+              x.getField("cid") < acc.getField("cid")), x)
+          .otherwise(acc))
+      val assigned = e.crossJoin(broadcast(centArr))
+        .withColumn("best", best)
+        .select(col("vec_id"), col("v"), col("best.cid").as("centroid_id"))
       val q = assigned.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))
       val pairs = assigned.join(broadcast(q), "centroid_id")
