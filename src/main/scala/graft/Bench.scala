@@ -29,7 +29,7 @@ object Bench {
     "q19_cosine_topk", "q29_extract_entities", "q30_pip_join",
     "q30b_pip_join_salted", "q31b_knn_rings", "q32_raster_tiles",
     "q34_changes_dedup", "q38_delete_set", "q39_node_triples",
-    "q40_nodes_after_merge", "q52_ways_after_merge")
+    "q40_nodes_after_merge", "q52_ways_after_merge", "q56_multipolygon_pip")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e
@@ -155,7 +155,12 @@ object Bench {
     val qs = (if (skipE2e) results else results :+ ("e2e_pipeline" -> e2eSec))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + e2eSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec}"""
+    println(line)
+    // sbt prefixes stdout with "[info] ", defeating the driver's JSON
+    // parse — the bare line also lands in BENCH/last.json
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last.json"), line + "\n")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.synth.{SynthSql, SynthUniverse}
 import graft.spatial.SpatialJoin
@@ -37,6 +37,14 @@ object SpatialQueries {
   def knnLayer(s: SparkSession, dir: String): DataFrame =
     centroids(s, dir).filter(col("way_id") % 40 === 0)
 
+  /** Relation member rings with roles: rel_members(way) ⋈ assembled
+    * polygon rings — the multipolygon input layer (q56/q57). */
+  private def relRings(s: SparkSession, dir: String): DataFrame =
+    SynthUniverse.relMembers(s, dir)
+      .filter(col("member_kind") === "way")
+      .join(polys(s, dir), col("member_id") === col("way_id"))
+      .select(col("rel_id"), col("pos"), col("role"), col("xs"), col("ys"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_extract_entities" -> ((s, dir) =>
       SynthUniverse.points(s, dir).select(
@@ -68,6 +76,63 @@ object SpatialQueries {
         .select(col("doc_id"), col("entity"), col("rank"),
           col("way_id").as("nearest_way"),
           round(col("d2") * 1e9, 0).cast("long").as("d2_e9"))),
+    "q56_multipolygon_pip" -> ((s, dir) =>
+      // holes-aware area containment (osm2rdf GeometryHandler semantics):
+      // in >=1 outer ring AND in no inner ring of the same relation
+      SpatialJoin.pipJoinMulti(SynthUniverse.points(s, dir),
+          relRings(s, dir).select(col("rel_id"), col("role"), col("xs"), col("ys")),
+          PipRes)
+        .select(col("doc_id"), col("entity"), col("rel_id"))),
+    "q57_multipolygon_wkt" -> ((s, dir) => {
+      // multipolygon geometry ASSEMBLY: outer ring first, holes in member
+      // order, 7-decimal osm2rdf emission — all codegen column ops
+      val ringStr = concat(lit("("),
+        array_join(zip_with(col("xs"), col("ys"),
+          (x, y) => format_string("%.7f %.7f", x, y)), ", "), lit(")"))
+      relRings(s, dir)
+        .select(col("rel_id"), col("pos"), col("role"), ringStr.as("r"))
+        .groupBy(col("rel_id"))
+        .agg(sort_array(collect_list(struct(
+          when(col("role") === "outer", 0).otherwise(1).as("ord"),
+          col("pos"), col("r")))).as("rs"))
+        .select(col("rel_id"),
+          concat(lit("POLYGON("),
+            array_join(transform(col("rs"), r => r.getField("r")), ","),
+            lit(")")).as("wkt"))
+    }),
+    "q58_simplify_ring" -> ((s, dir) => {
+      // vector-tile simplification: densify each ring with exact segment
+      // midpoints (column ops), then run REAL Douglas-Peucker — the
+      // collinear midpoints must vanish, recovering the corner ring the
+      // oracle derives from the closed rectangle form
+      def densify(v: Column, m: Column): Column = concat(
+        flatten(transform(sequence(lit(1), m - 1), i =>
+          array(element_at(v, i),
+            (element_at(v, i) + element_at(v, i + 1)) / 2.0))),
+        array(element_at(v, m)))
+      val m = size(col("xs"))
+      val dense = polys(s, dir)
+        .select(col("way_id"), densify(col("xs"), m).as("dx"),
+          densify(col("ys"), m).as("dy"))
+      dense
+        .withColumn("simp", graft.geo.Simplify.simplifyUdf(col("dx"), col("dy"), 1e-7))
+        .select(col("way_id"),
+          concat(lit("LINESTRING("),
+            array_join(zip_with(col("simp._1"), col("simp._2"),
+              (x, y) => format_string("%.7f %.7f", x, y)), ", "),
+            lit(")")).as("wkt"))
+    }),
+    "q59_tile_pyramid" -> ((s, dir) => {
+      // hierarchical rollup: res-4 tiles derived by re-aggregating the
+      // res-5 tile table through parent-cell bit arithmetic — NEVER
+      // rescanning the points (the oracle aggregates points directly at
+      // res 4, proving the rollup exact)
+      val t5 = SynthUniverse.points(s, dir)
+        .withColumn("tile", GeoFunctions.cellAt(col("lon"), col("lat"), TileRes))
+        .groupBy(col("tile")).agg(count(lit(1)).as("n5"))
+      t5.groupBy(GeoFunctions.parentAt(col("tile"), TileRes, TileRes - 1).as("tile"))
+        .agg(sum(col("n5")).as("n_points"))
+    }),
     "q32_raster_tiles" -> ((s, dir) =>
       SynthUniverse.points(s, dir)
         .withColumn("tile", GeoFunctions.cellAt(col("lon"), col("lat"), TileRes))
@@ -101,6 +166,47 @@ object SpatialQueries {
          |  ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h""".stripMargin,
     "q31b_knn_rings" -> knnOracle,
     "q31_knn" -> knnOracle,
+    "q56_multipolygon_pip" ->
+      s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte}, ${SynthSql.relMembersCte}
+         |SELECT DISTINCT p.doc_id, p.entity, r.rel_id
+         |FROM points p, (
+         |  SELECT rm.rel_id, w.x0, w.y0, w.w, w.h
+         |  FROM rel_members rm JOIN ways w ON rm.member_id = w.way_id
+         |  WHERE rm.role = 'outer') r
+         |WHERE p.lon BETWEEN r.x0 AND r.x0 + r.w
+         |  AND p.lat BETWEEN r.y0 AND r.y0 + r.h
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM rel_members rm2 JOIN ways w2 ON rm2.member_id = w2.way_id
+         |    WHERE rm2.rel_id = r.rel_id AND rm2.role = 'inner'
+         |      AND p.lon BETWEEN w2.x0 AND w2.x0 + w2.w
+         |      AND p.lat BETWEEN w2.y0 AND w2.y0 + w2.h)""".stripMargin,
+    "q57_multipolygon_wkt" ->
+      s"""WITH ${SynthSql.waysCte}, ${SynthSql.relMembersCte},
+         |rings AS (
+         |  SELECT rm.rel_id, rm.pos,
+         |    CASE WHEN rm.role = 'outer' THEN 0 ELSE 1 END AS ord,
+         |    '(' || printf('%.7f %.7f', w.x0, w.y0)
+         |        || ', ' || printf('%.7f %.7f', w.x0 + w.w, w.y0)
+         |        || ', ' || printf('%.7f %.7f', w.x0 + w.w, w.y0 + w.h)
+         |        || ', ' || printf('%.7f %.7f', w.x0, w.y0 + w.h)
+         |        || ', ' || printf('%.7f %.7f', w.x0, w.y0) || ')' AS r
+         |  FROM rel_members rm JOIN ways w ON rm.member_id = w.way_id)
+         |SELECT rel_id, 'POLYGON(' || STRING_AGG(r, ',' ORDER BY ord, pos) || ')' AS wkt
+         |FROM rings GROUP BY rel_id""".stripMargin,
+    "q58_simplify_ring" ->
+      s"""WITH ${SynthSql.waysCte}
+         |SELECT way_id,
+         |  'LINESTRING(' || printf('%.7f %.7f', x0, y0)
+         |    || ', ' || printf('%.7f %.7f', x0 + w, y0)
+         |    || ', ' || printf('%.7f %.7f', x0 + w, y0 + h)
+         |    || ', ' || printf('%.7f %.7f', x0, y0 + h)
+         |    || ', ' || printf('%.7f %.7f', x0, y0) || ')' AS wkt
+         |FROM ways""".stripMargin,
+    "q59_tile_pyramid" ->
+      s"""WITH ${SynthSql.pointsCte}
+         |SELECT ${GeoFunctions.cellAtSql("lon", "lat", TileRes - 1)} AS tile,
+         |  COUNT(*) AS n_points
+         |FROM points GROUP BY 1""".stripMargin,
   ) ++ tileOracles
 
   /** One oracle for both kNN paths — the ring path must reproduce the

@@ -161,6 +161,46 @@ object SpatialJoin {
       .drop("cell", "xs", "ys", "minx", "maxx", "miny", "maxy")
   }
 
+  /** Multipolygon (holes-aware) PIP join — the area semantics the
+    * reference delegates to osm2rdf's GeometryHandler
+    * (/root/reference/src/osm/Osm2ttl.cpp:112-133; inner/outer roles per
+    * /root/reference/src/util/OsmObjectHelper.cpp:12-23): a point lies
+    * in a relation's multipolygon iff it lies in >=1 `outer` ring and in
+    * NO `inner` ring (hole).
+    *
+    * Pure composition of existing ops — no new expression: every ring
+    * cell-covers independently, the point joins each candidate ring by
+    * its single cell (a ring containing the point ALWAYS covers the
+    * point's cell, so rings absent from the join are provably
+    * non-containing), the codegen refine keeps true hits only, and ONE
+    * aggregate per (point, relation) folds role hits into
+    * outer-AND-NOT-inner. Scale shape: same single shuffle as
+    * [[pipJoin]] plus a map-side-combined aggregate on the identical
+    * (pointKey, rel) key — no extra exchange beyond the groupBy.
+    *
+    * @param rings (rel_id, role, xs, ys) — one row per member ring
+    */
+  def pipJoinMulti(points: DataFrame, rings: DataFrame, res: Int,
+      keyCols: Seq[String] = Seq("doc_id", "entity")): DataFrame = {
+    val cover = rings
+      .withColumn("cell", explode(org.apache.spark.sql.GraftSqlShim.column(
+        CoverCellsExpr(
+          org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("ys")), res))))
+      .withColumn("minx", array_min(col("xs"))).withColumn("maxx", array_max(col("xs")))
+      .withColumn("miny", array_min(col("ys"))).withColumn("maxy", array_max(col("ys")))
+    val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
+    pts.join(cover, "cell")
+      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy") &&
+        PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
+      .groupBy(keyCols.map(col) :+ col("rel_id"): _*)
+      .agg(max(when(col("role") === "outer", 1).otherwise(0)).as("o_hit"),
+        max(when(col("role") =!= "outer", 1).otherwise(0)).as("i_hit"))
+      .filter(col("o_hit") === 1 && col("i_hit") === 0)
+      .drop("o_hit", "i_hit")
+  }
+
   /** Exact brute-force kNN against a broadcast centroid layer — the
     * correctness baseline. The small layer ships as ONE array literal
     * and each point computes its top-k with an in-row array_sort —
@@ -234,13 +274,41 @@ object SpatialJoin {
     val minEdge = math.min(cellW, cellH)
     val cents = centroids.withColumn("ccell",
       GeoFunctions.cellAt(col("cx"), col("cy"), res))
+
+    // Density-informed start ring: ring 1 has a zero-width moat (can
+    // never resolve anything), and each extra round costs a full
+    // explode+join+window pass — so size the first probe from ONE agg
+    // over the (small) layer: smallest ring whose (2r+1)^2 block is
+    // expected to hold >= 4k candidates at the layer's bbox density.
+    val st = cents.agg(count(lit(1)), min(col("cx")), max(col("cx")),
+      min(col("cy")), max(col("cy"))).head()
+    val nLayer = st.getLong(0)
+    if (nLayer == 0) return points.limit(0)
+    val bboxCells =
+      (math.ceil((st.getDouble(2) - st.getDouble(1)) / cellW) + 1.0) *
+        (math.ceil((st.getDouble(4) - st.getDouble(3)) / cellH) + 1.0)
+    val perCell = nLayer / math.max(bboxCells, 1.0)
+    // two requirements: the (2r+1)^2 block should hold >= 4k expected
+    // candidates, AND the moat (r-1 whole cells) should exceed the
+    // expected k-th-neighbor distance sqrt(k*A/(pi*n)) — otherwise the
+    // first round finds candidates but can't PROVE them closest
+    val candRing =
+      math.ceil((math.sqrt(4.0 * k / math.max(perCell, 1e-9)) - 1.0) / 2.0).toInt
+    val kDist = math.sqrt(k * bboxCells * cellW * cellH / (math.Pi * nLayer))
+    val moatRing = math.ceil(kDist / minEdge + 1.0).toInt
+    val startRing = math.max(2, math.max(candRing, moatRing))
+    // layer too sparse for any legal ring to resolve — rings would only
+    // add rounds before the same brute-force fallback
+    if (nLayer <= k || startRing > maxRing)
+      return knnBroadcast(points, centroids, k)
+
     val pts = points.withColumn("pcell",
       GeoFunctions.cellAt(col("lon"), col("lat"), res))
     val key = keyCols.map(col)
 
     var unresolved = pts.cache()
     var resolved: Option[DataFrame] = None
-    var ring = 1
+    var ring = startRing
     var empty = unresolved.isEmpty
     while (ring <= maxRing && !empty) {
       val probe = unresolved.withColumn("qcell",
