@@ -76,8 +76,11 @@ object OsmQueries {
       ChangePipeline.reconstructWays(stale(s, dir),
         SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))),
     "q38_delete_set" -> ((s, dir) => {
-      val w = winners(s, dir)
-      val st = stale(s, dir)
+      // winners/stale root all three union branches — cache them once
+      // instead of re-running the dedup window per reference (the
+      // window recompute tripled this query's cost in BENCH_r01)
+      val w = winners(s, dir).cache()
+      val st = ChangePipeline.staleWays(w, SynthUniverse.wayMembers(s, dir)).cache()
       ChangePipeline.deleteSet(w, st,
         ChangePipeline.staleRels(w, SynthUniverse.relMembers(s, dir), st))
     }),
