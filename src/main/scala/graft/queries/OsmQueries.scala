@@ -99,8 +99,8 @@ object OsmQueries {
       // Way-layer MERGE (OsmChangeHandler.cpp:442-575 parity): stale and
       // changed ways rebuild against the POST-merge node layer; deleted
       // ways drop; everything else carries forward.
-      val w = winners(s, dir)
-      val st = stale(s, dir)
+      val w = winners(s, dir).cache() // shared by merge + stale + applyWayOps
+      val st = ChangePipeline.staleWays(w, SynthUniverse.wayMembers(s, dir))
       val wm = SynthUniverse.wayMembers(s, dir)
       val nodes = SynthUniverse.nodes(s, dir)
       val merged = ChangePipeline.applyNodeOps(nodes, w)
@@ -109,9 +109,10 @@ object OsmQueries {
       ChangePipeline.applyWayOps(base, w, wm, merged, st)
     }),
     "q53_rels_after_merge" -> ((s, dir) => {
-      val w = winners(s, dir)
+      val w = winners(s, dir).cache() // shared by stale detection + applyRelOps
       val rm = SynthUniverse.relMembers(s, dir)
-      val sr = ChangePipeline.staleRels(w, rm, stale(s, dir))
+      val sr = ChangePipeline.staleRels(w, rm,
+        ChangePipeline.staleWays(w, SynthUniverse.wayMembers(s, dir)))
       val base = ChangePipeline.reconstructRels(
         rm.select(col("rel_id")).distinct(), rm)
       ChangePipeline.applyRelOps(base, w, rm, sr)

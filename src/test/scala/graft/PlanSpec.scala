@@ -53,6 +53,16 @@ class PlanSpec extends SparkTestBase {
     assert(rows.getBoolean(2) === false)
   }
 
+  test("multipolygon join refines natively and never cross-products") {
+    val plan = formatted(SparkEntry.queries("q56_multipolygon_pip")(spark, sfSmall))
+    assert(plan.contains("pip_contains"), "native refine expression missing from plan")
+    assert(!plan.contains("CartesianProduct"),
+      "multipolygon join degenerated to a cross product")
+    // outer-AND-NOT-inner folds in ONE aggregate with a map-side
+    // partial: exactly two HashAggregate nodes on the (point, rel) key
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.linesIterator.take(30).mkString("\n"))
+  }
+
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cell_at",
