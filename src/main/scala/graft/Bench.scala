@@ -29,7 +29,8 @@ object Bench {
     "q19_cosine_topk", "q29_extract_entities", "q30_pip_join",
     "q30b_pip_join_salted", "q31b_knn_rings", "q32_raster_tiles",
     "q34_changes_dedup", "q38_delete_set", "q39_node_triples",
-    "q40_nodes_after_merge", "q52_ways_after_merge", "q56_multipolygon_pip")
+    "q40_nodes_after_merge", "q52_ways_after_merge", "q56_multipolygon_pip",
+    "q60_incremental_pip")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -100,6 +100,36 @@ object SpatialQueries {
             array_join(transform(col("rs"), r => r.getField("r")), ","),
             lit(")")).as("wkt"))
     }),
+    "q60_incremental_pip" -> ((s, dir) => {
+      // The north-star core: a change batch maintains the INDEXED JOIN
+      // OUTPUT incrementally — delete+insert only rows of ways touched
+      // by the batch, re-joining only points whose cell is covered by
+      // an upserted polygon. The oracle recomputes the post-change join
+      // from scratch, proving the delta application exact. At 100 TB
+      // the base output is a stored table; the per-batch cost is
+      // O(affected polygons + points in their cells), not O(corpus).
+      val w = graft.osm.ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir)).cache()
+      val wayOps = w.filter(col("kind") === "way")
+      val affected = wayOps.select(col("id").as("way_id")).distinct()
+      val upsertW = wayOps.filter(col("action").isin("create", "modify"))
+        .select(col("id").as("way_id"))
+      val polysAll = polys(s, dir)
+      val base = SpatialJoin.pipJoin(SynthUniverse.points(s, dir), polysAll, PipRes)
+      val upPolys = polysAll.join(upsertW, Seq("way_id"), "left_semi")
+      val cells = upPolys.select(explode(org.apache.spark.sql.GraftSqlShim.column(
+        graft.spatial.CoverCellsExpr(
+          org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("ys")), PipRes)))
+        .as("cell")).distinct()
+      val cand = SynthUniverse.points(s, dir)
+        .withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), PipRes))
+        .join(broadcast(cells), Seq("cell"), "left_semi")
+        .drop("cell")
+      val delta = SpatialJoin.pipJoin(cand, upPolys, PipRes)
+      base.join(broadcast(affected), Seq("way_id"), "left_anti")
+        .select(col("doc_id"), col("entity"), col("way_id"))
+        .unionByName(delta.select(col("doc_id"), col("entity"), col("way_id")))
+    }),
     "q58_simplify_ring" -> ((s, dir) => {
       // vector-tile simplification: densify each ring with exact segment
       // midpoints (column ops), then run REAL Douglas-Peucker — the
@@ -193,6 +223,14 @@ object SpatialQueries {
          |  FROM rel_members rm JOIN ways w ON rm.member_id = w.way_id)
          |SELECT rel_id, 'POLYGON(' || STRING_AGG(r, ',' ORDER BY ord, pos) || ')' AS wkt
          |FROM rings GROUP BY rel_id""".stripMargin,
+    "q60_incremental_pip" ->
+      s"""WITH ${SynthSql.changesCte}, ${SynthSql.winnersCte}, ${SynthSql.waysCte},
+         |  ${SynthSql.pointsCte}
+         |SELECT doc_id, entity, way_id
+         |FROM points JOIN ways
+         |  ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h
+         |WHERE way_id NOT IN
+         |  (SELECT id FROM winners WHERE kind = 'way' AND action = 'delete')""".stripMargin,
     "q58_simplify_ring" ->
       s"""WITH ${SynthSql.waysCte}
          |SELECT way_id,

@@ -23,7 +23,9 @@ object Tables {
     * shuffle is added. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // toRdd, not .rdd: same partition count, but skips building the
+    // InternalRow->Row deserializer stage .rdd would graft onto the plan
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =

@@ -50,4 +50,31 @@ class KnnRingSpec extends SparkTestBase {
     val diff = rings.collect { case (k, v) if brute(k) != v => (k, v, brute(k)) }
     assert(diff.isEmpty, s"k=3 ring kNN disagrees on ${diff.take(5)}")
   }
+
+  test("knnByRings == knnBroadcast across random clustered layouts and k") {
+    import spark.implicits._
+    // deterministic LCG layouts; half the layer packed into one corner
+    // so the start-ring estimate is WRONG for the dense region and the
+    // sparse tail exercises extra rounds + the brute fallback
+    for (seed <- Seq(7L, 99L); k <- Seq(1, 4)) {
+      var x = seed
+      def next(): Double = {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 11).toDouble / (1L << 53).toDouble
+      }
+      val pts = Seq.tabulate(300)(i =>
+        (i.toLong, "e", next() * 320 - 160, next() * 150 - 75))
+        .toDF("doc_id", "entity", "lon", "lat")
+      val cents = Seq.tabulate(60)(i =>
+        if (i % 2 == 0) (i.toLong, next() * 320 - 160, next() * 150 - 75)
+        else (i.toLong, next() * 20 - 160, next() * 10 - 75))
+        .toDF("way_id", "cx", "cy")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("rank"), col("way_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val brute = key(SpatialJoin.knnBroadcast(pts, cents, k))
+      val rings = key(SpatialJoin.knnByRings(pts, cents, res = 5, k = k))
+      assert(rings === brute, s"seed=$seed k=$k")
+    }
+  }
 }
