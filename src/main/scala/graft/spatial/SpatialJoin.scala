@@ -345,10 +345,15 @@ object SpatialJoin {
       val sureKeys = sure.select(key: _*).distinct()
       resolved = Some(resolved.map(_.unionByName(sure)).getOrElse(sure))
       val next = unresolved.join(sureKeys, keyCols, "left_anti").cache()
-      empty = next.isEmpty
+      val remaining = next.count()
+      empty = remaining == 0
       unresolved.unpersist()
       unresolved = next
-      ring *= 2
+      // adaptive cutoff: once the straggler tail is small enough that
+      // brute-forcing it against the whole layer is cheaper than another
+      // explode+join+window round, stop ring-doubling (each further
+      // round pays fixed multi-job overhead for a shrinking gain)
+      ring = if (remaining * nLayer < 5000000L) maxRing + 1 else ring * 2
     }
     if (empty) unresolved.unpersist()
     val leftover =
