@@ -39,7 +39,8 @@ object Bench {
 
   /** PIP join resolution for the e2e job: finer cells cut refine
     * candidates (false positives) at the cost of a bigger cover
-    * explode; 7 measured best on the synthetic density. */
+    * explode; 8 measured best on the synthetic density (7: 91k docs/s,
+    * 8: 134k, 9: 80k at local[32] factor 100). */
   val PipRes: Int = sys.env.getOrElse("SPARK_GRAFT_PIP_RES", "8").toInt
 
   /** The full north-rule pipeline as ONE job: extract geo-entities →

@@ -33,6 +33,45 @@ class MultipolygonSpec extends SparkTestBase {
     assert(out === Set((1L, 1L), (5L, 2L)))
   }
 
+  test("pipJoinMulti agrees with a JTS per-ring reference on random layouts") {
+    // integer coordinates keep every cross product exact, so the
+    // distributed cover-join + role-fold must agree with a driver-side
+    // JTS reference EXACTLY, boundaries included
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    for (seed <- Seq(3L, 11L)) {
+      val rnd = new scala.util.Random(seed)
+      def rect(): (Seq[Double], Seq[Double]) = {
+        val x0 = rnd.nextInt(80) - 40; val y0 = rnd.nextInt(60) - 30
+        val w = 2 + rnd.nextInt(12); val h = 2 + rnd.nextInt(10)
+        (Seq(x0, x0 + w, x0 + w, x0, x0).map(_.toDouble),
+          Seq(y0, y0, y0 + h, y0 + h, y0).map(_.toDouble))
+      }
+      val ringRows = (0 until 30).map { i =>
+        val (xs, ys) = rect()
+        (i / 5L, if (i % 5 == 0) "outer" else "inner", xs, ys)
+      }
+      val ptRows = (0 until 150).map(i =>
+        (i.toLong, "e", (rnd.nextInt(120) - 60).toDouble, (rnd.nextInt(90) - 45).toDouble))
+      val got = SpatialJoin.pipJoinMulti(
+          ptRows.toDF("doc_id", "entity", "lon", "lat"),
+          ringRows.toDF("rel_id", "role", "xs", "ys"), res = 4)
+        .select(col("doc_id"), col("rel_id"))
+        .as[(Long, Long)].collect().toSet
+      def poly(r: (Long, String, Seq[Double], Seq[Double])) =
+        gf.createPolygon(r._3.zip(r._4).map { case (x, y) => new Coordinate(x, y) }.toArray)
+      val want = (for {
+        (did, _, px, py) <- ptRows
+        rel <- ringRows.map(_._1).distinct
+        rs = ringRows.filter(_._1 == rel)
+        pt = gf.createPoint(new Coordinate(px, py))
+        if rs.exists(r => r._2 == "outer" && poly(r).covers(pt)) &&
+          !rs.exists(r => r._2 == "inner" && poly(r).covers(pt))
+      } yield (did, rel)).toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("relation with only inner rings never matches") {
     val (ix, iy) = ring(0, 0, 10, 10)
     val rings = Seq((7L, "inner", ix, iy)).toDF("rel_id", "role", "xs", "ys")
