@@ -113,8 +113,15 @@ class Replicator(spark: SparkSession, root: String) {
           split_part(col("m"), lit("/"), lit(1)).as("mtype"),
           split_part(col("m"), lit("/"), lit(2)).cast("long").as("member_id"),
           split_part(col("m"), lit("/"), lit(3)).as("role"))
-      val staleR = ChangePipeline.staleRels(winners,
+      val staleR0 = ChangePipeline.staleRels(winners,
         snapRm.filter(col("mtype") === "way"), staleW)
+      // J4 closure leg (empty unless spark.graft.relsOfRels=true —
+      // reference-disabled parity): parents of modified/stale relations
+      // also re-reconstruct
+      val staleR = staleR0.union(ChangePipeline.staleRelsOfRels(winners,
+          snapRm.select(col("rel_id"), col("member_id"),
+            col("mtype").as("member_kind")), staleR0))
+        .distinct()
       val changeRm = winners
         .filter(col("kind") === "relation" && col("action").isin("create", "modify"))
         .select(col("id").as("rel_id"), posexplode(col("members")).as(Seq("pos", "m")))

@@ -137,6 +137,35 @@ class ReplicatorSpec extends SparkTestBase {
     assert(finalState(root)(1L) === ((10.5, 20.5)))
   }
 
+  test("J4 flag propagates staleness to parent relations in catchUp") {
+    import spark.implicits._
+    def run(flag: Boolean): (Long, Map[Long, String]) = {
+      val root = fresh(s"j4-$flag")
+      SnapshotTable.create(spark, s"$root/nodes", baseNodes, Seq("node_id"))
+      SnapshotTable.create(spark, s"$root/ways", Seq(
+        (10L, "1;2;3",
+          "LINESTRING(0.0000000 0.0000000, 5.0000000 5.0000000, 7.0000000 7.0000000)"))
+        .toDF("way_id", "members", "wkt"), Seq("way_id"))
+      SnapshotTable.create(spark, s"$root/rels",
+        Seq((100L, "way/10/outer"), (300L, "relation/100/sub"))
+          .toDF("rel_id", "members"), Seq("rel_id"))
+      val dir = fresh(s"j4-changes-$flag")
+      // node 1 moves -> way 10 stale -> rel 100 stale -> (J4 only) rel 300
+      Files.write(Paths.get(dir, "000000001.osc.gz"),
+        gz(osc(s"<modify>${node(1, 2, 10.5, 20.5)}</modify>")))
+      if (flag) spark.conf.set("spark.graft.relsOfRels", "true")
+      try {
+        val n = new Replicator(spark, root).catchUp(dir)
+        (n, new Replicator(spark, root).rels.read().as[(Long, String)].collect().toMap)
+      } finally spark.conf.unset("spark.graft.relsOfRels")
+    }
+    val (nOff, sOff) = run(false)
+    val (nOn, sOn) = run(true)
+    assert(sOff === Map(100L -> "way/10/outer", 300L -> "relation/100/sub"))
+    assert(sOn === sOff)      // re-reconstruction is content-preserving
+    assert(nOn === nOff + 1)  // the parent relation re-applies ONLY under the flag
+  }
+
   test("ST1 start-offset resolution: user seq > user ts as-of > checkpoint") {
     val root = fresh("offset")
     val repl = new Replicator(spark, root)
