@@ -30,6 +30,11 @@ class Replicator(spark: SparkSession, root: String) {
     * `mtype/ref/role` entries (the kind is kept so stale-relation
     * detection can restrict to way members, J3 semantics). */
   val rels: SnapshotTable = SnapshotTable.load(spark, s"$root/rels")
+  /** Optional in-loop RDF store (subj_key, s, p, o) keyed by OWNING
+    * object — maintained per batch when an initial snapshot exists.
+    * Owner-keying turns the reference's two-hop SPARQL DELETE into a
+    * per-object bucket replace (see TripleDerive owner-keyed faces). */
+  val triples: SnapshotTable = SnapshotTable.load(spark, s"$root/triples")
   private val ckpt = Paths.get(root, "applied_seq")
 
   def appliedSeq: Option[Int] =
@@ -63,7 +68,21 @@ class Replicator(spark: SparkSession, root: String) {
     if (all.isEmpty) return 0L // ST3
 
     val ops = all.toDF()
-    val winners = ChangePipeline.dedupLatest(ops).cache() // ST2+ST5, reused per layer
+    val applied = applyOps(ChangePipeline.dedupLatest(ops))
+    val maxSeq = ops.agg(max(col("seq"))).head().getInt(0)
+    Files.createDirectories(ckpt.getParent)
+    Files.write(ckpt, maxSeq.toString.getBytes(StandardCharsets.UTF_8))
+    applied
+  }
+
+  /** Apply ONE already-deduped winner set across all three layers —
+    * the shared body of batch [[catchUp]] and a streaming
+    * `foreachBatch` sink (the per-trigger GroupState winners of
+    * [[graft.streaming.ChangeStream.latestPerKey]] feed here directly,
+    * so both faces share the exact same MERGE logic). Does NOT advance
+    * the sequence checkpoint. */
+  def applyOps(winnersIn: DataFrame): Long = {
+    val winners = winnersIn.cache() // ST2+ST5, reused per layer
     val nodeOps = winners.filter(col("kind") === "node")
       .select(col("id").as("node_id"),
         col("lon").as("lon"), col("lat").as("lat"),
@@ -78,6 +97,8 @@ class Replicator(spark: SparkSession, root: String) {
     // stale detection reads the PRE-merge way snapshot; the change file
     // itself supplies member lists for created/modified ways.
     val noWays = winners.filter(lit(false)).select(col("id").as("way_id"))
+    var wayUpsertIds: DataFrame = noWays
+    var relUpsertIds: DataFrame = noWays.select(col("way_id").as("rel_id"))
     val staleW: DataFrame = if (ways.currentSnapshot.isEmpty) noWays else {
       val base = ways.read()
       val snapMembers = base
@@ -93,6 +114,7 @@ class Replicator(spark: SparkSession, root: String) {
         .filter(col("kind") === "way" && col("action").isin("create", "modify"))
         .select(col("id").as("way_id"))
         .union(st.select(col("way_id"))).distinct()
+      wayUpsertIds = upsertIds
       val upserts = ChangePipeline.reconstructWays(upsertIds, membership, mergedNodes)
         .withColumn("deleted", lit(false))
       val dels = winners.filter(col("kind") === "way" && col("action") === "delete")
@@ -133,6 +155,7 @@ class Replicator(spark: SparkSession, root: String) {
         .filter(col("kind") === "relation" && col("action").isin("create", "modify"))
         .select(col("id").as("rel_id"))
         .union(staleR.select(col("rel_id"))).distinct()
+      relUpsertIds = upsertIds
       val upserts = membership.join(upsertIds, Seq("rel_id"), "left_semi")
         .groupBy(col("rel_id"))
         .agg(sort_array(collect_list(struct(
@@ -151,10 +174,39 @@ class Replicator(spark: SparkSession, root: String) {
       rels.mergeInto(delta, Seq("rel_id"), deleteMarker = Some("deleted"))
     }
 
-    val maxSeq = ops.agg(max(col("seq"))).head().getInt(0)
+    // ---- triple layer (optional) ----
+    if (triples.currentSnapshot.isDefined) {
+      val nodeUp = winners
+        .filter(col("kind") === "node" && col("action").isin("create", "modify"))
+        .select(col("id").as("node_id"))
+      val nodeT = graft.rdf.TripleDerive.ownedNodeTriples(
+        mergedNodes.join(nodeUp, Seq("node_id"), "left_semi"))
+      val wayT =
+        if (ways.currentSnapshot.isEmpty) None
+        else Some(graft.rdf.TripleDerive.ownedWayTriples(
+          ways.read().join(wayUpsertIds, Seq("way_id"), "left_semi")))
+      val relT =
+        if (rels.currentSnapshot.isEmpty) None
+        else Some(graft.rdf.TripleDerive.ownedRelTriples(
+          rels.read().join(relUpsertIds, Seq("rel_id"), "left_semi")))
+      val ups = (Seq(nodeT) ++ wayT ++ relT).reduce(_ unionByName _)
+        .select(col("subj_key"), col("s"), col("p"), col("o"))
+        .withColumn("deleted", lit(false))
+      // upserted owners replace implicitly through the merge key; only
+      // deleted objects need explicit markers
+      def delKeys(kind: String, pfx: String): DataFrame = winners
+        .filter(col("kind") === kind && col("action") === "delete")
+        .select(concat(lit(pfx), col("id")).as("subj_key"),
+          lit(null).cast("string").as("s"), lit(null).cast("string").as("p"),
+          lit(null).cast("string").as("o"), lit(true).as("deleted"))
+      val delta = ups
+        .unionByName(delKeys("node", "node:"))
+        .unionByName(delKeys("way", "way:"))
+        .unionByName(delKeys("relation", "rel:"))
+      triples.mergeInto(delta, Seq("subj_key"), deleteMarker = Some("deleted"))
+    }
+
     winners.unpersist()
-    Files.createDirectories(ckpt.getParent)
-    Files.write(ckpt, maxSeq.toString.getBytes(StandardCharsets.UTF_8))
     applied
   }
 }

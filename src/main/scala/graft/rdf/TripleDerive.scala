@@ -148,6 +148,60 @@ object TripleDerive {
     link.unionByName(id).unionByName(role).unionByName(pos)
   }
 
+  // ---- owner-keyed faces (the in-loop RDF store) ----------------------
+  // Same triple rows as the families above, each carrying
+  // `subj_key` = the OWNING object ("node:N" / "way:W" / "rel:R").
+  // An owner-keyed store turns the reference's two-hop DELETE
+  // (/root/reference/src/sparql/QueryWriter.cpp:42-60 — needed because
+  // SPARQL has no owner notion) into a per-object bucket replace:
+  // merging by subj_key atomically swaps an object's whole family,
+  // linked-geometry and member-key subjects included.
+
+  /** [[linkedNodeTriples]] + owner key (both subject forms end in the
+    * owning node id). */
+  def ownedNodeTriples(nodes: DataFrame): DataFrame =
+    linkedNodeTriples(nodes).withColumn("subj_key",
+      concat(lit("node:"), regexp_extract(col("s"), "(\\d+)$", 1)))
+
+  /** Way family from the snapshot shape (way_id, members, wkt):
+    * [[wayMemberTriples]] rows + the stored-WKT geometry triple. */
+  def ownedWayTriples(ways: DataFrame): DataFrame = {
+    val m = ways
+      .select(col("way_id"), posexplode(split(col("members"), ";")).as(Seq("pos", "nid")))
+      .select(col("way_id"), col("pos"), col("nid").cast("long").as("node_id"))
+      .withColumn("mk",
+        concat(lit("osm2rdfmember:way_"), col("way_id"), lit("_"), col("pos")))
+    val k = concat(lit("way:"), col("way_id"))
+    val link = m.select(k.as("subj_key"),
+      concat(lit("osmway:"), col("way_id")).as("s"),
+      lit("osmway:member").as("p"), col("mk").as("o"))
+    val id = m.select(k.as("subj_key"), col("mk").as("s"),
+      lit("osm2rdfmember:id").as("p"),
+      concat(lit("osmnode:"), col("node_id")).as("o"))
+    val pos = m.select(k.as("subj_key"), col("mk").as("s"),
+      lit("osm2rdfmember:pos").as("p"), col("pos").cast("string").as("o"))
+    val geom = ways.filter(col("wkt").isNotNull)
+      .select(concat(lit("way:"), col("way_id")).as("subj_key"),
+        concat(lit("osmway:"), col("way_id")).as("s"),
+        lit("geo:asWKT").as("p"), col("wkt").as("o"))
+    link.unionByName(id).unionByName(pos).unionByName(geom)
+  }
+
+  /** Relation family from the snapshot shape (rel_id, members with
+    * `mtype/ref/role` entries): [[relMemberTriples]] rows + owner. */
+  def ownedRelTriples(rels: DataFrame): DataFrame = {
+    val m = rels
+      .select(col("rel_id"), posexplode(split(col("members"), ";")).as(Seq("pos", "e")))
+      .select(col("rel_id"), col("pos"),
+        split_part(col("e"), lit("/"), lit(1)).as("member_kind"),
+        split_part(col("e"), lit("/"), lit(2)).cast("long").as("member_id"),
+        split_part(col("e"), lit("/"), lit(3)).as("role"))
+    relMemberTriples(m).withColumn("subj_key",
+      concat(lit("rel:"), coalesce(
+        nullif(regexp_extract(col("s"), "rel_(\\d+)_", 1), lit("")),
+        regexp_extract(col("s"), "(\\d+)$", 1))))
+  }
+
   /** J11: two-hop delete — remove triples whose subject is a deleted
     * element AND triples of objects linked from them (the OPTIONAL
     * second hop of the reference's DELETE statement,

@@ -7,6 +7,7 @@ import java.util.Comparator
 import java.util.zip.GZIPOutputStream
 import graft.SparkTestBase
 import graft.tables.SnapshotTable
+import org.apache.spark.sql.functions.col
 
 class ReplicatorSpec extends SparkTestBase {
   import spark.implicits._
@@ -135,6 +136,52 @@ class ReplicatorSpec extends SparkTestBase {
     assert(repl.rels.read().as[(Long, String)].collect().toMap === Map(100L -> "way/10/outer"))
     // node layer still merged alongside
     assert(finalState(root)(1L) === ((10.5, 20.5)))
+  }
+
+  test("in-loop triple store: incremental maintenance == full re-derivation") {
+    import spark.implicits._
+    import graft.rdf.TripleDerive._
+    val root = fresh("triples")
+    val baseWays = Seq(
+      (10L, "1;2;3",
+        "LINESTRING(0.0000000 0.0000000, 5.0000000 5.0000000, 7.0000000 7.0000000)"))
+      .toDF("way_id", "members", "wkt")
+    val baseRels = Seq((100L, "way/10/outer")).toDF("rel_id", "members")
+    SnapshotTable.create(spark, s"$root/nodes", baseNodes, Seq("node_id"))
+    SnapshotTable.create(spark, s"$root/ways", baseWays, Seq("way_id"))
+    SnapshotTable.create(spark, s"$root/rels", baseRels, Seq("rel_id"))
+    SnapshotTable.create(spark, s"$root/triples",
+      ownedNodeTriples(baseNodes)
+        .unionByName(ownedWayTriples(baseWays))
+        .unionByName(ownedRelTriples(baseRels))
+        .select(col("subj_key"), col("s"), col("p"), col("o")),
+      Seq("subj_key"))
+    val repl = new Replicator(spark, root)
+    val dir = fresh("triples-changes")
+    // node 1 moves (stales way 10), node 2 deleted, way 20 + rel 200
+    // created, then way 20 deleted again in a later batch
+    Files.write(Paths.get(dir, "000000001.osc.gz"), gz(osc(
+      s"""<modify>${node(1, 2, 10.5, 20.5)}</modify>
+         |<delete><node id="2" version="2" timestamp="2024-02-01T00:00:00Z" visible="false"/></delete>
+         |<create>${wayXml(20, 1, Seq(1, 3))}${relXml(200, 1, Seq(("way", 20L, "a")))}</create>""".stripMargin)))
+    assert(repl.catchUp(dir) > 0)
+    Files.write(Paths.get(dir, "000000002.osc.gz"), gz(osc(
+      """<delete><way id="20" version="2" timestamp="2024-03-01T00:00:00Z" visible="false"/></delete>""")))
+    assert(repl.catchUp(dir) > 0)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("subj_key"), col("s"), col("p"), col("o"))
+      .as[(String, String, String, String)].collect().toSet
+    val got = rows(repl.triples.read())
+    val want = rows(ownedNodeTriples(repl.nodes.read())
+      .unionByName(ownedWayTriples(repl.ways.read()))
+      .unionByName(ownedRelTriples(repl.rels.read())))
+    assert(got === want)
+    // the moved node's geometry triple reflects the new position
+    assert(got.exists { case (k, _, p, o) =>
+      k == "node:1" && p == "geo:asWKT" && o == "POINT(10.5000000 20.5000000)" })
+    // deleted node 2 and way 20 left no triples behind
+    assert(!got.exists(_._1 == "node:2") && !got.exists(_._1 == "way:20"))
   }
 
   test("J4 flag propagates staleness to parent relations in catchUp") {

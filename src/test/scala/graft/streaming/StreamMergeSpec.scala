@@ -85,4 +85,70 @@ class StreamMergeSpec extends SparkTestBase {
     assert(nodeState(rootB) === expect)
     assert(nodeState(rootS) === expect)
   }
+
+  test("streamed three-layer replication equals batch catch-up") {
+    def wayXml(id: Long, v: Int, refs: Seq[Long]): String =
+      s"""<way id="$id" version="$v" timestamp="2024-01-0${v}T00:00:00Z">""" +
+        refs.map(r => s"""<nd ref="$r"/>""").mkString + "</way>"
+    def relXml(id: Long, v: Int, members: Seq[(String, Long, String)]): String =
+      s"""<relation id="$id" version="$v" timestamp="2024-01-0${v}T00:00:00Z">""" +
+        members.map { case (t, r, ro) => s"""<member type="$t" ref="$r" role="$ro"/>""" }
+          .mkString + "</relation>"
+    val b1 = osc(
+      s"""<modify>${node(1, 2, 10.5, 20.5)}</modify>
+         |<create>${wayXml(20, 1, Seq(2, 3))}${relXml(200, 1, Seq(("way", 20L, "a")))}</create>""".stripMargin)
+    val b2 = osc(
+      """<delete><way id="20" version="2" timestamp="2024-02-01T00:00:00Z" visible="false"/>
+        |<relation id="200" version="2" timestamp="2024-02-01T00:00:00Z" visible="false"/></delete>""".stripMargin)
+    val changes = fresh("changes3")
+    Files.write(Paths.get(changes, "000000001.osc"), b1.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(changes, "000000002.osc"), b2.getBytes(StandardCharsets.UTF_8))
+
+    def mkRoot(name: String): String = {
+      val root = fresh(name)
+      SnapshotTable.create(spark, s"$root/nodes",
+        Seq((1L, 0.0, 0.0), (2L, 5.0, 5.0), (3L, 7.0, 7.0))
+          .toDF("node_id", "lon", "lat"), Seq("node_id"))
+      SnapshotTable.create(spark, s"$root/ways", Seq(
+        (10L, "1;2;3",
+          "LINESTRING(0.0000000 0.0000000, 5.0000000 5.0000000, 7.0000000 7.0000000)"))
+        .toDF("way_id", "members", "wkt"), Seq("way_id"))
+      SnapshotTable.create(spark, s"$root/rels",
+        Seq((100L, "way/10/outer")).toDF("rel_id", "members"), Seq("rel_id"))
+      root
+    }
+
+    val rootB = mkRoot("batch3")
+    new Replicator(spark, rootB).catchUp(changes)
+
+    val rootS = mkRoot("stream3")
+    val replS = new Replicator(spark, rootS)
+    val q = ChangeStream.fromChangeDir(spark, changes)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", fresh("ckpt3"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (winners: Dataset[ChangeOp], _: Long) =>
+        replS.applyOps(winners.toDF()); ()
+      }
+      .start()
+    q.awaitTermination(180000)
+
+    def state(root: String): (Map[Long, (Double, Double)], Map[Long, (String, String)], Map[Long, String]) = {
+      val r = new Replicator(spark, root)
+      (nodeState(root),
+        r.ways.read().as[(Long, String, String)].collect()
+          .map(x => x._1 -> (x._2, x._3)).toMap,
+        r.rels.read().as[(Long, String)].collect().toMap)
+    }
+    val (bn, bw, br) = state(rootB)
+    val (sn, sw, sr) = state(rootS)
+    assert(sn === bn)
+    assert(sw === bw)
+    assert(sr === br)
+    // and the merged geometry reflects the moved node through the
+    // stale-way rebuild on BOTH faces
+    assert(bw(10L)._2 ===
+      "LINESTRING(10.5000000 20.5000000, 5.0000000 5.0000000, 7.0000000 7.0000000)")
+  }
 }
