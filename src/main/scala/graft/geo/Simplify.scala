@@ -29,15 +29,25 @@ object Simplify {
       val (a, b) = stack.head
       stack = stack.tail
       if (b - a > 1) {
-        val ax = xs(a); val ay = ys(a)
-        val dx = xs(b) - ax; val dy = ys(b) - ay
-        val len = math.sqrt(dx * dx + dy * dy)
+        val ax = xs(a); val ay = ys(a); val bx = xs(b); val by = ys(b)
+        val dx = bx - ax; val dy = by - ay
+        val len2 = dx * dx + dy * dy
         var maxD = -1.0; var idx = -1
         var i = a + 1
         while (i < b) {
+          // distance to the SEGMENT (projection clamped to the chord's
+          // endpoints), matching JTS DouglasPeuckerSimplifier — the
+          // infinite-line distance under-measures vertices whose
+          // projection falls outside [a, b] and over-simplifies
+          val vx = xs(i) - ax; val vy = ys(i) - ay
           val d =
-            if (len == 0.0) math.hypot(xs(i) - ax, ys(i) - ay)
-            else math.abs((xs(i) - ax) * dy - (ys(i) - ay) * dx) / len
+            if (len2 == 0.0) math.hypot(vx, vy)
+            else {
+              val t = (vx * dx + vy * dy) / len2
+              if (t <= 0.0) math.hypot(vx, vy)
+              else if (t >= 1.0) math.hypot(xs(i) - bx, ys(i) - by)
+              else math.abs(vx * dy - vy * dx) / math.sqrt(len2)
+            }
           if (d > maxD) { maxD = d; idx = i }
           i += 1
         }

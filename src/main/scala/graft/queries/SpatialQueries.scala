@@ -83,6 +83,14 @@ object SpatialQueries {
           relRings(s, dir).select(col("rel_id"), col("role"), col("xs"), col("ys")),
           PipRes)
         .select(col("doc_id"), col("entity"), col("rel_id"))),
+    "q56b_multipolygon_salted" -> ((s, dir) =>
+      // same output over the partitioned+salted candidate join — the
+      // skew defense extends to the multipolygon operator and the
+      // oracle proves output exactness (cf. q30b)
+      SpatialJoin.pipJoinMulti(SynthUniverse.points(s, dir),
+          relRings(s, dir).select(col("rel_id"), col("role"), col("xs"), col("ys")),
+          PipRes, mode = "partitioned", salt = 8, hotThreshold = 500L)
+        .select(col("doc_id"), col("entity"), col("rel_id"))),
     "q57_multipolygon_wkt" -> ((s, dir) => {
       // multipolygon geometry ASSEMBLY: outer ring first, holes in member
       // order, 7-decimal osm2rdf emission — all codegen column ops
@@ -177,6 +185,23 @@ object SpatialQueries {
           array_join(sort_array(collect_list(col("way_id"))), ";").as("poly_ids"))),
   )
 
+  /** One oracle for both multipolygon paths — the salted plan must
+    * reproduce the auto plan's rows exactly. */
+  private lazy val multiPipOracle: String =
+      s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte}, ${SynthSql.relMembersCte}
+         |SELECT DISTINCT p.doc_id, p.entity, r.rel_id
+         |FROM points p, (
+         |  SELECT rm.rel_id, w.x0, w.y0, w.w, w.h
+         |  FROM rel_members rm JOIN ways w ON rm.member_id = w.way_id
+         |  WHERE rm.role = 'outer') r
+         |WHERE p.lon BETWEEN r.x0 AND r.x0 + r.w
+         |  AND p.lat BETWEEN r.y0 AND r.y0 + r.h
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM rel_members rm2 JOIN ways w2 ON rm2.member_id = w2.way_id
+         |    WHERE rm2.rel_id = r.rel_id AND rm2.role = 'inner'
+         |      AND p.lon BETWEEN w2.x0 AND w2.x0 + w2.w
+         |      AND p.lat BETWEEN w2.y0 AND w2.y0 + w2.h)""".stripMargin
+
   lazy val oracles: Map[String, String] = Map(
     "q29_extract_entities" ->
       s"""WITH ${SynthSql.pointsCte}
@@ -196,20 +221,8 @@ object SpatialQueries {
          |  ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h""".stripMargin,
     "q31b_knn_rings" -> knnOracle,
     "q31_knn" -> knnOracle,
-    "q56_multipolygon_pip" ->
-      s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte}, ${SynthSql.relMembersCte}
-         |SELECT DISTINCT p.doc_id, p.entity, r.rel_id
-         |FROM points p, (
-         |  SELECT rm.rel_id, w.x0, w.y0, w.w, w.h
-         |  FROM rel_members rm JOIN ways w ON rm.member_id = w.way_id
-         |  WHERE rm.role = 'outer') r
-         |WHERE p.lon BETWEEN r.x0 AND r.x0 + r.w
-         |  AND p.lat BETWEEN r.y0 AND r.y0 + r.h
-         |  AND NOT EXISTS (
-         |    SELECT 1 FROM rel_members rm2 JOIN ways w2 ON rm2.member_id = w2.way_id
-         |    WHERE rm2.rel_id = r.rel_id AND rm2.role = 'inner'
-         |      AND p.lon BETWEEN w2.x0 AND w2.x0 + w2.w
-         |      AND p.lat BETWEEN w2.y0 AND w2.y0 + w2.h)""".stripMargin,
+    "q56_multipolygon_pip" -> multiPipOracle,
+    "q56b_multipolygon_salted" -> multiPipOracle,
     "q57_multipolygon_wkt" ->
       s"""WITH ${SynthSql.waysCte}, ${SynthSql.relMembersCte},
          |rings AS (

@@ -114,47 +114,58 @@ object SpatialJoin {
     *                 (measured: blanket ×8 made the join slower than
     *                 unsalted at every parallelism level).
     */
+  /** Ring rows -> exploded cover with bbox scalars (shared candidate
+    * generation of [[pipJoin]] and [[pipJoinMulti]]). */
+  private def coverWithBbox(rings: DataFrame, res: Int): DataFrame = rings
+    .withColumn("cell", explode(org.apache.spark.sql.GraftSqlShim.column(
+      CoverCellsExpr(
+        org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
+        org.apache.spark.sql.GraftSqlShim.expression(col("ys")), res))))
+    .withColumn("minx", array_min(col("xs"))).withColumn("maxx", array_max(col("xs")))
+    .withColumn("miny", array_min(col("ys"))).withColumn("maxy", array_max(col("ys")))
+
+  /** Candidate generation: pts(cell) ⋈ cover(cell) under the selected
+    * strategy (auto / broadcast / partitioned with histogram salting) —
+    * shared by [[pipJoin]] and [[pipJoinMulti]]; see pipJoin's scaladoc
+    * for the mode/salt/hotThreshold contract. */
+  private def cellJoin(pts: DataFrame, cover: DataFrame, mode: String,
+      salt: Int, hotThreshold: Long): DataFrame = {
+    require(Set("auto", "broadcast", "partitioned")(mode),
+      s"join mode must be auto|broadcast|partitioned, got '$mode'")
+    if (mode == "broadcast") pts.join(broadcast(cover), "cell")
+    else if (mode == "auto") pts.join(cover, "cell")
+    else if (salt <= 1) pts.join(cover.hint("shuffle_hash"), "cell")
+    else {
+      // per-cell histogram -> salt factor min(salt, ceil(cnt/threshold))
+      // for hot cells only; join output stays exact (each point picks
+      // ONE deterministic shard, each hot polygon row covers all).
+      val hist = pts.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > hotThreshold)
+        .select(col("cell"),
+          least(lit(salt.toLong), ceil(col("cnt").cast("double") / hotThreshold).cast("long"))
+            .cast("int").as("saltN"))
+      val saltedCover = cover.join(broadcast(hist), Seq("cell"), "left")
+        .withColumn("s", explode(sequence(lit(0), coalesce(col("saltN"), lit(1)) - 1)))
+        .drop("saltN")
+      val saltedPts = pts.join(broadcast(hist), Seq("cell"), "left")
+        .withColumn("s",
+          coalesce(pmod(hash(col("lon"), col("lat")), col("saltN")), lit(0)))
+        .drop("saltN")
+      saltedPts.join(saltedCover.hint("shuffle_hash"), Seq("cell", "s")).drop("s")
+    }
+  }
+
   def pipJoin(points: DataFrame, polys: DataFrame, res: Int,
       mode: String = "auto", salt: Int = 1,
       hotThreshold: Long = 2000000L): DataFrame = {
-    require(Set("auto", "broadcast", "partitioned")(mode),
-      s"pipJoin mode must be auto|broadcast|partitioned, got '$mode'")
     // bbox columns ride along as 4 scalars: the refine first rejects on
     // them (fixed-width reads only) and dereferences the ring arrays'
     // variable-length bytes ONLY for bbox-passing candidates — at ~80
     // candidates vs ~27 matches per point the array bytes dominate the
     // join's memory traffic, which is the single-box scaling ceiling.
-    val cover = polys
-      .withColumn("cell", explode(org.apache.spark.sql.GraftSqlShim.column(
-        CoverCellsExpr(
-          org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
-          org.apache.spark.sql.GraftSqlShim.expression(col("ys")), res))))
-      .withColumn("minx", array_min(col("xs"))).withColumn("maxx", array_max(col("xs")))
-      .withColumn("miny", array_min(col("ys"))).withColumn("maxy", array_max(col("ys")))
+    val cover = coverWithBbox(polys, res)
     val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
-    val joined =
-      if (mode == "broadcast") pts.join(broadcast(cover), "cell")
-      else if (mode == "auto") pts.join(cover, "cell")
-      else if (salt <= 1) pts.join(cover.hint("shuffle_hash"), "cell")
-      else {
-        // per-cell histogram → salt factor min(salt, ceil(cnt/threshold))
-        // for hot cells only; join output stays exact (each point picks
-        // ONE deterministic shard, each hot polygon row covers all).
-        val hist = pts.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") > hotThreshold)
-          .select(col("cell"),
-            least(lit(salt.toLong), ceil(col("cnt").cast("double") / hotThreshold).cast("long"))
-              .cast("int").as("saltN"))
-        val saltedCover = cover.join(broadcast(hist), Seq("cell"), "left")
-          .withColumn("s", explode(sequence(lit(0), coalesce(col("saltN"), lit(1)) - 1)))
-          .drop("saltN")
-        val saltedPts = pts.join(broadcast(hist), Seq("cell"), "left")
-          .withColumn("s",
-            coalesce(pmod(hash(col("lon"), col("lat")), col("saltN")), lit(0)))
-          .drop("saltN")
-        saltedPts.join(saltedCover.hint("shuffle_hash"), Seq("cell", "s")).drop("s")
-      }
-    joined
+    cellJoin(pts, cover, mode, salt, hotThreshold)
       .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
         col("lat") >= col("miny") && col("lat") <= col("maxy") &&
         PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
@@ -181,16 +192,12 @@ object SpatialJoin {
     * @param rings (rel_id, role, xs, ys) — one row per member ring
     */
   def pipJoinMulti(points: DataFrame, rings: DataFrame, res: Int,
-      keyCols: Seq[String] = Seq("doc_id", "entity")): DataFrame = {
-    val cover = rings
-      .withColumn("cell", explode(org.apache.spark.sql.GraftSqlShim.column(
-        CoverCellsExpr(
-          org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
-          org.apache.spark.sql.GraftSqlShim.expression(col("ys")), res))))
-      .withColumn("minx", array_min(col("xs"))).withColumn("maxx", array_max(col("xs")))
-      .withColumn("miny", array_min(col("ys"))).withColumn("maxy", array_max(col("ys")))
+      keyCols: Seq[String] = Seq("doc_id", "entity"),
+      mode: String = "auto", salt: Int = 1,
+      hotThreshold: Long = 2000000L): DataFrame = {
+    val cover = coverWithBbox(rings, res)
     val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
-    pts.join(cover, "cell")
+    cellJoin(pts, cover, mode, salt, hotThreshold)
       .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
         col("lat") >= col("miny") && col("lat") <= col("maxy") &&
         PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))

@@ -21,6 +21,28 @@ class SimplifySpec extends AnyFunSuite {
     assert(dx.toSeq === Seq(0.0, 10.0))
   }
 
+  test("agrees with JTS DouglasPeuckerSimplifier on random polylines") {
+    // both keep a section's farthest vertex iff its distance is
+    // STRICTLY greater than the tolerance, so with an identical
+    // recursion they must agree vertex-for-vertex
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    import org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+    val gf = new GeometryFactory()
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 50) {
+      val n = 4 + rnd.nextInt(20)
+      val xs = Array.fill(n)((rnd.nextInt(100) - 50).toDouble)
+      val ys = Array.fill(n)((rnd.nextInt(100) - 50).toDouble)
+      val eps = 0.5 + rnd.nextInt(20)
+      val line = gf.createLineString(
+        xs.zip(ys).map { case (x, y) => new Coordinate(x, y) })
+      val want = DouglasPeuckerSimplifier.simplify(line, eps).getCoordinates
+      val (gx, gy) = Simplify.douglasPeucker(xs, ys, eps)
+      assert(gx.toSeq === want.map(_.x).toSeq && gy.toSeq === want.map(_.y).toSeq,
+        s"eps=$eps line=${line.toText}")
+    }
+  }
+
   test("degenerate inputs pass through") {
     val (x1, y1) = Simplify.douglasPeucker(Array(1.0), Array(2.0), 0.1)
     assert(x1.toSeq === Seq(1.0) && y1.toSeq === Seq(2.0))
