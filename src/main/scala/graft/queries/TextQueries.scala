@@ -70,6 +70,26 @@ object TextQueries {
         col("doc_id"),
         rollingFingerprint(tokens(col("text"))).as("fingerprint"))
     }),
+    "q61_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: flag training docs sharing an exact
+      // n-gram with the held-out set (doc_id % 11 here; n=3 suits this
+      // corpus's vocabulary — production uses 8-13). Scale shape: the
+      // benchmark gram set is the SMALL side (broadcast); training docs
+      // stream through one explode + hash semi-join + count — never an
+      // all-pairs comparison.
+      val n = 3
+      val grams = Tables.documents(s, dir)
+        .withColumn("ts", tokens(col("text")))
+        .filter(size(col("ts")) >= n)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+            i => array_join(slice(col("ts"), i, lit(n)), " "))).as("g"))
+      val bench = grams.filter(col("doc_id") % 11 === 0).select(col("g")).distinct()
+      grams.filter(col("doc_id") % 11 =!= 0)
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hits"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -115,5 +135,19 @@ object TextQueries {
         |      [CAST('0x' || substr(md5(t),1,15) AS BIGINT) % 1099511627776 for t in ts]),
         |    (a, b) -> (a * 1000003 + b) % 1099511627776) AS BIGINT) AS fingerprint
         |FROM toks""".stripMargin,
+    "q61_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
+        |                         for i in range(1, len(ts) - 1)]) AS g
+        |  FROM toks WHERE len(ts) >= 3
+        |),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0)
+        |SELECT g.doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_hits
+        |FROM grams g JOIN bench b ON g.g = b.g
+        |WHERE g.doc_id % 11 <> 0
+        |GROUP BY 1""".stripMargin,
   )
 }
