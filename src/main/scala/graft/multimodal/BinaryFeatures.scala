@@ -13,6 +13,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 case class MediaRow(url: String, mediaType: String, media: Array[Byte])
 
+case class FrameRow(url: String, frame_idx: Int, frame_md5: String)
+
 case class MediaFeatures(
     url: String,
     mediaType: String,
@@ -39,6 +41,30 @@ object BinaryFeatures {
     var i = 0
     while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1; i += 1 }
     h
+  }
+
+  /** Every-k-th frame sample of a video-like payload. The FRAME SPLIT
+    * is the stub (fixed byte-width windows standing in for decoded
+    * frames — a real implementation walks the container's frame index);
+    * the Spark plumbing is real: partition-wise iteration, one
+    * decoder-init site per partition, flatMap fan-out row shape, and a
+    * digest per emitted frame. */
+  def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int, every: Int): Dataset[FrameRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val n = m.media.length / frameBytes
+        (0 until n by every).iterator.map { i =>
+          val fr = java.util.Arrays.copyOfRange(m.media,
+            i * frameBytes, (i + 1) * frameBytes)
+          md.reset()
+          FrameRow(m.url, i,
+            md.digest(fr).map("%02x".format(_)).mkString)
+        }
+      }
+    }
   }
 
   /** Partition-wise feature extraction — one decoder instance per

@@ -120,6 +120,17 @@ object FunctionQueries {
           element_at(col("histogram"), 3).as("hist_bin2"),
           element_at(col("histogram"), 8).as("hist_bin7"))
     }),
+    "q62_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      // frame sampling over the video-like payload: every 4th 16-byte
+      // frame window, digested per frame (split stub, real plumbing —
+      // see BinaryFeatures.sampleFrames)
+      val media = Tables.documents(s, dir).select(
+        concat(lit("doc:"), col("doc_id")).as("url"),
+        lit("video/x-stub").as("mediaType"),
+        encode(col("text"), "UTF-8").as("media")).as[MediaRow]
+      BinaryFeatures.sampleFrames(media, frameBytes = 16, every = 4).toDF()
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -176,5 +187,13 @@ object FunctionQueries {
         |  length(text) - length(regexp_replace(text, '[ -/]', '', 'g')) AS hist_bin2,
         |  length(text) - length(regexp_replace(text, '[p-~\x7f]', '', 'g')) AS hist_bin7
         |FROM documents""".stripMargin,
+    "q62_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, octet_length(encode(text)) // 16, 4)) AS idx
+        |  FROM documents)
+        |SELECT 'doc:' || doc_id AS url, CAST(idx AS INT) AS frame_idx,
+        |  md5(substr(text, CAST(idx * 16 + 1 AS INT), 16)) AS frame_md5
+        |FROM f""".stripMargin,
   )
 }
