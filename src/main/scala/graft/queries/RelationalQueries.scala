@@ -104,6 +104,25 @@ object RelationalQueries {
         .select(col("o_custkey"), col("rank"), col("o_orderkey"),
           cents(col("o_totalprice")).as("price_cents"))
     }),
+    "q63_sessionize" -> ((s, dir) => {
+      // gap-based sessionization: a >30-minute silence starts a new
+      // session — lag + conditional flag + running sum, all in ONE
+      // window partitioning (single shuffle on user_id); the interval
+      // comparison avoids epoch conversion so both engines compare
+      // timestamps directly
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration_s"))
+    }),
     "q10_facts_count" -> ((s, dir) =>
       // A5: osm2rdf:facts — count of fact rows per object.
       events(s, dir).groupBy(col("user_id"), col("event_type"))
@@ -161,5 +180,22 @@ object RelationalQueries {
         |WHERE rank <= 3""".stripMargin,
     "q10_facts_count" ->
       "SELECT user_id, event_type, COUNT(*) AS facts FROM events GROUP BY user_id, event_type",
+    "q63_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
   )
 }
