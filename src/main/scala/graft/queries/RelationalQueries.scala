@@ -104,6 +104,21 @@ object RelationalQueries {
         .select(col("o_custkey"), col("rank"), col("o_orderkey"),
           cents(col("o_totalprice")).as("price_cents"))
     }),
+    "q64_asof_join" -> ((s, dir) => {
+      // as-of join: each event picks the LATEST state snapshot at or
+      // before its timestamp per user. DuckDB checks it with its NATIVE
+      // ASOF JOIN; Spark runs the union-tag + ignore-nulls-last window
+      // composition (operators.AsofJoin). States are aggregated unique
+      // per (user, ts) — the determinism contract both engines need.
+      val states = events(s, dir).filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(round(col("value") * 10000, 0).cast("long")).as("state_bp"))
+      val evs = events(s, dir).filter(col("event_id") % 10 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsofJoin.asofJoin(evs, states, Seq("user_id"), "ts",
+          Seq("state_bp"))
+        .select(col("event_id"), col("user_id"), col("state_bp"))
+    }),
     "q63_sessionize" -> ((s, dir) => {
       // gap-based sessionization: a >30-minute silence starts a new
       // session — lag + conditional flag + running sum, all in ONE
@@ -180,6 +195,14 @@ object RelationalQueries {
         |WHERE rank <= 3""".stripMargin,
     "q10_facts_count" ->
       "SELECT user_id, event_type, COUNT(*) AS facts FROM events GROUP BY user_id, event_type",
+    "q64_asof_join" ->
+      """WITH states AS (
+        |  SELECT user_id, ts, MAX(CAST(ROUND(value*10000,0) AS BIGINT)) AS state_bp
+        |  FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts),
+        |evs AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+        |SELECT e.event_id, e.user_id, s.state_bp
+        |FROM evs e ASOF LEFT JOIN states s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
     "q63_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,
