@@ -104,6 +104,41 @@ object RelationalQueries {
         .select(col("o_custkey"), col("rank"), col("o_orderkey"),
           cents(col("o_totalprice")).as("price_cents"))
     }),
+    "q65_range_join" -> ((s, dir) => {
+      // numeric range join through the 1-D bucket prefilter — a naive
+      // BETWEEN join plans as a nested loop; this shuffles once on the
+      // bucket (operators.RangeJoin). Closed-form interval bounds keep
+      // the oracle a plain BETWEEN join.
+      val intervals = orders(s, dir).filter(col("o_orderkey") % 8 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") % 450.0).as("lo"),
+          (col("o_totalprice") % 450.0 + 2.0).as("hi"))
+      val pts = events(s, dir).select(col("event_id"), col("value"))
+      graft.operators.RangeJoin.rangeJoin(pts, "value", intervals, "lo", "hi", 5.0)
+        .select(col("event_id"), col("o_orderkey"))
+    }),
+    "q66_kmv_sketch" -> ((s, dir) => {
+      // KMV (k-minimum-values) distinct sketch, k=64 — DETERMINISTIC
+      // given the md5-derived hash, so the estimate is exactly
+      // oracle-able (unlike HLL). Scale shape: distinct -> per-group
+      // row_number over hash order -> keep k (bounded state per group),
+      // estimate (k-1)*2^60/kth from the k-th minimum; exact count when
+      // the group holds fewer than k values.
+      val k = 64
+      val h = graft.text.TextFunctions.hash60(
+        concat(lit("u:"), col("user_id")))
+      val du = events(s, dir).select(col("event_type"), col("user_id")).distinct()
+        .withColumn("h", h)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+      du.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(col("event_type"))
+        .agg(max(col("h")).as("kth_min_hash"), count(lit(1)).as("n_in_sketch"))
+        .select(col("event_type"), col("kth_min_hash"),
+          when(col("n_in_sketch") < k, col("n_in_sketch"))
+            .otherwise(floor(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+              / col("kth_min_hash")))
+            .cast("long").as("est_distinct"))
+    }),
     "q64_asof_join" -> ((s, dir) => {
       // as-of join: each event picks the LATEST state snapshot at or
       // before its timestamp per user. DuckDB checks it with its NATIVE
@@ -195,6 +230,30 @@ object RelationalQueries {
         |WHERE rank <= 3""".stripMargin,
     "q10_facts_count" ->
       "SELECT user_id, event_type, COUNT(*) AS facts FROM events GROUP BY user_id, event_type",
+    "q65_range_join" ->
+      """WITH intervals AS (
+        |  SELECT o_orderkey, o_totalprice % 450.0 AS lo,
+        |    o_totalprice % 450.0 + 2.0 AS hi
+        |  FROM orders WHERE o_orderkey % 8 = 0)
+        |SELECT e.event_id, i.o_orderkey
+        |FROM events e JOIN intervals i
+        |  ON e.value BETWEEN i.lo AND i.hi""".stripMargin,
+    "q66_kmv_sketch" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type,
+        |        CAST('0x' || substr(md5('u:' || user_id), 1, 15) AS BIGINT) AS h
+        |      FROM du),
+        |topk AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, h,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+        |    FROM h)
+        |  WHERE rn <= 64)
+        |SELECT event_type, MAX(h) AS kth_min_hash,
+        |  CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+        |       ELSE FLOOR(63.0 * 1152921504606846976.0 / MAX(h)) END AS BIGINT)
+        |    AS est_distinct
+        |FROM topk GROUP BY event_type""".stripMargin,
     "q64_asof_join" ->
       """WITH states AS (
         |  SELECT user_id, ts, MAX(CAST(ROUND(value*10000,0) AS BIGINT)) AS state_bp
