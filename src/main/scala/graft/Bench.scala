@@ -30,7 +30,8 @@ object Bench {
     "q30b_pip_join_salted", "q31b_knn_rings", "q32_raster_tiles",
     "q34_changes_dedup", "q38_delete_set", "q39_node_triples",
     "q40_nodes_after_merge", "q52_ways_after_merge", "q56_multipolygon_pip",
-    "q60_incremental_pip")
+    "q60_incremental_pip", "q61_decontaminate", "q63_sessionize",
+    "q64_asof_join", "q65_range_join")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e
