@@ -104,6 +104,33 @@ object RelationalQueries {
         .select(col("o_custkey"), col("rank"), col("o_orderkey"),
           cents(col("o_totalprice")).as("price_cents"))
     }),
+    "q67_quantiles" -> ((s, dir) =>
+      // exact interpolated percentiles (both engines: linear interp at
+      // p*(n-1)); bp conversion AFTER the quantile keeps the arithmetic
+      // order identical
+      events(s, dir).groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)") * 10000, 0).cast("long").as("p50_bp"),
+          round(expr("percentile(value, 0.9)") * 10000, 0).cast("long").as("p90_bp"))),
+    "q68_pivot" -> ((s, dir) => {
+      // reshape: per user-bucket event-type counts as columns (Spark
+      // .pivot with an explicit type list keeps the plan one pass)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, dir)
+        .groupBy((col("user_id") % 100).as("ub"))
+        .pivot("event_type", types).count()
+      p.select(col("ub") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+    "q69_rollup" -> ((s, dir) =>
+      // multi-level aggregation in one pass; grouping nulls coalesced to
+      // sentinels so both engines hash the same rows
+      events(s, dir)
+        .withColumn("ub", col("user_id") % 10)
+        .rollup(col("event_type"), col("ub"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 10000, 0).cast("long")).as("v_bp"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("ub"), lit(-1L)).as("ub"), col("n"), col("v_bp"))),
     "q65_range_join" -> ((s, dir) => {
       // numeric range join through the 1-D bucket prefilter — a naive
       // BETWEEN join plans as a nested loop; this shuffles once on the
@@ -230,6 +257,26 @@ object RelationalQueries {
         |WHERE rank <= 3""".stripMargin,
     "q10_facts_count" ->
       "SELECT user_id, event_type, COUNT(*) AS facts FROM events GROUP BY user_id, event_type",
+    "q67_quantiles" ->
+      """SELECT event_type,
+        |  CAST(ROUND(quantile_cont(value, 0.5)*10000, 0) AS BIGINT) AS p50_bp,
+        |  CAST(ROUND(quantile_cont(value, 0.9)*10000, 0) AS BIGINT) AS p90_bp
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q68_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"""COUNT(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n  ")
+      s"""SELECT user_id % 100 AS ub,
+         |  $cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
+    "q69_rollup" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(ub, -1) AS ub,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*10000, 0) AS BIGINT)) AS BIGINT) AS v_bp
+        |FROM (SELECT event_type, user_id % 10 AS ub, value FROM events)
+        |GROUP BY ROLLUP(event_type, ub)""".stripMargin,
     "q65_range_join" ->
       """WITH intervals AS (
         |  SELECT o_orderkey, o_totalprice % 450.0 AS lo,
