@@ -33,7 +33,11 @@ class Replicator(spark: SparkSession, root: String) {
   /** Optional in-loop RDF store (subj_key, s, p, o) keyed by OWNING
     * object — maintained per batch when an initial snapshot exists.
     * Owner-keying turns the reference's two-hop SPARQL DELETE into a
-    * per-object bucket replace (see TripleDerive owner-keyed faces). */
+    * per-object bucket replace (see TripleDerive owner-keyed faces).
+    * Families maintained: node link+geometry, way members+WKT, relation
+    * members — everything derivable from the snapshot layers. Tag
+    * triples (q39/q54/q55 shapes) need a tag column on those layers;
+    * adding one extends the same owner-keyed merge unchanged. */
   val triples: SnapshotTable = SnapshotTable.load(spark, s"$root/triples")
   private val ckpt = Paths.get(root, "applied_seq")
 
