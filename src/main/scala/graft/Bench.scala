@@ -1,15 +1,26 @@
 package graft
 
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.osm.ChangePipeline
+import graft.osm.{ChangePipeline, Replicator}
 import graft.queries.Tables
 import graft.spatial.SpatialJoin
 import graft.synth.SynthUniverse
+import graft.tables.SnapshotTable
 
 /** Benchmark main (driver contract): one JSON line with per-query
   * seconds plus the headline end-to-end docs/sec of the full
   * spatial-join + OsmChange-delta pipeline (BASELINE.md protocol).
+  *
+  * Timing hygiene: every timed run starts from a CLEAN cache state —
+  * `spark.catalog.clearCache()` + unpersist of all persistent RDDs
+  * (localCheckpoint blocks included) — so no query's internal
+  * `.cache()` leaks into another query's measurement and repeated reps
+  * measure the full query, not a cache hit (the BENCH_r02 e2e
+  * regression was exactly this pollution). JIT/codegen/file-listing
+  * warm-up still carries across runs, which is the point of best-of-N.
   *
   * Run at two parallelism levels for the scaling-efficiency evidence:
   * {{{
@@ -44,15 +55,56 @@ object Bench {
     * 8: 134k, 9: 80k at local[32] factor 100). */
   val PipRes: Int = sys.env.getOrElse("SPARK_GRAFT_PIP_RES", "8").toInt
 
-  /** The full north-rule pipeline as ONE job: extract geo-entities →
-    * partitioned+salted PIP join → raster tiles, PLUS change-batch W1
-    * dedup → MERGE of the node layer. Returns materialized row count. */
-  def e2ePipeline(s: SparkSession, dir: String): Long = {
-    val pts0 = SynthUniverse.points(s, dir)
+  /** Drop every cached plan and persisted RDD block (localCheckpoints
+    * included) so the next timed run starts cache-cold. */
+  def clearState(s: SparkSession): Unit = {
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  private def rmrf(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  }
+
+  /** Untimed setup: materialize the 4-layer snapshot store
+    * (nodes / ways / rels / owner-keyed triples) the live replication
+    * loop maintains — the steady-state table a deployment would
+    * already have before a change batch arrives. */
+  def buildStore(s: SparkSession, dir: String, root: String): Unit = {
+    rmrf(root)
+    val buckets = math.max(16, s.sparkContext.defaultParallelism)
+    val nodes = SynthUniverse.nodes(s, dir)
+    SnapshotTable.create(s, s"$root/nodes", nodes, Seq("node_id"), buckets)
+    val wm = SynthUniverse.wayMembers(s, dir)
+    val baseWays = ChangePipeline.reconstructWays(
+      wm.select(col("way_id")).distinct(), wm, nodes)
+    SnapshotTable.create(s, s"$root/ways", baseWays, Seq("way_id"), buckets)
+    val rm = SynthUniverse.relMembers(s, dir)
+    val baseRels = rm
+      .groupBy(col("rel_id"))
+      .agg(sort_array(collect_list(struct(
+        col("pos"), col("member_kind"), col("member_id"), col("role")))).as("ms"))
+      .select(col("rel_id"),
+        array_join(transform(col("ms"), m =>
+          concat(m.getField("member_kind"), lit("/"),
+            m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
+          ";").as("members"))
+    SnapshotTable.create(s, s"$root/rels", baseRels, Seq("rel_id"), buckets)
+    val triples = graft.rdf.TripleDerive.ownedNodeTriples(nodes)
+      .unionByName(graft.rdf.TripleDerive.ownedWayTriples(baseWays))
+      .unionByName(graft.rdf.TripleDerive.ownedRelTriples(baseRels))
+      .select(col("subj_key"), col("s"), col("p"), col("o"))
+    SnapshotTable.create(s, s"$root/triples", triples, Seq("subj_key"), buckets)
+  }
+
+  /** The ×F-replicated geo-entity stream (shared by the e2e faces). */
+  private def replicatedPoints(s: SparkSession, dir: String): DataFrame =
     // repartition the SMALL base set, then multiply inside each task:
     // the broadcast-NL crossJoin preserves partitioning, so the xF
     // replica stream is born distributed instead of shuffling xF rows
-    val pts = pts0
+    SynthUniverse.points(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .crossJoin(broadcast(s.range(E2eFactor).select(col("id").as("rep"))))
       .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
@@ -61,6 +113,15 @@ object Bench {
         // different cell neighborhood, so join keys stay balanced
         (col("lon") + (col("rep") % 16 - 8) * 2.37).as("lon"),
         (col("lat") + (col("rep") % 8 - 4) * 1.93).as("lat"))
+
+  /** The full north-rule pipeline as ONE job: extract geo-entities →
+    * partitioned+salted PIP join → raster tiles, PLUS the REAL
+    * replication contract — the W1-deduped change batch applied by
+    * [[Replicator.applyOps]] across all three layers and the
+    * owner-keyed triple store (bucketed MERGEs included). Returns
+    * materialized row count + applied op count. */
+  def e2ePipeline(s: SparkSession, dir: String, storeRoot: String): Long = {
+    val pts = replicatedPoints(s, dir)
     val polys = SpatialJoin.polygons(
       SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
     val pip = SpatialJoin.pipJoin(pts, polys, res = PipRes,
@@ -68,23 +129,16 @@ object Bench {
     val tiles = pip
       .withColumn("tile", graft.geo.GeoFunctions.cellAt(col("lon"), col("lat"), 5))
       .groupBy(col("tile")).agg(count(lit(1)).as("n"))
-    val winners = ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir))
-    val merged = ChangePipeline.applyNodeOps(SynthUniverse.nodes(s, dir), winners)
-    tiles.count() + merged.count()
+    val winners = ChangePipeline.dedupLatest(SynthUniverse.changesFull(s, dir))
+    val applied = new Replicator(s, storeRoot).applyOps(winners)
+    tiles.count() + applied
   }
 
   /** SPARK_GRAFT_E2E_PROFILE=1: time each e2e leg separately (each
     * count recomputes its upstream — legs are cumulative shapes, the
     * point is comparing their 8-core vs 32-core ratios). */
-  def e2eProfile(s: SparkSession, dir: String): Unit = {
-    val pts0 = SynthUniverse.points(s, dir)
-    val pts = pts0
-      .repartition(s.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(s.range(E2eFactor).select(col("id").as("rep"))))
-      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
-        col("entity"),
-        (col("lon") + (col("rep") % 16 - 8) * 2.37).as("lon"),
-        (col("lat") + (col("rep") % 8 - 4) * 1.93).as("lat"))
+  def e2eProfile(s: SparkSession, dir: String, storeRoot: String): Unit = {
+    val pts = replicatedPoints(s, dir)
     val polys = SpatialJoin.polygons(
       SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
     val pip = SpatialJoin.pipJoin(pts, polys, res = PipRes,
@@ -98,8 +152,8 @@ object Bench {
     }
     t("points")(pts.count()); t("polys")(polys.count())
     t("pip")(pip.count()); t("tiles")(tiles.count())
-    val winners = ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir))
-    t("merge")(ChangePipeline.applyNodeOps(SynthUniverse.nodes(s, dir), winners).count())
+    val winners = ChangePipeline.dedupLatest(SynthUniverse.changesFull(s, dir))
+    t("applyOps")(new Replicator(s, storeRoot).applyOps(winners))
   }
 
   private def time[A](f: => A): (Double, A) = {
@@ -128,23 +182,36 @@ object Bench {
     val onlySet = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val headline2 = onlySet.map(o => headline.filter(o)).getOrElse(headline)
     val skipE2e = sys.env.contains("SPARK_GRAFT_SKIP_E2E")
+    val storeRoot = sys.env.getOrElse("SPARK_GRAFT_STORE", "target/bench-store")
+
+    if (!skipE2e) buildStore(spark, sfDir, storeRoot) // untimed setup
 
     if (sys.env.contains("SPARK_GRAFT_E2E_PROFILE")) {
-      e2eProfile(spark, sfDir); e2eProfile(spark, sfDir) // 2nd = warm
+      e2eProfile(spark, sfDir, storeRoot)
+      clearState(spark)
+      e2eProfile(spark, sfDir, storeRoot) // 2nd = warm JIT, cold cache
       spark.stop(); return
     }
 
-    // warm-up: JIT + codegen + file-listing caches (not timed)
+    // warm-up: JIT + codegen + file-listing caches (not timed). The
+    // kNN ring path is included — its first run pays the heaviest JIT
+    // bill of the suite and the >30s rule must never record it cold.
     SparkEntry.queries("q01_pricing_agg")(spark, sfDir).count()
-    if (!skipE2e) e2ePipeline(spark, sfDir)
+    SparkEntry.queries("q31b_knn_rings")(spark, sfDir).count()
+    clearState(spark)
+    if (!skipE2e) { e2ePipeline(spark, sfDir, storeRoot); clearState(spark) }
 
-    // best-of-3 per query: single-shot timings on this box swing 2-4x
-    // with JIT/GC phase; the min is the stable, comparable statistic.
-    // Queries already >10s skip the repeats to bound total wall time.
+    // best-of-3 per query, each rep cache-cold (clearState) but
+    // JIT-warm: single-shot timings on this box swing 2-4x with JIT/GC
+    // phase; the min is the stable, comparable statistic. Only
+    // pathological >30s queries skip the repeats.
     val results = headline2.map { name =>
-      def once = time(SparkEntry.queries(name)(spark, sfDir).count())._1
+      def once = {
+        clearState(spark)
+        time(SparkEntry.queries(name)(spark, sfDir).count())._1
+      }
       val first = once
-      val sec = if (first > 10) first else (Seq(first) ++ (1 to 2).map(_ => once)).min
+      val sec = if (first > 30) first else (Seq(first) ++ (1 to 2).map(_ => once)).min
       name -> sec
     }
     val docs = Tables.documents(spark, sfDir).count() * E2eFactor
@@ -152,7 +219,10 @@ object Bench {
     val e2eReps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "3").toInt
     val e2eSec =
       if (skipE2e) 0.0
-      else (1 to e2eReps).map(_ => time(e2ePipeline(spark, sfDir))._1).min
+      else (1 to e2eReps).map { _ =>
+        clearState(spark)
+        time(e2ePipeline(spark, sfDir, storeRoot))._1
+      }.min
     val docsPerSec = if (skipE2e) 0.0 else docs / e2eSec
 
     val qs = (if (skipE2e) results else results :+ ("e2e_pipeline" -> e2eSec))

@@ -86,130 +86,186 @@ class Replicator(spark: SparkSession, root: String) {
     * so both faces share the exact same MERGE logic). Does NOT advance
     * the sequence checkpoint. */
   def applyOps(winnersIn: DataFrame): Long = {
+    // AQE is scoped OFF for the batch apply: the delta DAGs are bounded
+    // by batch size (small, statically well-planned), and AQE turns
+    // each of their many exchanges into a separate sequentially
+    // materialized query stage — measured ~1.6x wall overhead per
+    // merge on the bench batch with zero plan improvement.
+    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try applyOpsInner(winnersIn)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas.getOrElse("true"))
+  }
+
+  /** Build every layer's delta from PRE-merge snapshots + winners, then
+    * commit the four MERGEs concurrently. The key identity making that
+    * legal: the node layer ways rebuild against is computed IN-PLAN via
+    * [[ChangePipeline.applyNodeOps]] — row-identical to reading the
+    * node table back after its merge (proven by the q40/q52 oracle
+    * family) — and the triple upserts for an object are exactly its
+    * delta rows, so no merge needs another merge's committed files.
+    * Each table commits its own snapshot independently; a partial
+    * failure leaves some layers advanced, which the idempotent MERGE +
+    * post-batch seq checkpoint (ST4) makes safe to re-apply. */
+  private def applyOpsInner(winnersIn: DataFrame): Long = {
     val winners = winnersIn.cache() // ST2+ST5, reused per layer
+    winners.count() // materialize ONCE before the parallel merges fork
     val nodeOps = winners.filter(col("kind") === "node")
       .select(col("id").as("node_id"),
         col("lon").as("lon"), col("lat").as("lat"),
         (col("action") === "delete").as("deleted"))
-    var applied = nodeOps.count()
-    nodes.mergeInto(nodeOps, Seq("node_id"), deleteMarker = Some("deleted")) // ST4
-    // ways/relations rebuild against the POST-merge node layer (the
-    // reference reconstructs from change-file nodes overlaid on the db)
-    val mergedNodes = nodes.read()
+    val nodeUpserts = winners
+      .filter(col("kind") === "node" && col("action").isin("create", "modify"))
+      .select(col("id").as("node_id"), col("lon"), col("lat"))
+    // in-plan merged node layer (== the node table post-merge)
+    val mergedNodes = ChangePipeline.applyNodeOps(nodes.read(), winners)
 
-    // ---- way layer ----
+    val noWays = winners.filter(lit(false)).select(col("id").as("way_id"))
+    // ---- way delta ----
     // stale detection reads the PRE-merge way snapshot; the change file
     // itself supplies member lists for created/modified ways.
-    val noWays = winners.filter(lit(false)).select(col("id").as("way_id"))
-    var wayUpsertIds: DataFrame = noWays
-    var relUpsertIds: DataFrame = noWays.select(col("way_id").as("rel_id"))
-    val staleW: DataFrame = if (ways.currentSnapshot.isEmpty) noWays else {
-      val base = ways.read()
-      val snapMembers = base
-        .select(col("way_id"), posexplode(split(col("members"), ";")).as(Seq("pos", "nid")))
-        .select(col("way_id"), col("pos"), col("nid").cast("long").as("node_id"))
-      val st = ChangePipeline.staleWays(winners, snapMembers)
-      val changeMembers = winners
-        .filter(col("kind") === "way" && col("action").isin("create", "modify"))
-        .select(col("id").as("way_id"), posexplode(col("nodeRefs")).as(Seq("pos", "node_id")))
-      val membership = changeMembers
-        .unionByName(snapMembers.join(st, Seq("way_id"), "left_semi"))
-      val upsertIds = winners
-        .filter(col("kind") === "way" && col("action").isin("create", "modify"))
-        .select(col("id").as("way_id"))
-        .union(st.select(col("way_id"))).distinct()
-      wayUpsertIds = upsertIds
-      val upserts = ChangePipeline.reconstructWays(upsertIds, membership, mergedNodes)
-        .withColumn("deleted", lit(false))
-      val dels = winners.filter(col("kind") === "way" && col("action") === "delete")
-        .select(col("id").as("way_id"), lit(null).cast("string").as("members"),
-          lit(null).cast("string").as("wkt"), lit(true).as("deleted"))
-      val delta = upserts.unionByName(dels)
-      applied += delta.count()
-      ways.mergeInto(delta, Seq("way_id"), deleteMarker = Some("deleted"))
-      st
-    }
+    var staleW: DataFrame = noWays
+    val wayDelta: Option[(DataFrame, DataFrame)] = // (delta, upserts)
+      if (ways.currentSnapshot.isEmpty) None
+      else {
+        val base = ways.read()
+        val snapMembers = base
+          .select(col("way_id"), posexplode(split(col("members"), ";")).as(Seq("pos", "nid")))
+          .select(col("way_id"), col("pos"), col("nid").cast("long").as("node_id"))
+        // shared by the way merge, the relation stale probe, and the
+        // triple-store upsert — cache + materialize the small id set
+        // once, before the concurrent merges race to compute it
+        val st = ChangePipeline.staleWays(winners, snapMembers).cache()
+        st.count()
+        staleW = st
+        val changeMembers = winners
+          .filter(col("kind") === "way" && col("action").isin("create", "modify"))
+          .select(col("id").as("way_id"), posexplode(col("nodeRefs")).as(Seq("pos", "node_id")))
+        val membership = changeMembers
+          .unionByName(snapMembers.join(st, Seq("way_id"), "left_semi"))
+        val upsertIds = winners
+          .filter(col("kind") === "way" && col("action").isin("create", "modify"))
+          .select(col("id").as("way_id"))
+          .union(st.select(col("way_id"))).distinct()
+        // cached (not eagerly): the way merge and the triple merge
+        // consume the same reconstruction DAG concurrently — the cache
+        // lock makes whichever arrives first compute each partition once
+        val upserts = ChangePipeline.reconstructWays(upsertIds, membership, mergedNodes)
+          .cache()
+        val dels = winners.filter(col("kind") === "way" && col("action") === "delete")
+          .select(col("id").as("way_id"), lit(null).cast("string").as("members"),
+            lit(null).cast("string").as("wkt"))
+        Some((upserts.withColumn("deleted", lit(false))
+          .unionByName(dels.withColumn("deleted", lit(true))), upserts))
+      }
 
-    // ---- relation layer ----
-    if (rels.currentSnapshot.isDefined) {
-      val base = rels.read()
-      val snapRm = base
-        .select(col("rel_id"), posexplode(split(col("members"), ";")).as(Seq("pos", "m")))
-        .select(col("rel_id"), col("pos"),
-          split_part(col("m"), lit("/"), lit(1)).as("mtype"),
-          split_part(col("m"), lit("/"), lit(2)).cast("long").as("member_id"),
-          split_part(col("m"), lit("/"), lit(3)).as("role"))
-      val staleR0 = ChangePipeline.staleRels(winners,
-        snapRm.filter(col("mtype") === "way"), staleW)
-      // J4 closure leg (empty unless spark.graft.relsOfRels=true —
-      // reference-disabled parity): parents of modified/stale relations
-      // also re-reconstruct
-      val staleR = staleR0.union(ChangePipeline.staleRelsOfRels(winners,
-          snapRm.select(col("rel_id"), col("member_id"),
-            col("mtype").as("member_kind")), staleR0))
-        .distinct()
-      val changeRm = winners
-        .filter(col("kind") === "relation" && col("action").isin("create", "modify"))
-        .select(col("id").as("rel_id"), posexplode(col("members")).as(Seq("pos", "m")))
-        .select(col("rel_id"), col("pos"),
-          col("m.mtype").as("mtype"), col("m.ref").as("member_id"), col("m.role").as("role"))
-      val membership = changeRm
-        .unionByName(snapRm.join(staleR, Seq("rel_id"), "left_semi"))
-      val upsertIds = winners
-        .filter(col("kind") === "relation" && col("action").isin("create", "modify"))
-        .select(col("id").as("rel_id"))
-        .union(staleR.select(col("rel_id"))).distinct()
-      relUpsertIds = upsertIds
-      val upserts = membership.join(upsertIds, Seq("rel_id"), "left_semi")
-        .groupBy(col("rel_id"))
-        .agg(sort_array(collect_list(struct(
-          col("pos"), col("mtype"), col("member_id"), col("role")))).as("ms"))
-        .select(col("rel_id"),
-          array_join(transform(col("ms"), m =>
-            concat(m.getField("mtype"), lit("/"),
-              m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
-            ";").as("members"))
-        .withColumn("deleted", lit(false))
-      val dels = winners.filter(col("kind") === "relation" && col("action") === "delete")
-        .select(col("id").as("rel_id"), lit(null).cast("string").as("members"),
-          lit(true).as("deleted"))
-      val delta = upserts.unionByName(dels)
-      applied += delta.count()
-      rels.mergeInto(delta, Seq("rel_id"), deleteMarker = Some("deleted"))
-    }
+    // ---- relation delta ----
+    val relDelta: Option[(DataFrame, DataFrame)] =
+      if (rels.currentSnapshot.isEmpty) None
+      else {
+        val base = rels.read()
+        val snapRm = base
+          .select(col("rel_id"), posexplode(split(col("members"), ";")).as(Seq("pos", "m")))
+          .select(col("rel_id"), col("pos"),
+            split_part(col("m"), lit("/"), lit(1)).as("mtype"),
+            split_part(col("m"), lit("/"), lit(2)).cast("long").as("member_id"),
+            split_part(col("m"), lit("/"), lit(3)).as("role"))
+        val staleR0 = ChangePipeline.staleRels(winners,
+          snapRm.filter(col("mtype") === "way"), staleW)
+        // J4 closure leg (empty unless spark.graft.relsOfRels=true —
+        // reference-disabled parity): parents of modified/stale
+        // relations also re-reconstruct
+        val staleR = staleR0.union(ChangePipeline.staleRelsOfRels(winners,
+            snapRm.select(col("rel_id"), col("member_id"),
+              col("mtype").as("member_kind")), staleR0))
+          .distinct()
+        val changeRm = winners
+          .filter(col("kind") === "relation" && col("action").isin("create", "modify"))
+          .select(col("id").as("rel_id"), posexplode(col("members")).as(Seq("pos", "m")))
+          .select(col("rel_id"), col("pos"),
+            col("m.mtype").as("mtype"), col("m.ref").as("member_id"), col("m.role").as("role"))
+        val membership = changeRm
+          .unionByName(snapRm.join(staleR, Seq("rel_id"), "left_semi"))
+        val upsertIds = winners
+          .filter(col("kind") === "relation" && col("action").isin("create", "modify"))
+          .select(col("id").as("rel_id"))
+          .union(staleR.select(col("rel_id"))).distinct()
+        val upserts = membership.join(upsertIds, Seq("rel_id"), "left_semi")
+          .groupBy(col("rel_id"))
+          .agg(sort_array(collect_list(struct(
+            col("pos"), col("mtype"), col("member_id"), col("role")))).as("ms"))
+          .select(col("rel_id"),
+            array_join(transform(col("ms"), m =>
+              concat(m.getField("mtype"), lit("/"),
+                m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
+              ";").as("members"))
+        val upsertsC = upserts.cache() // shared: rel merge + triple merge
+        val dels = winners.filter(col("kind") === "relation" && col("action") === "delete")
+          .select(col("id").as("rel_id"), lit(null).cast("string").as("members"))
+        Some((upsertsC.withColumn("deleted", lit(false))
+          .unionByName(dels.withColumn("deleted", lit(true))), upsertsC))
+      }
 
-    // ---- triple layer (optional) ----
-    if (triples.currentSnapshot.isDefined) {
-      val nodeUp = winners
-        .filter(col("kind") === "node" && col("action").isin("create", "modify"))
-        .select(col("id").as("node_id"))
-      val nodeT = graft.rdf.TripleDerive.ownedNodeTriples(
-        mergedNodes.join(nodeUp, Seq("node_id"), "left_semi"))
-      val wayT =
-        if (ways.currentSnapshot.isEmpty) None
-        else Some(graft.rdf.TripleDerive.ownedWayTriples(
-          ways.read().join(wayUpsertIds, Seq("way_id"), "left_semi")))
-      val relT =
-        if (rels.currentSnapshot.isEmpty) None
-        else Some(graft.rdf.TripleDerive.ownedRelTriples(
-          rels.read().join(relUpsertIds, Seq("rel_id"), "left_semi")))
-      val ups = (Seq(nodeT) ++ wayT ++ relT).reduce(_ unionByName _)
-        .select(col("subj_key"), col("s"), col("p"), col("o"))
-        .withColumn("deleted", lit(false))
-      // upserted owners replace implicitly through the merge key; only
-      // deleted objects need explicit markers
-      def delKeys(kind: String, pfx: String): DataFrame = winners
-        .filter(col("kind") === kind && col("action") === "delete")
-        .select(concat(lit(pfx), col("id")).as("subj_key"),
-          lit(null).cast("string").as("s"), lit(null).cast("string").as("p"),
-          lit(null).cast("string").as("o"), lit(true).as("deleted"))
-      val delta = ups
-        .unionByName(delKeys("node", "node:"))
-        .unionByName(delKeys("way", "way:"))
-        .unionByName(delKeys("relation", "rel:"))
-      triples.mergeInto(delta, Seq("subj_key"), deleteMarker = Some("deleted"))
-    }
+    // ---- triple delta (optional) — derived from the layer DELTAS, no
+    // post-merge reads: an upserted owner's merged rows ARE its delta
+    // rows, and owners absent from a layer delta keep their triples
+    // because their subj_key never enters this merge. ----
+    val tripleDelta: Option[DataFrame] =
+      if (triples.currentSnapshot.isEmpty) None
+      else {
+        val nodeT = graft.rdf.TripleDerive.ownedNodeTriples(nodeUpserts)
+        val wayT = wayDelta.map { case (_, ups) =>
+          graft.rdf.TripleDerive.ownedWayTriples(ups) }
+        val relT = relDelta.map { case (_, ups) =>
+          graft.rdf.TripleDerive.ownedRelTriples(ups) }
+        val ups = (Seq(nodeT) ++ wayT ++ relT).reduce(_ unionByName _)
+          .select(col("subj_key"), col("s"), col("p"), col("o"))
+          .withColumn("deleted", lit(false))
+        // upserted owners replace implicitly through the merge key;
+        // only deleted objects need explicit markers
+        def delKeys(kind: String, pfx: String): DataFrame = winners
+          .filter(col("kind") === kind && col("action") === "delete")
+          .select(concat(lit(pfx), col("id")).as("subj_key"),
+            lit(null).cast("string").as("s"), lit(null).cast("string").as("p"),
+            lit(null).cast("string").as("o"), lit(true).as("deleted"))
+        Some(ups
+          .unionByName(delKeys("node", "node:"))
+          .unionByName(delKeys("way", "way:"))
+          .unionByName(delKeys("relation", "rel:")))
+      }
 
+    // ---- commit all four MERGEs concurrently (ST4) ----
+    // applied counts come back from the merges' own touched-bucket
+    // histograms — the delta DAGs run exactly ONCE (inside the merge
+    // write), never a second time for a count() action. The triple
+    // merge is bookkeeping, not an applied op count.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    def timed[A](name: String)(f: => A): A =
+      if (!spark.conf.getOption("spark.graft.timing").exists(_.toBoolean)) f
+      else {
+        val t0 = System.nanoTime(); val a = f
+        println(f"[graft-timing] $name%-13s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        a
+      }
+    val merges: Seq[() => Long] =
+      Seq(() => timed("nodes.merge")(nodes.mergeInto(nodeOps, Seq("node_id"),
+        deleteMarker = Some("deleted")).updateRows)) ++
+      wayDelta.map { case (d, _) => () => timed("ways.merge")(
+        ways.mergeInto(d, Seq("way_id"), deleteMarker = Some("deleted")).updateRows) } ++
+      relDelta.map { case (d, _) => () => timed("rels.merge")(
+        rels.mergeInto(d, Seq("rel_id"), deleteMarker = Some("deleted")).updateRows) } ++
+      tripleDelta.map { d => () => timed("triples.merge") {
+        triples.mergeInto(d, Seq("subj_key"), deleteMarker = Some("deleted")); 0L } }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(merges.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val applied =
+      try Await.result(Future.sequence(merges.map(m => Future(m()))), Duration.Inf).sum
+      finally pool.shutdown()
+
+    wayDelta.foreach { case (_, u) => u.unpersist() }
+    relDelta.foreach { case (_, u) => u.unpersist() }
+    staleW.unpersist() // no-op for the never-cached empty placeholder
     winners.unpersist()
     applied
   }

@@ -117,6 +117,26 @@ object SynthUniverse {
       (lit(1) + col("user_id") % 5).cast("int").as("version"),
       ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
       ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
+
+  /** [[changes]] + the member payloads a real OsmChange file carries
+    * (the `<nd ref>`/`<member>` children OscReader parses): way ops
+    * list their node refs (the closed-ring formula of [[wayMembers]]),
+    * relation ops their typed members (the [[relMembers]] formula) —
+    * so [[graft.osm.Replicator.applyOps]] exercises the change-file
+    * membership path, not only the stale-rebuild path. */
+  def changesFull(s: SparkSession, dir: String): DataFrame =
+    changes(s, dir)
+      .withColumn("nodeRefs",
+        when(col("kind") === "way" && col("action").isin("create", "modify"),
+          transform(sequence(lit(0), lit(4)), p => col("id") * 10 + p % 4))
+          .otherwise(lit(null).cast("array<bigint>")))
+      .withColumn("members",
+        when(col("kind") === "relation" && col("action").isin("create", "modify"),
+          transform(sequence(lit(0), lit(9)), p => struct(
+            lit("way").as("mtype"), (col("id") * 10 + p).as("ref"),
+            when(p === 0, "outer").otherwise("inner").as("role"))))
+          .otherwise(lit(null)
+            .cast("array<struct<mtype:string,ref:bigint,role:string>>")))
 }
 
 /** DuckDB CTE mirrors of [[SynthUniverse]] — exact same arithmetic,

@@ -31,6 +31,12 @@ import scala.jdk.CollectionConverters._
   * design. Tables created without key columns keep the v1 flat layout
   * and full-rewrite merge (legacy path).
   *
+  * INVARIANT: snapshot data dirs are IMMUTABLE once committed. Because
+  * newer snapshots reference older snapshots' bucket dirs in their
+  * `bucketSrc` manifests, a data dir may only be removed once NO live
+  * snapshot's manifest points at it (i.e. expire snapshots oldest-first
+  * and delete a dir only after every manifest referencing it is gone).
+  *
   * Replaces the reference's SPARQL UPDATE sink
   * (/root/reference/src/sparql/SparqlWrapper.cpp:88-110): the endpoint
   * IS the table store; `clearCache` becomes unpersist-on-commit.
@@ -73,16 +79,48 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
         val Array(b, n) = e.split(":"); b.toInt -> n.toLong
       }.toMap).getOrElse(Map.empty)
 
+  /** bucket -> on-disk bytes manifest — carried so a merge never walks
+    * untouched buckets' data dirs just to report byte metrics. */
+  private def bucketBytes(id: Long): Map[Int, Long] =
+    snapshotInfo(id).get("bucketBytes").filter(_.nonEmpty)
+      .map(_.split(";").map { e =>
+        val Array(b, n) = e.split(":"); b.toInt -> n.toLong
+      }.toMap).getOrElse(Map.empty)
+
+  /** Per-bucket bytes of a freshly written snapshot data dir (one walk
+    * of only THIS snapshot's files). */
+  private def writtenBucketBytes(dir: Path): Map[Int, Long] =
+    if (!Files.exists(dir)) Map.empty
+    else Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__b="))
+      .map(d => d.getFileName.toString.stripPrefix("__b=").toInt -> dirBytes(d))
+      .toMap
+
   def read(): DataFrame = currentSnapshot match {
     case Some(id) => readAt(id)
     case None => throw new IllegalStateException(s"no current snapshot at $root")
   }
 
-  /** Time travel: read the table as of a given snapshot id. */
+  /** Time travel: read the table as of a given snapshot id.
+    *
+    * A bucketed snapshot whose every row was deleted has an EMPTY
+    * bucket manifest and no data dirs of its own — that case returns
+    * an empty frame with the schema recorded in the snapshot metadata
+    * instead of pointing spark.read at a dir with no parquet files. */
   def readAt(id: Long): DataFrame = {
     val buckets = bucketPaths(id)
-    if (buckets.isEmpty) spark.read.parquet(dataDir(id).toString)
-    else spark.read.parquet(buckets.values.map(_.toString).toSeq.sorted: _*)
+    if (buckets.nonEmpty)
+      spark.read.parquet(buckets.values.map(_.toString).toSeq.sorted: _*)
+    else {
+      val info = snapshotInfo(id)
+      if (info.get("keyCols").exists(_.nonEmpty)) {
+        val ddl = info.getOrElse("schema", throw new IllegalStateException(
+          s"bucketed snapshot $id at $root is empty and records no schema"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      } else spark.read.parquet(dataDir(id).toString)
+    }
   }
 
   def snapshots: Seq[Long] =
@@ -139,22 +177,39 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
   private def bucketExpr(keyCols: Seq[String], numBuckets: Int) =
     pmod(hash(keyCols.map(col): _*), lit(numBuckets))
 
-  /** Full bucketed write: every bucket dir lands under this snapshot. */
+  /** Cluster rows on `__b` before a partitionBy("__b") write: without
+    * it every task writes one file PER BUCKET it happens to hold
+    * (tasks × buckets tiny files — measured 1024 files per small merge,
+    * and every later read/list/footer-count pays for them). One
+    * shuffle of only the written rows yields one file per bucket;
+    * `maxRecordsPerFile` re-splits oversized buckets at real scale. */
+  private def clusterByBucket(df: DataFrame, numBuckets: Int): DataFrame =
+    df.repartition(numBuckets, col("__b"))
+
+  /** Full bucketed write: every bucket dir lands under this snapshot.
+    * The clustered frame is cached so the per-bucket row histogram and
+    * the file write share ONE computation of the input DAG — no
+    * read-back listing/footer pass over the files just written. */
   def commitBucketed(df: DataFrame, operation: String,
       keyCols: Seq[String], numBuckets: Int): Long = {
     val id = currentSnapshot.getOrElse(0L) + 1
     val dir = dataDir(id)
-    df.withColumn("__b", bucketExpr(keyCols, numBuckets))
-      .write.mode("overwrite").partitionBy("__b").parquet(dir.toString)
-    // per-bucket row counts from the written files (footer-metadata scan)
-    val counts = spark.read.parquet(dir.toString)
-      .groupBy(col("__b")).agg(count(lit(1)).as("n"))
+    val out = clusterByBucket(
+      df.withColumn("__b", bucketExpr(keyCols, numBuckets)), numBuckets).cache()
+    val counts = out.groupBy(col("__b")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy("__b").parquet(dir.toString)
+    out.unpersist()
     val src = counts.keys.map(_ -> id).toMap
-    writeMeta(id, operation, counts.values.sum, dirBytes(dir), Map(
+    val bytes = writtenBucketBytes(dir)
+    writeMeta(id, operation, counts.values.sum, bytes.values.sum, Map(
       "keyCols" -> keyCols.mkString(","), "numBuckets" -> numBuckets.toString,
+      "schema" -> df.schema.toDDL,
       "bucketSrc" -> serBuckets(src),
-      "bucketRows" -> serBuckets(counts.map { case (b, n) => b -> n })))
+      "bucketRows" -> serBuckets(counts),
+      "bucketBytes" -> serBuckets(bytes)))
   }
 
   /** MERGE INTO: upsert by key — rows in `updates` replace same-key
@@ -163,9 +218,13 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     * updates twice yields an identical table.
     *
     * On a bucketed table only the buckets containing update keys are
-    * rewritten; untouched buckets carry forward by reference. */
+    * rewritten; untouched buckets carry forward by reference. Returns
+    * the new snapshot id AND the number of update rows applied — the
+    * count falls out of the touched-bucket histogram the merge already
+    * computes, so callers never pay a second pass over the delta DAG
+    * just to count it. */
   def mergeInto(updates: DataFrame, keyCols: Seq[String],
-      deleteMarker: Option[String] = None): Long = {
+      deleteMarker: Option[String] = None): MergeResult = {
     val cur = currentSnapshot.getOrElse(
       throw new IllegalStateException(s"no current snapshot at $root"))
     val info = snapshotInfo(cur)
@@ -175,28 +234,43 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
           s"table bucketed on [$keys], merge keyed on [${keyCols.mkString(",")}]")
         mergeBucketed(cur, updates, keyCols, info("numBuckets").toInt, deleteMarker)
       case None => // legacy flat table: copy-on-write of everything
+        val upd = updates.cache()
+        val n = upd.count()
         val base = read()
-        val keep = base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+        val keep = base.join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
         val ins = deleteMarker match {
-          case Some(m) => updates.filter(!col(m)).drop(m)
-          case None => updates
+          case Some(m) => upd.filter(!col(m)).drop(m)
+          case None => upd
         }
-        commit(keep.unionByName(ins), "merge")
+        val id = commit(keep.unionByName(ins), "merge")
+        upd.unpersist()
+        MergeResult(id, n)
     }
   }
 
   private def mergeBucketed(cur: Long, updates: DataFrame, keyCols: Seq[String],
-      numBuckets: Int, deleteMarker: Option[String]): Long = {
+      numBuckets: Int, deleteMarker: Option[String]): MergeResult = {
     val upd = updates.withColumn("__b", bucketExpr(keyCols, numBuckets)).cache()
-    // the touched-bucket list is <= numBuckets small ints — the ONLY
-    // thing the driver ever collects here
-    val touched = upd.select(col("__b")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    // the touched-bucket histogram is <= numBuckets small rows — the
+    // ONLY thing the driver ever collects here; it doubles as the
+    // applied-row count so callers need no separate count() action
+    val updStats = upd.groupBy(col("__b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val touched = updStats.map(_._1).toSet
+    val updateRows = updStats.map(_._2).sum
     val srcMap = bucketSources(cur)
     val rowsMap = bucketRows(cur)
     val touchedDirs = touched.toSeq.sorted
       .flatMap(b => srcMap.get(b).map(s => bucketDir(s, b).toString))
-    val keyOnly = upd.select(keyCols.map(col): _*)
+    // distinct keys only (an owner-keyed delta repeats its key per
+    // row), broadcast while the batch is small: without the hint the
+    // cached delta's size estimate exceeds the auto threshold and the
+    // anti-join degrades to a sort-merge join that SORTS the whole
+    // kept base — measured as the dominant cost of wide-table merges
+    val keyDistinct = upd.select(keyCols.map(col): _*).distinct()
+    val keyOnly =
+      if (updateRows <= 5000000L) broadcast(keyDistinct)
+      else keyDistinct.hint("shuffle_hash")
     val keep =
       if (touchedDirs.isEmpty) None
       else Some(spark.read.parquet(touchedDirs: _*)
@@ -205,15 +279,28 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
       case Some(m) => upd.filter(!col(m)).drop(m)
       case None => upd
     }).drop("__b")
-    val out = keep.map(_.unionByName(ins)).getOrElse(ins)
-      .withColumn("__b", bucketExpr(keyCols, numBuckets))
-
     val id = cur + 1
     val dir = dataDir(id)
-    out.write.mode("overwrite").partitionBy("__b").parquet(dir.toString)
+    // two writes, NO full-bucket shuffle: the kept base rows come out
+    // of per-bucket dirs already bucket-aligned (their partition tasks
+    // each hold exactly one __b value), so they stream scan→anti-join→
+    // write; only the (batch-sized) delta is clustered. Untouched-row
+    // rewrite never shuffles — the merge's shuffle cost is O(batch).
+    // __b is re-derived from the keys (the read targets the bucket
+    // dirs directly, so the partition column isn't inferred) — a pure
+    // projection that preserves the bucket alignment of the scan tasks
+    keep.foreach(_.withColumn("__b", bucketExpr(keyCols, numBuckets))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy("__b").parquet(dir.toString))
+    clusterByBucket(ins.withColumn("__b", bucketExpr(keyCols, numBuckets)), numBuckets)
+      .write.mode(if (keep.isEmpty) "overwrite" else "append")
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy("__b").parquet(dir.toString)
     upd.unpersist()
-    // which touched buckets still hold rows (a fully-deleted bucket
-    // writes no dir and drops out of the manifest)
+    // per-bucket counts via a partition-column-only scan (row counts
+    // come from the parquet footers; no data pages are read). A fully
+    // deleted bucket has no dir and drops out of the manifest.
     val hasData = Files.exists(dir) && Files.list(dir).iterator().asScala
       .exists(_.getFileName.toString.startsWith("__b="))
     val written =
@@ -223,13 +310,25 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val newSrc = (srcMap -- touched) ++ written.keys.map(_ -> id)
     val newRows = (rowsMap -- touched) ++ written
-    val untouchedBytes = (srcMap -- touched).map { case (b, s) => dirBytes(bucketDir(s, b)) }.sum
-    writeMeta(id, "merge", newRows.values.sum, untouchedBytes + dirBytes(dir), Map(
+    // untouched buckets' bytes come from the parent manifest (legacy
+    // snapshots without one fall back to a dir walk)
+    val bytesMap = bucketBytes(cur)
+    val untouched = (srcMap -- touched).map { case (b, s) =>
+      b -> bytesMap.getOrElse(b, dirBytes(bucketDir(s, b))) }
+    val newBytes = untouched ++ writtenBucketBytes(dir)
+    val sid = writeMeta(id, "merge", newRows.values.sum, newBytes.values.sum, Map(
       "keyCols" -> keyCols.mkString(","), "numBuckets" -> numBuckets.toString,
+      "schema" -> ins.schema.toDDL,
       "bucketSrc" -> serBuckets(newSrc),
-      "bucketRows" -> serBuckets(newRows)))
+      "bucketRows" -> serBuckets(newRows),
+      "bucketBytes" -> serBuckets(newBytes)))
+    MergeResult(sid, updateRows)
   }
 }
+
+/** Result of a [[SnapshotTable.mergeInto]]: the committed snapshot id
+  * plus the number of update rows applied (upserts + delete markers). */
+case class MergeResult(snapshotId: Long, updateRows: Long)
 
 object SnapshotTable {
   /** Create with key columns (the default path) → hash-bucketed layout
