@@ -75,11 +75,13 @@ object Bench {
   def buildStore(s: SparkSession, dir: String, root: String): Unit = {
     rmrf(root)
     val buckets = math.max(16, s.sparkContext.defaultParallelism)
-    val nodes = SynthUniverse.nodes(s, dir)
+    val nodes = SynthUniverse.nodesMeta(s, dir)
     SnapshotTable.create(s, s"$root/nodes", nodes, Seq("node_id"), buckets)
     val wm = SynthUniverse.wayMembers(s, dir)
     val baseWays = ChangePipeline.reconstructWays(
-      wm.select(col("way_id")).distinct(), wm, nodes)
+        wm.select(col("way_id")).distinct(), wm, nodes)
+      .withColumn("ts", SynthUniverse.synthTs(col("way_id")))
+      .withColumn("tags", SynthUniverse.wayTagMap(col("way_id")))
     SnapshotTable.create(s, s"$root/ways", baseWays, Seq("way_id"), buckets)
     val rm = SynthUniverse.relMembers(s, dir)
     val baseRels = rm
@@ -91,10 +93,12 @@ object Bench {
           concat(m.getField("member_kind"), lit("/"),
             m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
           ";").as("members"))
+      .withColumn("ts", SynthUniverse.synthTs(col("rel_id")))
+      .withColumn("tags", lit(null).cast("map<string,string>"))
     SnapshotTable.create(s, s"$root/rels", baseRels, Seq("rel_id"), buckets)
-    val triples = graft.rdf.TripleDerive.ownedNodeTriples(nodes)
-      .unionByName(graft.rdf.TripleDerive.ownedWayTriples(baseWays))
-      .unionByName(graft.rdf.TripleDerive.ownedRelTriples(baseRels))
+    val triples = graft.rdf.TripleDerive.ownedNodeTriplesFull(nodes)
+      .unionByName(graft.rdf.TripleDerive.ownedWayTriplesFull(baseWays))
+      .unionByName(graft.rdf.TripleDerive.ownedRelTriplesFull(baseRels))
       .select(col("subj_key"), col("s"), col("p"), col("o"))
     SnapshotTable.create(s, s"$root/triples", triples, Seq("subj_key"), buckets)
   }

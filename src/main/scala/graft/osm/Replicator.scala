@@ -35,9 +35,11 @@ class Replicator(spark: SparkSession, root: String) {
     * Owner-keying turns the reference's two-hop SPARQL DELETE into a
     * per-object bucket replace (see TripleDerive owner-keyed faces).
     * Families maintained: node link+geometry, way members+WKT, relation
-    * members — everything derivable from the snapshot layers. Tag
-    * triples (q39/q54/q55 shapes) need a tag column on those layers;
-    * adding one extends the same owner-keyed merge unchanged. */
+    * members, PLUS — when the layers carry ts/tags columns — the full
+    * J10 meta families (rdf:type / osmmeta:timestamp / osmkey:* /
+    * osm2rdf:facts, the q39/q54/q55 shapes) per
+    * /root/reference/src/osm/OsmDataFetcher.cpp:333-395 and
+    * src/sparql/QueryWriter.cpp:242-255. */
   val triples: SnapshotTable = SnapshotTable.load(spark, s"$root/triples")
   private val ckpt = Paths.get(root, "applied_seq")
 
@@ -110,15 +112,41 @@ class Replicator(spark: SparkSession, root: String) {
   private def applyOpsInner(winnersIn: DataFrame): Long = {
     val winners = winnersIn.cache() // ST2+ST5, reused per layer
     winners.count() // materialize ONCE before the parallel merges fork
+    // J10 metadata: a layer whose snapshot carries ts/tags columns (and
+    // a change stream that supplies them) maintains the full
+    // type/timestamp/tag/facts triple families; changed objects take
+    // the change file's values, stale rebuilds carry the stored ones
+    // forward (the reference re-fetches exactly these,
+    // /root/reference/src/osm/OsmDataFetcher.cpp:333-395).
+    val winMeta = Seq("ts", "tags").forall(winners.columns.contains)
+    def hasMeta(base: DataFrame): Boolean =
+      winMeta && Seq("ts", "tags").forall(base.columns.contains)
+    val baseNodes = nodes.read()
+    val nodeMeta = hasMeta(baseNodes)
+    val metaCols: Seq[org.apache.spark.sql.Column] =
+      if (nodeMeta) Seq(col("ts"), col("tags")) else Nil
     val nodeOps = winners.filter(col("kind") === "node")
-      .select(col("id").as("node_id"),
-        col("lon").as("lon"), col("lat").as("lat"),
-        (col("action") === "delete").as("deleted"))
+      .select(Seq(col("id").as("node_id"),
+        col("lon").as("lon"), col("lat").as("lat")) ++ metaCols :+
+        (col("action") === "delete").as("deleted"): _*)
     val nodeUpserts = winners
       .filter(col("kind") === "node" && col("action").isin("create", "modify"))
-      .select(col("id").as("node_id"), col("lon"), col("lat"))
+      .select(Seq(col("id").as("node_id"), col("lon"), col("lat")) ++ metaCols: _*)
     // in-plan merged node layer (== the node table post-merge)
-    val mergedNodes = ChangePipeline.applyNodeOps(nodes.read(), winners)
+    val mergedNodes = ChangePipeline.applyNodeOps(baseNodes, winners)
+
+    // enrich a reconstructed upsert set with ts/tags: change-file values
+    // win, stale rebuilds keep the stored layer values
+    def withMeta(upserts: DataFrame, base: DataFrame, kind: String,
+        idCol: String): DataFrame = {
+      val wm = winners.filter(col("kind") === kind && col("action").isin("create", "modify"))
+        .select(col("id").as(idCol), col("ts").as("__wts"), col("tags").as("__wtags"))
+      val bm = base.select(col(idCol), col("ts").as("__bts"), col("tags").as("__btags"))
+      upserts.join(wm, Seq(idCol), "left").join(bm, Seq(idCol), "left")
+        .withColumn("ts", coalesce(col("__wts"), col("__bts")))
+        .withColumn("tags", coalesce(col("__wtags"), col("__btags")))
+        .drop("__wts", "__wtags", "__bts", "__btags")
+    }
 
     val noWays = winners.filter(lit(false)).select(col("id").as("way_id"))
     // ---- way delta ----
@@ -147,16 +175,22 @@ class Replicator(spark: SparkSession, root: String) {
           .filter(col("kind") === "way" && col("action").isin("create", "modify"))
           .select(col("id").as("way_id"))
           .union(st.select(col("way_id"))).distinct()
+        val upserts0 = ChangePipeline.reconstructWays(upsertIds, membership, mergedNodes)
         // cached (not eagerly): the way merge and the triple merge
         // consume the same reconstruction DAG concurrently — the cache
         // lock makes whichever arrives first compute each partition once
-        val upserts = ChangePipeline.reconstructWays(upsertIds, membership, mergedNodes)
-          .cache()
+        val upserts = (if (hasMeta(base)) withMeta(upserts0, base, "way", "way_id")
+          else upserts0).cache()
         val dels = winners.filter(col("kind") === "way" && col("action") === "delete")
           .select(col("id").as("way_id"), lit(null).cast("string").as("members"),
             lit(null).cast("string").as("wkt"))
+        val delsM =
+          if (hasMeta(base))
+            dels.withColumn("ts", lit(null).cast("timestamp"))
+              .withColumn("tags", lit(null).cast("map<string,string>"))
+          else dels
         Some((upserts.withColumn("deleted", lit(false))
-          .unionByName(dels.withColumn("deleted", lit(true))), upserts))
+          .unionByName(delsM.withColumn("deleted", lit(true))), upserts))
       }
 
     // ---- relation delta ----
@@ -199,11 +233,17 @@ class Replicator(spark: SparkSession, root: String) {
               concat(m.getField("mtype"), lit("/"),
                 m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
               ";").as("members"))
-        val upsertsC = upserts.cache() // shared: rel merge + triple merge
+        val upsertsC = (if (hasMeta(base)) withMeta(upserts, base, "relation", "rel_id")
+          else upserts).cache() // shared: rel merge + triple merge
         val dels = winners.filter(col("kind") === "relation" && col("action") === "delete")
           .select(col("id").as("rel_id"), lit(null).cast("string").as("members"))
+        val delsM =
+          if (hasMeta(base))
+            dels.withColumn("ts", lit(null).cast("timestamp"))
+              .withColumn("tags", lit(null).cast("map<string,string>"))
+          else dels
         Some((upsertsC.withColumn("deleted", lit(false))
-          .unionByName(dels.withColumn("deleted", lit(true))), upsertsC))
+          .unionByName(delsM.withColumn("deleted", lit(true))), upsertsC))
       }
 
     // ---- triple delta (optional) — derived from the layer DELTAS, no
@@ -213,11 +253,11 @@ class Replicator(spark: SparkSession, root: String) {
     val tripleDelta: Option[DataFrame] =
       if (triples.currentSnapshot.isEmpty) None
       else {
-        val nodeT = graft.rdf.TripleDerive.ownedNodeTriples(nodeUpserts)
+        val nodeT = graft.rdf.TripleDerive.ownedNodeTriplesFull(nodeUpserts)
         val wayT = wayDelta.map { case (_, ups) =>
-          graft.rdf.TripleDerive.ownedWayTriples(ups) }
+          graft.rdf.TripleDerive.ownedWayTriplesFull(ups) }
         val relT = relDelta.map { case (_, ups) =>
-          graft.rdf.TripleDerive.ownedRelTriples(ups) }
+          graft.rdf.TripleDerive.ownedRelTriplesFull(ups) }
         val ups = (Seq(nodeT) ++ wayT ++ relT).reduce(_ unionByName _)
           .select(col("subj_key"), col("s"), col("p"), col("o"))
           .withColumn("deleted", lit(false))

@@ -117,6 +117,76 @@ object OsmQueries {
         rm.select(col("rel_id")).distinct(), rm)
       ChangePipeline.applyRelOps(base, w, rm, sr)
     }),
+    "q70_triples_after_merge" -> ((s, dir) => {
+      // The FULL post-merge triple store (J10 closure): every surviving
+      // object's complete osm2rdf family — link/geometry/member triples
+      // PLUS rdf:type / osmmeta:timestamp / osmkey tags / osm2rdf:facts
+      // (/root/reference/src/osm/OsmDataFetcher.cpp:333-395,
+      // src/sparql/QueryWriter.cpp:242-255) — derived from the merged
+      // meta-carrying layers exactly as Replicator.applyOps maintains
+      // them: changed objects take the change file's ts, everything
+      // else keeps the stored layer ts; tag state stays closed-form.
+      val w = ChangePipeline.dedupLatest(SynthUniverse.changesFull(s, dir)).cache()
+      val nodes0 = SynthUniverse.nodes(s, dir)
+      val wm = SynthUniverse.wayMembers(s, dir)
+      val rm = SynthUniverse.relMembers(s, dir)
+      val st = ChangePipeline.staleWays(w, wm)
+      // merged node layer + meta
+      val ups = w.filter(col("kind") === "node" && col("action").isin("create", "modify"))
+        .select(col("id").as("node_id"), col("lon").as("w_lon"),
+          col("lat").as("w_lat"), col("ts").as("w_ts"))
+      val dels = w.filter(col("kind") === "node" && col("action") === "delete")
+        .select(col("id"))
+      val mergedNodes = nodes0
+        .join(dels, col("node_id") === col("id"), "left_anti")
+        .join(ups, Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("w_lon"), col("lon")).as("lon"),
+          coalesce(col("w_lat"), col("lat")).as("lat"),
+          col("w_ts"))
+        .unionByName(ups.join(nodes0, Seq("node_id"), "left_anti")
+          .select(col("node_id"), col("w_lon").as("lon"), col("w_lat").as("lat"),
+            col("w_ts")))
+        .withColumn("ts", coalesce(col("w_ts"), SynthUniverse.synthTs(col("node_id"))))
+        .drop("w_ts")
+        .withColumn("tags", SynthUniverse.nodeTagMap(col("node_id")))
+      // merged way layer (q52 shape) + meta
+      val mergedCoords = ChangePipeline.applyNodeOps(nodes0, w)
+      val baseW = ChangePipeline.reconstructWays(
+        wm.select(col("way_id")).distinct(), wm, nodes0)
+      val wTs = w.filter(col("kind") === "way" && col("action").isin("create", "modify"))
+        .select(col("id").as("way_id"), col("ts").as("w_ts"))
+      val mergedWays = ChangePipeline.applyWayOps(baseW, w, wm, mergedCoords, st)
+        .join(wTs, Seq("way_id"), "left")
+        .withColumn("ts", coalesce(col("w_ts"), SynthUniverse.synthTs(col("way_id"))))
+        .drop("w_ts")
+        .withColumn("tags", SynthUniverse.wayTagMap(col("way_id")))
+      // merged relation layer in the store's mtype/ref/role members
+      // format (relations carry no geometry; content is formula-stable,
+      // so post-merge = all base relations minus the deleted ones)
+      val relDels = w.filter(col("kind") === "relation" && col("action") === "delete")
+        .select(col("id").as("rel_id"))
+      val rTs = w.filter(col("kind") === "relation" && col("action").isin("create", "modify"))
+        .select(col("id").as("rel_id"), col("ts").as("w_ts"))
+      val mergedRels = rm
+        .groupBy(col("rel_id"))
+        .agg(sort_array(collect_list(struct(
+          col("pos"), col("member_kind"), col("member_id"), col("role")))).as("ms"))
+        .select(col("rel_id"),
+          array_join(transform(col("ms"), m =>
+            concat(m.getField("member_kind"), lit("/"),
+              m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
+            ";").as("members"))
+        .join(relDels, Seq("rel_id"), "left_anti")
+        .join(rTs, Seq("rel_id"), "left")
+        .withColumn("ts", coalesce(col("w_ts"), SynthUniverse.synthTs(col("rel_id"))))
+        .drop("w_ts")
+        .withColumn("tags", lit(null).cast("map<string,string>"))
+      TripleDerive.ownedNodeTriplesFull(mergedNodes)
+        .unionByName(TripleDerive.ownedWayTriplesFull(mergedWays))
+        .unionByName(TripleDerive.ownedRelTriplesFull(mergedRels))
+        .select(col("s"), col("p"), col("o"))
+    }),
   )
 
   private val winnersCte: String = SynthSql.winnersCte
@@ -307,5 +377,107 @@ object OsmQueries {
          |WHERE rel_id NOT IN (SELECT rel_id FROM gone)
          |UNION ALL
          |SELECT rel_id, members FROM upserts""".stripMargin,
+    "q70_triples_after_merge" ->
+      s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
+         |  ${SynthSql.relMembersCte}, ${SynthSql.waysCte}, ${SynthSql.nodesCte}, $staleCte,
+         |ups AS (SELECT id, lon, lat, ts FROM winners
+         |        WHERE kind='node' AND action IN ('create','modify')),
+         |dels AS (SELECT id FROM winners WHERE kind='node' AND action='delete'),
+         |merged_nodes AS (
+         |  SELECT n.node_id, COALESCE(u.lon, n.lon) AS lon, COALESCE(u.lat, n.lat) AS lat,
+         |    COALESCE(u.ts, ${SynthSql.synthTsSql("n.node_id")}) AS ts
+         |  FROM nodes n LEFT JOIN ups u ON n.node_id = u.id
+         |  WHERE n.node_id NOT IN (SELECT id FROM dels)
+         |  UNION ALL
+         |  SELECT u.id, u.lon, u.lat, u.ts FROM ups u
+         |  WHERE u.id NOT IN (SELECT node_id FROM nodes)),
+         |way_upsert_ids AS (
+         |  SELECT id AS way_id FROM winners WHERE kind='way' AND action IN ('create','modify')
+         |  UNION SELECT way_id FROM stale_ways),
+         |way_base AS (
+         |  SELECT wm.way_id,
+         |    'LINESTRING(' || STRING_AGG(printf('%.7f %.7f', n.lon, n.lat), ', ' ORDER BY wm.pos) || ')' AS wkt
+         |  FROM way_members wm JOIN nodes n ON wm.node_id = n.node_id
+         |  GROUP BY wm.way_id),
+         |way_upserts AS (
+         |  SELECT wm.way_id,
+         |    'LINESTRING(' || STRING_AGG(printf('%.7f %.7f', mn.lon, mn.lat), ', ' ORDER BY wm.pos) || ')' AS wkt
+         |  FROM way_members wm
+         |  JOIN way_upsert_ids ui ON wm.way_id = ui.way_id
+         |  JOIN merged_nodes mn ON wm.node_id = mn.node_id
+         |  GROUP BY wm.way_id),
+         |way_gone AS (
+         |  SELECT id AS way_id FROM winners WHERE kind='way' AND action='delete'
+         |  UNION SELECT way_id FROM way_upsert_ids),
+         |merged_ways AS (
+         |  SELECT way_id, wkt FROM way_base WHERE way_id NOT IN (SELECT way_id FROM way_gone)
+         |  UNION ALL SELECT way_id, wkt FROM way_upserts),
+         |merged_ways_meta AS (
+         |  SELECT mw.way_id, mw.wkt,
+         |    COALESCE(wt.ts, ${SynthSql.synthTsSql("mw.way_id")}) AS ts
+         |  FROM merged_ways mw
+         |  LEFT JOIN (SELECT id, ts FROM winners WHERE kind='way' AND action IN ('create','modify')) wt
+         |    ON mw.way_id = wt.id),
+         |way_members_out AS (
+         |  SELECT wm.way_id, wm.pos AS mpos, wm.node_id FROM way_members wm
+         |  WHERE wm.way_id IN (SELECT way_id FROM merged_ways)
+         |    AND wm.way_id NOT IN (SELECT way_id FROM way_upsert_ids)
+         |  UNION ALL
+         |  SELECT wm.way_id,
+         |    ROW_NUMBER() OVER (PARTITION BY wm.way_id ORDER BY wm.pos) - 1 AS mpos,
+         |    wm.node_id
+         |  FROM way_members wm
+         |  JOIN way_upsert_ids ui ON wm.way_id = ui.way_id
+         |  JOIN merged_nodes mn ON wm.node_id = mn.node_id
+         |  WHERE wm.way_id IN (SELECT way_id FROM merged_ways)),
+         |merged_rels AS (
+         |  SELECT DISTINCT rel_id FROM rel_members
+         |  WHERE rel_id NOT IN (SELECT id FROM winners WHERE kind='relation' AND action='delete')),
+         |merged_rels_meta AS (
+         |  SELECT r.rel_id, COALESCE(wt.ts, ${SynthSql.synthTsSql("r.rel_id")}) AS ts
+         |  FROM merged_rels r
+         |  LEFT JOIN (SELECT id, ts FROM winners WHERE kind='relation' AND action IN ('create','modify')) wt
+         |    ON r.rel_id = wt.id),
+         |rel_members_out AS (
+         |  SELECT rm.* FROM rel_members rm
+         |  WHERE rm.rel_id IN (SELECT rel_id FROM merged_rels))
+         |SELECT 'osmnode:' || node_id AS s, 'geo:hasGeometry' AS p,
+         |  'osm2rdfgeom:osm_node_' || node_id AS o FROM merged_nodes
+         |UNION ALL SELECT 'osm2rdfgeom:osm_node_' || node_id, 'geo:asWKT',
+         |  'POINT(' || printf('%.7f', lon) || ' ' || printf('%.7f', lat) || ')' FROM merged_nodes
+         |UNION ALL SELECT 'osmnode:' || node_id, 'rdf:type', 'osm:node' FROM merged_nodes
+         |UNION ALL SELECT 'osmnode:' || node_id, 'osmmeta:timestamp',
+         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM merged_nodes
+         |UNION ALL SELECT 'osmnode:' || node_id, 'osmkey:k' || (node_id % 5),
+         |  'v' || (node_id % 7) FROM merged_nodes
+         |UNION ALL SELECT 'osmnode:' || node_id, 'osm2rdf:facts', '1' FROM merged_nodes
+         |UNION ALL SELECT 'osmway:' || way_id, 'osmway:member',
+         |  'osm2rdfmember:way_' || way_id || '_' || mpos FROM way_members_out
+         |UNION ALL SELECT 'osm2rdfmember:way_' || way_id || '_' || mpos,
+         |  'osm2rdfmember:id', 'osmnode:' || node_id FROM way_members_out
+         |UNION ALL SELECT 'osm2rdfmember:way_' || way_id || '_' || mpos,
+         |  'osm2rdfmember:pos', CAST(mpos AS VARCHAR) FROM way_members_out
+         |UNION ALL SELECT 'osmway:' || way_id, 'geo:asWKT', wkt
+         |  FROM merged_ways_meta WHERE wkt IS NOT NULL
+         |UNION ALL SELECT 'osmway:' || way_id, 'rdf:type', 'osm:way' FROM merged_ways_meta
+         |UNION ALL SELECT 'osmway:' || way_id, 'osmmeta:timestamp',
+         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM merged_ways_meta
+         |UNION ALL SELECT 'osmway:' || way_id, 'osmkey:name', 'way_' || way_id FROM merged_ways_meta
+         |UNION ALL SELECT 'osmway:' || way_id, 'osmkey:type', 'multipolygon'
+         |  FROM merged_ways_meta WHERE way_id % 4 = 0
+         |UNION ALL SELECT 'osmway:' || way_id, 'osm2rdf:facts',
+         |  CASE WHEN way_id % 4 = 0 THEN '2' ELSE '1' END FROM merged_ways_meta
+         |UNION ALL SELECT 'osmrel:' || rel_id, 'osmrel:member',
+         |  'osm2rdfmember:rel_' || rel_id || '_' || pos FROM rel_members_out
+         |UNION ALL SELECT 'osm2rdfmember:rel_' || rel_id || '_' || pos,
+         |  'osm2rdfmember:id', 'osmway:' || member_id FROM rel_members_out
+         |UNION ALL SELECT 'osm2rdfmember:rel_' || rel_id || '_' || pos,
+         |  'osm2rdfmember:role', role FROM rel_members_out
+         |UNION ALL SELECT 'osm2rdfmember:rel_' || rel_id || '_' || pos,
+         |  'osm2rdfmember:pos', CAST(pos AS VARCHAR) FROM rel_members_out
+         |UNION ALL SELECT 'osmrel:' || rel_id, 'rdf:type', 'osm:relation' FROM merged_rels_meta
+         |UNION ALL SELECT 'osmrel:' || rel_id, 'osmmeta:timestamp',
+         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM merged_rels_meta
+         |UNION ALL SELECT 'osmrel:' || rel_id, 'osm2rdf:facts', '0' FROM merged_rels_meta""".stripMargin,
   )
 }

@@ -202,6 +202,56 @@ object TripleDerive {
         regexp_extract(col("s"), "(\\d+)$", 1))))
   }
 
+  // ---- full J10 families (type / timestamp / tags / facts) -----------
+  // The reference re-fetches tags+timestamp for every stale object and
+  // re-inserts the whole family each batch
+  // (/root/reference/src/osm/OsmDataFetcher.cpp:333-395,
+  // src/sparql/QueryWriter.cpp:242-255); its two-hop DELETE removes tag
+  // triples too (QueryWriter.cpp:42-60). Here the layers CARRY the
+  // metadata (optional `ts` timestamp and `tags` map columns), so the
+  // full family derives in-plan from the layer row alone — emission is
+  // column-guarded: layers without metadata emit only the type triple.
+
+  /** rdf:type + osmmeta:timestamp + osmkey:* + osm2rdf:facts for any
+    * layer frame, owner-keyed. ts/tags families appear only when the
+    * frame carries those columns (and ts is non-null). */
+  private def ownedMetaTriples(objs: DataFrame, idCol: String,
+      pfx: String, rdfType: String, keyPfx: String): DataFrame = {
+    val k = concat(lit(keyPfx), col(idCol)).as("subj_key")
+    val s = concat(lit(pfx), col(idCol)).as("s")
+    val typeT = objs.select(k, s, lit("rdf:type").as("p"), lit(rdfType).as("o"))
+    val tsT =
+      if (!objs.columns.contains("ts")) None
+      else Some(objs.filter(col("ts").isNotNull)
+        .select(k, s, lit("osmmeta:timestamp").as("p"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("o")))
+    val tagT =
+      if (!objs.columns.contains("tags")) None
+      else Some(objs.select(k, s, explode(col("tags")).as(Seq("tk", "tv")))
+        .select(col("subj_key"), col("s"),
+          concat(lit("osmkey:"), col("tk")).as("p"), col("tv").as("o")))
+    val factsT =
+      if (!objs.columns.contains("tags")) None
+      else Some(objs.select(k, s, lit("osm2rdf:facts").as("p"),
+        coalesce(size(col("tags")), lit(0)).cast("string").as("o")))
+    (Seq(typeT) ++ tsT ++ tagT ++ factsT).reduce(_ unionByName _)
+  }
+
+  /** [[ownedNodeTriples]] + the meta family. */
+  def ownedNodeTriplesFull(nodes: DataFrame): DataFrame =
+    ownedNodeTriples(nodes).unionByName(
+      ownedMetaTriples(nodes, "node_id", "osmnode:", "osm:node", "node:"))
+
+  /** [[ownedWayTriples]] + the meta family. */
+  def ownedWayTriplesFull(ways: DataFrame): DataFrame =
+    ownedWayTriples(ways).unionByName(
+      ownedMetaTriples(ways, "way_id", "osmway:", "osm:way", "way:"))
+
+  /** [[ownedRelTriples]] + the meta family. */
+  def ownedRelTriplesFull(rels: DataFrame): DataFrame =
+    ownedRelTriples(rels).unionByName(
+      ownedMetaTriples(rels, "rel_id", "osmrel:", "osm:relation", "rel:"))
+
   /** J11: two-hop delete — remove triples whose subject is a deleted
     * element AND triples of objects linked from them (the OPTIONAL
     * second hop of the reference's DELETE statement,

@@ -1,6 +1,6 @@
 package graft.synth
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.Tables
 import graft.text.TextFunctions
@@ -118,12 +118,42 @@ object SynthUniverse {
       ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
       ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
 
+  // ---- layer metadata formulas (mirrored in [[SynthSql]]) ------------
+
+  /** Deterministic layer timestamp: 2024-01-01T00:00:00Z + (id % 86400)
+    * seconds — gives every stored object a stable, oracle-expressible
+    * osmmeta:timestamp. */
+  def synthTs(id: Column): Column =
+    timestamp_seconds(lit(1704067200L) + pmod(id, lit(86400)))
+
+  /** Node tag map — same key/value formula as the [[tags]] table. */
+  def nodeTagMap(id: Column): Column =
+    map(concat(lit("k"), pmod(id, lit(5))), concat(lit("v"), pmod(id, lit(7))))
+
+  /** Way tag map — name always, type=multipolygon every 4th way (the
+    * [[tags]] table's formula). */
+  def wayTagMap(id: Column): Column =
+    when(pmod(id, lit(4)) === 0,
+      map(lit("name"), concat(lit("way_"), id),
+        lit("type"), lit("multipolygon")))
+      .otherwise(map(lit("name"), concat(lit("way_"), id)))
+
+  /** [[nodes]] + the ts/tags metadata columns a full snapshot layer
+    * carries (drives the J10 meta triple families). */
+  def nodesMeta(s: SparkSession, dir: String): DataFrame =
+    nodes(s, dir)
+      .withColumn("ts", synthTs(col("node_id")))
+      .withColumn("tags", nodeTagMap(col("node_id")))
+
   /** [[changes]] + the member payloads a real OsmChange file carries
-    * (the `<nd ref>`/`<member>` children OscReader parses): way ops
-    * list their node refs (the closed-ring formula of [[wayMembers]]),
-    * relation ops their typed members (the [[relMembers]] formula) —
-    * so [[graft.osm.Replicator.applyOps]] exercises the change-file
-    * membership path, not only the stale-rebuild path. */
+    * (the `<nd ref>`/`<member>`/`<tag>` children OscReader parses): way
+    * ops list their node refs (the closed-ring formula of
+    * [[wayMembers]]), relation ops their typed members (the
+    * [[relMembers]] formula), and create/modify ops carry the tag map
+    * (same formulas as the base layers, so the post-merge tag state
+    * stays closed-form for the oracle) — so
+    * [[graft.osm.Replicator.applyOps]] exercises the change-file
+    * membership and tag paths, not only the stale-rebuild path. */
   def changesFull(s: SparkSession, dir: String): DataFrame =
     changes(s, dir)
       .withColumn("nodeRefs",
@@ -137,6 +167,12 @@ object SynthUniverse {
             when(p === 0, "outer").otherwise("inner").as("role"))))
           .otherwise(lit(null)
             .cast("array<struct<mtype:string,ref:bigint,role:string>>")))
+      .withColumn("tags",
+        when(col("kind") === "node" && col("action").isin("create", "modify"),
+          nodeTagMap(col("id")))
+          .when(col("kind") === "way" && col("action").isin("create", "modify"),
+            wayTagMap(col("id")))
+          .otherwise(lit(null).cast("map<string,string>")))
 }
 
 /** DuckDB CTE mirrors of [[SynthUniverse]] — exact same arithmetic,
@@ -189,6 +225,10 @@ object SynthSql {
       |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
       |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
       |  FROM events)""".stripMargin
+
+  /** DuckDB mirror of [[SynthUniverse.synthTs]]. */
+  def synthTsSql(id: String): String =
+    s"TIMESTAMP '2024-01-01 00:00:00' + ($id % 86400) * INTERVAL 1 SECOND"
 
   /** W1 winners — the ONE definition of the dedup-to-latest tie-break,
     * mirrored by [[graft.osm.ChangePipeline.dedupLatest]] and the

@@ -138,30 +138,44 @@ class ReplicatorSpec extends SparkTestBase {
     assert(finalState(root)(1L) === ((10.5, 20.5)))
   }
 
-  test("in-loop triple store: incremental maintenance == full re-derivation") {
+  test("in-loop triple store: incremental maintenance == full re-derivation (full J10 families)") {
     import spark.implicits._
     import graft.rdf.TripleDerive._
+    import org.apache.spark.sql.functions.{lit, map, to_timestamp}
     val root = fresh("triples")
+    // layers carry ts/tags -> the live loop maintains the FULL J10
+    // family (type / timestamp / osmkey tags / facts), not just
+    // link+geometry+members
+    val baseNodesM = baseNodes
+      .withColumn("ts", to_timestamp(lit("2023-12-01 00:00:00")))
+      .withColumn("tags", map(lit("amenity"), lit("bench")))
     val baseWays = Seq(
       (10L, "1;2;3",
         "LINESTRING(0.0000000 0.0000000, 5.0000000 5.0000000, 7.0000000 7.0000000)"))
       .toDF("way_id", "members", "wkt")
+      .withColumn("ts", to_timestamp(lit("2023-12-02 00:00:00")))
+      .withColumn("tags", map(lit("highway"), lit("residential")))
     val baseRels = Seq((100L, "way/10/outer")).toDF("rel_id", "members")
-    SnapshotTable.create(spark, s"$root/nodes", baseNodes, Seq("node_id"))
+      .withColumn("ts", to_timestamp(lit("2023-12-03 00:00:00")))
+      .withColumn("tags", lit(null).cast("map<string,string>"))
+    SnapshotTable.create(spark, s"$root/nodes", baseNodesM, Seq("node_id"))
     SnapshotTable.create(spark, s"$root/ways", baseWays, Seq("way_id"))
     SnapshotTable.create(spark, s"$root/rels", baseRels, Seq("rel_id"))
     SnapshotTable.create(spark, s"$root/triples",
-      ownedNodeTriples(baseNodes)
-        .unionByName(ownedWayTriples(baseWays))
-        .unionByName(ownedRelTriples(baseRels))
+      ownedNodeTriplesFull(baseNodesM)
+        .unionByName(ownedWayTriplesFull(baseWays))
+        .unionByName(ownedRelTriplesFull(baseRels))
         .select(col("subj_key"), col("s"), col("p"), col("o")),
       Seq("subj_key"))
     val repl = new Replicator(spark, root)
     val dir = fresh("triples-changes")
-    // node 1 moves (stales way 10), node 2 deleted, way 20 + rel 200
-    // created, then way 20 deleted again in a later batch
+    // node 1 moves WITH a new tag (stales way 10), node 2 deleted,
+    // way 20 + rel 200 created, then way 20 deleted in a later batch
+    val node1Tagged =
+      """<node id="1" version="2" timestamp="2024-01-02T00:00:00Z" lat="20.5" lon="10.5">""" +
+        """<tag k="name" v="moved"/></node>"""
     Files.write(Paths.get(dir, "000000001.osc.gz"), gz(osc(
-      s"""<modify>${node(1, 2, 10.5, 20.5)}</modify>
+      s"""<modify>$node1Tagged</modify>
          |<delete><node id="2" version="2" timestamp="2024-02-01T00:00:00Z" visible="false"/></delete>
          |<create>${wayXml(20, 1, Seq(1, 3))}${relXml(200, 1, Seq(("way", 20L, "a")))}</create>""".stripMargin)))
     assert(repl.catchUp(dir) > 0)
@@ -173,13 +187,34 @@ class ReplicatorSpec extends SparkTestBase {
       .select(col("subj_key"), col("s"), col("p"), col("o"))
       .as[(String, String, String, String)].collect().toSet
     val got = rows(repl.triples.read())
-    val want = rows(ownedNodeTriples(repl.nodes.read())
-      .unionByName(ownedWayTriples(repl.ways.read()))
-      .unionByName(ownedRelTriples(repl.rels.read())))
+    val want = rows(ownedNodeTriplesFull(repl.nodes.read())
+      .unionByName(ownedWayTriplesFull(repl.ways.read()))
+      .unionByName(ownedRelTriplesFull(repl.rels.read())))
     assert(got === want)
     // the moved node's geometry triple reflects the new position
     assert(got.exists { case (k, _, p, o) =>
       k == "node:1" && p == "geo:asWKT" && o == "POINT(10.5000000 20.5000000)" })
+    // ...its tag family was REPLACED by the change file's tags (modify
+    // carries the full tag set) and its timestamp updated
+    assert(got.exists { case (k, _, p, o) =>
+      k == "node:1" && p == "osmkey:name" && o == "moved" })
+    assert(!got.exists { case (k, _, p, _) => k == "node:1" && p == "osmkey:amenity" })
+    assert(got.exists { case (k, _, p, o) =>
+      k == "node:1" && p == "osmmeta:timestamp" && o == "2024-01-02T00:00:00" })
+    assert(got.exists { case (k, _, p, o) =>
+      k == "node:1" && p == "osm2rdf:facts" && o == "1" })
+    // the stale-rebuilt way kept its STORED tags and timestamp (no way
+    // op in the change file; the rebuild re-derives geometry only)
+    assert(got.exists { case (k, _, p, o) =>
+      k == "way:10" && p == "osmkey:highway" && o == "residential" })
+    assert(got.exists { case (k, _, p, o) =>
+      k == "way:10" && p == "osmmeta:timestamp" && o == "2023-12-02T00:00:00" })
+    // untouched node 3 keeps its base tag family
+    assert(got.exists { case (k, _, p, o) =>
+      k == "node:3" && p == "osmkey:amenity" && o == "bench" })
+    // type triples exist for every kind
+    assert(got.exists { case (k, _, p, o) =>
+      k == "rel:100" && p == "rdf:type" && o == "osm:relation" })
     // deleted node 2 and way 20 left no triples behind
     assert(!got.exists(_._1 == "node:2") && !got.exists(_._1 == "way:20"))
   }
