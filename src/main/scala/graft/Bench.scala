@@ -42,7 +42,8 @@ object Bench {
     "q34_changes_dedup", "q38_delete_set", "q39_node_triples",
     "q40_nodes_after_merge", "q52_ways_after_merge", "q56_multipolygon_pip",
     "q60_incremental_pip", "q61_decontaminate", "q63_sessionize",
-    "q64_asof_join", "q65_range_join")
+    "q64_asof_join", "q65_range_join", "q70_triples_after_merge",
+    "q71_incremental_multipip")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e
@@ -94,7 +95,7 @@ object Bench {
             m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
           ";").as("members"))
       .withColumn("ts", SynthUniverse.synthTs(col("rel_id")))
-      .withColumn("tags", lit(null).cast("map<string,string>"))
+      .withColumn("tags", SynthUniverse.relTagMap(col("rel_id")))
     SnapshotTable.create(s, s"$root/rels", baseRels, Seq("rel_id"), buckets)
     val triples = graft.rdf.TripleDerive.ownedNodeTriplesFull(nodes)
       .unionByName(graft.rdf.TripleDerive.ownedWayTriplesFull(baseWays))

@@ -48,6 +48,15 @@ object ChangePipeline {
   def classify(changes: DataFrame): DataFrame =
     changes.groupBy(col("kind"), col("action")).agg(count(lit(1)).as("n"))
 
+  /** P2 area routing: a relation is a (multipolygon) area iff its tag
+    * map carries type=multipolygon — the predicate the reference uses
+    * to decide which stale relations re-enter the geometry pipeline
+    * (/root/reference/src/util/OsmObjectHelper.cpp:12-23, consumed at
+    * src/osm/OsmChangeHandler.cpp:168-170 `_modifiedAreas`). The
+    * snapshot layers store tags, so the routing reads the stored map. */
+  def isMultipolygon(tags: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(tags, "type") === "multipolygon"
+
   private def idsOf(winners: DataFrame, kind: String, actions: String*): DataFrame = {
     val base = winners.filter(col("kind") === kind)
     (if (actions.isEmpty) base else base.filter(col("action").isin(actions: _*)))

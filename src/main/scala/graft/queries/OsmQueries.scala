@@ -181,7 +181,7 @@ object OsmQueries {
         .join(rTs, Seq("rel_id"), "left")
         .withColumn("ts", coalesce(col("w_ts"), SynthUniverse.synthTs(col("rel_id"))))
         .drop("w_ts")
-        .withColumn("tags", lit(null).cast("map<string,string>"))
+        .withColumn("tags", SynthUniverse.relTagMap(col("rel_id")))
       TripleDerive.ownedNodeTriplesFull(mergedNodes)
         .unionByName(TripleDerive.ownedWayTriplesFull(mergedWays))
         .unionByName(TripleDerive.ownedRelTriplesFull(mergedRels))
@@ -478,6 +478,8 @@ object OsmQueries {
          |UNION ALL SELECT 'osmrel:' || rel_id, 'rdf:type', 'osm:relation' FROM merged_rels_meta
          |UNION ALL SELECT 'osmrel:' || rel_id, 'osmmeta:timestamp',
          |  strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM merged_rels_meta
-         |UNION ALL SELECT 'osmrel:' || rel_id, 'osm2rdf:facts', '0' FROM merged_rels_meta""".stripMargin,
+         |UNION ALL SELECT 'osmrel:' || rel_id, 'osmkey:type',
+         |  CASE WHEN rel_id % 4 = 3 THEN 'multipolygon' ELSE 'route' END FROM merged_rels_meta
+         |UNION ALL SELECT 'osmrel:' || rel_id, 'osm2rdf:facts', '1' FROM merged_rels_meta""".stripMargin,
   )
 }

@@ -138,6 +138,49 @@ object SpatialQueries {
         .select(col("doc_id"), col("entity"), col("way_id"))
         .unionByName(delta.select(col("doc_id"), col("entity"), col("way_id")))
     }),
+    "q71_incremental_multipip" -> ((s, dir) => {
+      // Incremental maintenance of the RELATION-derived (holes-aware)
+      // area join — the reference's `_modifiedAreas` flow
+      // (/root/reference/src/osm/OsmChangeHandler.cpp:168-170): only
+      // relations tagged type=multipolygon are areas (P2 routing via
+      // the stored tag map), a change batch deletes the join rows of
+      // every touched area (direct relation ops ∪ stale relations via
+      // member-way closure) and re-joins ONLY points whose cell is
+      // covered by an upserted area's rings. The oracle recomputes the
+      // post-change multipolygon join from scratch, proving the
+      // delete+insert delta exact. Per-batch cost is O(affected areas
+      // + points in their cells), not O(corpus).
+      val w = graft.osm.ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir)).cache()
+      val mpRels = SynthUniverse.relations(s, dir)
+        .filter(col("rel_type") === "multipolygon").select(col("rel_id"))
+      val areaRings = relRings(s, dir)
+        .join(mpRels, Seq("rel_id"), "left_semi")
+        .select(col("rel_id"), col("role"), col("xs"), col("ys"))
+      val pts = SynthUniverse.points(s, dir)
+      val base = SpatialJoin.pipJoinMulti(pts, areaRings, PipRes)
+      val st = graft.osm.ChangePipeline.staleWays(w, SynthUniverse.wayMembers(s, dir))
+      val sr = graft.osm.ChangePipeline.staleRels(w, SynthUniverse.relMembers(s, dir), st)
+      val affected = w.filter(col("kind") === "relation").select(col("id").as("rel_id"))
+        .union(sr.select(col("rel_id"))).distinct()
+      val upserted = w.filter(col("kind") === "relation" &&
+          col("action").isin("create", "modify"))
+        .select(col("id").as("rel_id"))
+        .union(sr.select(col("rel_id"))).distinct()
+      val upRings = areaRings.join(upserted, Seq("rel_id"), "left_semi")
+      val cells = upRings.select(explode(org.apache.spark.sql.GraftSqlShim.column(
+        graft.spatial.CoverCellsExpr(
+          org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("ys")), PipRes)))
+        .as("cell")).distinct()
+      val cand = pts
+        .withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), PipRes))
+        .join(broadcast(cells), Seq("cell"), "left_semi")
+        .drop("cell")
+      val delta = SpatialJoin.pipJoinMulti(cand, upRings, PipRes)
+      base.join(broadcast(affected), Seq("rel_id"), "left_anti")
+        .select(col("doc_id"), col("entity"), col("rel_id"))
+        .unionByName(delta.select(col("doc_id"), col("entity"), col("rel_id")))
+    }),
     "q58_simplify_ring" -> ((s, dir) => {
       // vector-tile simplification: densify each ring with exact segment
       // midpoints (column ops), then run REAL Douglas-Peucker — the
@@ -223,6 +266,23 @@ object SpatialQueries {
     "q31_knn" -> knnOracle,
     "q56_multipolygon_pip" -> multiPipOracle,
     "q56b_multipolygon_salted" -> multiPipOracle,
+    "q71_incremental_multipip" ->
+      s"""WITH ${SynthSql.changesCte}, ${SynthSql.winnersCte}, ${SynthSql.waysCte},
+         |  ${SynthSql.pointsCte}, ${SynthSql.relMembersCte}
+         |SELECT DISTINCT p.doc_id, p.entity, r.rel_id
+         |FROM points p, (
+         |  SELECT rm.rel_id, w.x0, w.y0, w.w, w.h
+         |  FROM rel_members rm JOIN ways w ON rm.member_id = w.way_id
+         |  WHERE rm.role = 'outer' AND rm.rel_id % 4 = 3) r
+         |WHERE p.lon BETWEEN r.x0 AND r.x0 + r.w
+         |  AND p.lat BETWEEN r.y0 AND r.y0 + r.h
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM rel_members rm2 JOIN ways w2 ON rm2.member_id = w2.way_id
+         |    WHERE rm2.rel_id = r.rel_id AND rm2.role = 'inner'
+         |      AND p.lon BETWEEN w2.x0 AND w2.x0 + w2.w
+         |      AND p.lat BETWEEN w2.y0 AND w2.y0 + w2.h)
+         |  AND r.rel_id NOT IN
+         |    (SELECT id FROM winners WHERE kind = 'relation' AND action = 'delete')""".stripMargin,
     "q57_multipolygon_wkt" ->
       s"""WITH ${SynthSql.waysCte}, ${SynthSql.relMembersCte},
          |rings AS (

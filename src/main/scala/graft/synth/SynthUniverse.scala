@@ -138,6 +138,22 @@ object SynthUniverse {
         lit("type"), lit("multipolygon")))
       .otherwise(map(lit("name"), concat(lit("way_"), id)))
 
+  /** Relation tag map — carries the routing `type` tag (multipolygon
+    * every 4th relation, else route), the tag the reference's
+    * isMultipolygon predicate reads
+    * (/root/reference/src/util/OsmObjectHelper.cpp:12-23). */
+  def relTagMap(id: Column): Column =
+    map(lit("type"),
+      when(pmod(id, lit(4)) === 3, "multipolygon").otherwise("route"))
+
+  /** relations(rel_id, rel_type): the typed relation table — rel_type
+    * is READ FROM the tag map (the snapshot layers store tags; type is
+    * not a separate column, matching how OSM models it). */
+  def relations(s: SparkSession, dir: String): DataFrame =
+    relMembers(s, dir).select(col("rel_id")).distinct()
+      .select(col("rel_id"),
+        element_at(relTagMap(col("rel_id")), "type").as("rel_type"))
+
   /** [[nodes]] + the ts/tags metadata columns a full snapshot layer
     * carries (drives the J10 meta triple families). */
   def nodesMeta(s: SparkSession, dir: String): DataFrame =
@@ -172,6 +188,8 @@ object SynthUniverse {
           nodeTagMap(col("id")))
           .when(col("kind") === "way" && col("action").isin("create", "modify"),
             wayTagMap(col("id")))
+          .when(col("kind") === "relation" && col("action").isin("create", "modify"),
+            relTagMap(col("id")))
           .otherwise(lit(null).cast("map<string,string>")))
 }
 
