@@ -28,15 +28,22 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
     require(payload.forall(!leftCols.contains(_)),
       s"payload ${payload.mkString(",")} collides with left columns")
-    val rightTyped = payload.map(c => c -> right.schema(c).dataType).toMap
 
+    // the payload rides inside a STRUCT built only on right rows: the
+    // struct itself is non-null for every right row even when its
+    // fields are null, so last(ignoreNulls) stops at the matched row —
+    // a matched right row with a legitimately NULL payload column
+    // yields NULL (ASOF semantics), not an older row's value carried
+    // past it
     val l = left.withColumn("__tag", lit(1))
-    val lAligned = payload.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null).cast(rightTyped(c))))
+      .withColumn("__pay", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payload.map(c =>
+          org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
     val rAligned = right.select(
-      (keys :+ tsCol).map(col) ++ payload.map(col): _*)
+      (keys :+ tsCol).map(col) :+ struct(payload.map(col): _*).as("__pay"): _*)
       .withColumn("__tag", lit(0))
     // left-only columns ride as nulls on right rows
     val rFull = leftCols.filterNot((keys :+ tsCol).contains)
@@ -46,11 +53,11 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled: Seq[Column] = payload.map(c =>
-      last(col(c), ignoreNulls = true).over(w).as(c))
-    lAligned.unionByName(rFull.select(lAligned.columns.map(col): _*))
-      .select((leftCols.map(col) :+ col("__tag")) ++ filled: _*)
+    val filledPay = last(col("__pay"), ignoreNulls = true).over(w).as("__fp")
+    l.unionByName(rFull.select(l.columns.map(col): _*))
+      .select((leftCols.map(col) :+ col("__tag")) :+ filledPay: _*)
       .filter(col("__tag") === 1)
-      .drop("__tag")
+      .select(leftCols.map(col) ++
+        payload.map(c => col("__fp").getField(c).as(c)): _*)
   }
 }

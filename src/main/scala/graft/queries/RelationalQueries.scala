@@ -147,23 +147,24 @@ object RelationalQueries {
     "q66_kmv_sketch" -> ((s, dir) => {
       // KMV (k-minimum-values) distinct sketch, k=64 — DETERMINISTIC
       // given the md5-derived hash, so the estimate is exactly
-      // oracle-able (unlike HLL). Scale shape: distinct -> per-group
-      // row_number over hash order -> keep k (bounded state per group),
-      // estimate (k-1)*2^60/kth from the k-th minimum; exact count when
-      // the group holds fewer than k values.
+      // oracle-able (unlike HLL). Scale shape: a BOUNDED-STATE native
+      // aggregate (functions.KmvSketchAgg) holding the k minima per
+      // group — ONE shuffle with map-side partial aggregation, no
+      // pre-distinct (set semantics dedupe inside the sketch) and no
+      // window sort over the distinct values. Estimate
+      // (k-1)*2^60/kth from the k-th minimum; exact count when the
+      // group holds fewer than k values.
       val k = 64
       val h = graft.text.TextFunctions.hash60(
         concat(lit("u:"), col("user_id")))
-      val du = events(s, dir).select(col("event_type"), col("user_id")).distinct()
-        .withColumn("h", h)
-      val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
-      du.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      events(s, dir).select(col("event_type"), h.as("h"))
         .groupBy(col("event_type"))
-        .agg(max(col("h")).as("kth_min_hash"), count(lit(1)).as("n_in_sketch"))
-        .select(col("event_type"), col("kth_min_hash"),
-          when(col("n_in_sketch") < k, col("n_in_sketch"))
+        .agg(graft.functions.KmvSketchAgg.kmvSketch(col("h"), k).as("sk"))
+        .select(col("event_type"),
+          col("sk.kth_min_hash").as("kth_min_hash"),
+          when(col("sk.n_in_sketch") < k, col("sk.n_in_sketch"))
             .otherwise(floor(lit((k - 1).toDouble) * lit(1152921504606846976.0)
-              / col("kth_min_hash")))
+              / col("sk.kth_min_hash")))
             .cast("long").as("est_distinct"))
     }),
     "q64_asof_join" -> ((s, dir) => {

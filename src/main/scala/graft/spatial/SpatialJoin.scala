@@ -258,6 +258,33 @@ object SpatialJoin {
       .drop("topk")
   }
 
+  /** Layers above this row count are never collected to the driver or
+    * broadcast — [[knnByRings]] routes them through coarser-resolution
+    * rings and, terminally, [[knnShuffled]]. */
+  private def knnBroadcastLimit(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.knnBroadcastLimit").map(_.toLong)
+      .getOrElse(1000000L)
+
+  /** Distributed exact kNN for layers too large to collect/broadcast:
+    * a shuffled cross join + per-point rank window. O(|points|·|layer|)
+    * compute — only ever used as the TERMINAL fallback for straggler
+    * points — but bounded memory everywhere: no driver collect, no
+    * broadcast build. */
+  def knnShuffled(points: DataFrame, centroids: DataFrame, k: Int,
+      keyCols: Seq[String] = Seq("doc_id", "entity")): DataFrame = {
+    val cand = points
+      .repartition(points.sparkSession.sparkContext.defaultParallelism)
+      .crossJoin(centroids.select(col("cx"), col("cy"), col("way_id")))
+      .withColumn("d2",
+        (col("lon") - col("cx")) * (col("lon") - col("cx")) +
+          (col("lat") - col("cy")) * (col("lat") - col("cy")))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("d2").asc, col("way_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("cx", "cy")
+  }
+
   /** kNN via expanding cell rings — the 100 TB path: centroids are
     * bucketed by cell once; each point probes rings of increasing
     * Chebyshev radius and resolves when it has k candidates whose k-th
@@ -311,10 +338,21 @@ object SpatialJoin {
     val kDist = math.sqrt(k * bboxCells * cellW * cellH / (math.Pi * nLayer))
     val moatRing = math.ceil(kDist / minEdge + 1.0).toInt
     val startRing = math.max(2, math.max(candRing, moatRing))
+    // DRIVER-SAFE fallback routing: a small layer collects+broadcasts
+    // (exact, cheap); a layer past the limit must NEVER reach the
+    // driver — retry the ring search one resolution coarser (denser
+    // cells -> earlier resolution), and only at the coarsest level pay
+    // the distributed shuffled brute force.
+    val bcLimit = knnBroadcastLimit(points.sparkSession)
+    val layerSmall = nLayer <= bcLimit
+    def fallback(pts0: DataFrame): DataFrame =
+      if (layerSmall) knnBroadcast(pts0, cents, k)
+      else if (res > 1) knnByRings(pts0, cents.drop("ccell"), res - 1, k, maxRing, keyCols)
+      else knnShuffled(pts0, cents, k, keyCols)
     // layer too sparse for any legal ring to resolve — rings would only
-    // add rounds before the same brute-force fallback
+    // add rounds before the same fallback
     if (nLayer <= k || startRing > maxRing)
-      return knnBroadcast(points, cents, k)
+      return fallback(points)
 
     val pts = points.withColumn("pcell",
       GeoFunctions.cellAt(col("lon"), col("lat"), res))
@@ -327,7 +365,10 @@ object SpatialJoin {
     while (ring <= maxRing && !empty) {
       val probe = unresolved.withColumn("qcell",
         explode(GeoFunctions.kRingArray(col("pcell"), ring, res)))
-      val cand = probe.join(broadcast(cents), col("qcell") === col("ccell"))
+      // past the broadcast limit the per-round candidate join shuffles
+      // on the cell key instead of building a broadcast of the layer
+      val centsSide = if (layerSmall) broadcast(cents) else cents.hint("shuffle_hash")
+      val cand = probe.join(centsSide, col("qcell") === col("ccell"))
         .withColumn("d2",
           (col("lon") - col("cx")) * (col("lon") - col("cx")) +
             (col("lat") - col("cy")) * (col("lat") - col("cy")))
@@ -359,13 +400,14 @@ object SpatialJoin {
       // adaptive cutoff: once the straggler tail is small enough that
       // brute-forcing it against the whole layer is cheaper than another
       // explode+join+window round, stop ring-doubling (each further
-      // round pays fixed multi-job overhead for a shrinking gain)
-      ring = if (remaining * nLayer < 5000000L) maxRing + 1 else ring * 2
+      // round pays fixed multi-job overhead for a shrinking gain) —
+      // only taken when the layer is broadcast-safe
+      ring = if (layerSmall && remaining * nLayer < 5000000L) maxRing + 1 else ring * 2
     }
     if (empty) unresolved.unpersist()
     val leftover =
       if (empty) None
-      else Some(knnBroadcast(unresolved.drop("pcell"), cents, k))
+      else Some(fallback(unresolved.drop("pcell")))
     (resolved, leftover) match {
       case (Some(r), Some(l)) => r.unionByName(l, allowMissingColumns = true)
       case (Some(r), None)    => r

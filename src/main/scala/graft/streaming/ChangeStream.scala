@@ -20,20 +20,26 @@ import graft.osm.ChangeOp
   * by the number of live objects, not the stream length.
   *
   * At scale: state is hash-partitioned by (kind, id) across executors
-  * (the same shuffle key the batch window uses); RocksDB state store +
-  * watermark-based TTL are config knobs, not code changes.
+  * (the same shuffle key the batch window uses); the RocksDB state
+  * store is a config knob and watermark-based TTL eviction is the
+  * `ttlMs` parameter of [[latestPerKey]] (bound proven by
+  * ChangeStreamSpec's state-bound test).
   */
 object ChangeStream {
 
   case class ObjKey(kind: String, id: Long)
 
-  /** The reference comparator as a total order: true if `a` should
-    * replace `b` (a is strictly newer). Mirrors
+  /** The reference comparator strengthened to a TOTAL order: true if
+    * `a` should replace `b` (a is strictly newer). Follows
     * object_order_type_id_reverse_version_delete
-    * (/root/reference/src/osm/OsmUpdater.cpp:117-134) exactly: version
-    * DESC, then the DELETED op wins a same-version tie, then ts DESC
-    * with NULLS LAST (identical to the batch window in
-    * [[graft.osm.ChangePipeline.dedupLatest]]), then seq DESC. */
+    * (/root/reference/src/osm/OsmUpdater.cpp:117-134): version DESC,
+    * then the DELETED op wins a same-version tie, then ts DESC — with
+    * two deliberate deviations for determinism: an invalid/missing ts
+    * orders NULLS LAST (the reference treats a same-version pair with
+    * either ts invalid as ts-equal), and seq DESC breaks remaining
+    * ties (the reference has no seq tie-break). Identical to the batch
+    * window in [[graft.osm.ChangePipeline.dedupLatest]], so streamed
+    * and batch winners always agree. */
   def newerThan(a: ChangeOp, b: ChangeOp): Boolean =
     if (a.version != b.version) a.version > b.version
     else {
@@ -47,20 +53,50 @@ object ChangeStream {
     }
 
   /** Stateful dedup-to-latest. Works on both streaming and batch
-    * Datasets (batch = one trigger over the whole input). */
-  def latestPerKey(ops: Dataset[ChangeOp]): Dataset[ChangeOp] = {
+    * Datasets (batch = one trigger over the whole input).
+    *
+    * @param ttlMs event-time state TTL: with Some(t), a watermark of
+    *        `t` ms rides on `ts` and a key's winner state EVICTS once
+    *        the watermark passes its event time + t — so state is
+    *        bounded by the keys active inside the TTL horizon, not all
+    *        keys ever seen. Eviction is safe exactly when the source
+    *        honors the replication contract (seq-ordered files, W5):
+    *        an op arriving later than the TTL horizon could otherwise
+    *        re-create state and regress the table to an older version.
+    *        None (default) keeps state for every live object. */
+  def latestPerKey(ops: Dataset[ChangeOp],
+      ttlMs: Option[Long] = None): Dataset[ChangeOp] = {
     import ops.sparkSession.implicits._
-    ops
+    val useTtl = ttlMs.isDefined && ops.isStreaming
+    val src = if (useTtl) ops.withWatermark("ts", s"${ttlMs.get} milliseconds") else ops
+    val timeoutConf =
+      if (useTtl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(o => ObjKey(o.kind, o.id))
       .flatMapGroupsWithState[ChangeOp, ChangeOp](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf) {
         (_: ObjKey, incoming: Iterator[ChangeOp], state: GroupState[ChangeOp]) =>
-          val batchWinner = incoming.reduceOption((a, b) => if (newerThan(b, a)) b else a)
-          batchWinner match {
-            case Some(w) if !state.exists || newerThan(w, state.get) =>
-              state.update(w)
-              Iterator.single(w)
-            case _ => Iterator.empty
+          if (useTtl && state.hasTimedOut) {
+            state.remove() // watermark passed the key's TTL horizon
+            Iterator.empty
+          } else {
+            // every invocation clears a previously-set timeout — re-arm
+            // it whenever state survives this call
+            def arm(w: ChangeOp): Unit = if (useTtl) {
+              val target = (if (w.ts != null) w.ts.getTime else 0L) + ttlMs.get
+              state.setTimeoutTimestamp(
+                math.max(target, state.getCurrentWatermarkMs() + 1))
+            }
+            val batchWinner = incoming.reduceOption((a, b) => if (newerThan(b, a)) b else a)
+            batchWinner match {
+              case Some(w) if !state.exists || newerThan(w, state.get) =>
+                state.update(w)
+                arm(w)
+                Iterator.single(w)
+              case _ =>
+                if (state.exists) arm(state.get)
+                Iterator.empty
+            }
           }
       }
   }

@@ -53,6 +53,18 @@ class PlanSpec extends SparkTestBase {
     assert(rows.getBoolean(2) === false)
   }
 
+  test("KMV sketch plans a bounded-state aggregate: no window, map-side partial") {
+    val df = SparkEntry.queries("q66_kmv_sketch")(spark, sfSmall)
+    val plan = formatted(df)
+    assert(!plan.contains("Window"), "KMV must not sort distinct values in a window:\n" +
+      plan.linesIterator.take(30).mkString("\n"))
+    assert(plan.contains("ObjectHashAggregate"), "expected the typed-imperative aggregate")
+    assert(plan.contains("partial_kmv_sketch"), "expected a map-side partial sketch")
+    // sketch semantics: exact when under k, never over-counts dup inputs
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(2)))
+  }
+
   test("multipolygon join refines natively and never cross-products") {
     val plan = formatted(SparkEntry.queries("q56_multipolygon_pip")(spark, sfSmall))
     assert(plan.contains("pip_contains"), "native refine expression missing from plan")

@@ -51,6 +51,28 @@ class KnnRingSpec extends SparkTestBase {
     assert(diff.isEmpty, s"k=3 ring kNN disagrees on ${diff.take(5)}")
   }
 
+  test("over-limit layer never collects: coarser-res + shuffled fallback still exact") {
+    // force the driver-safety gate: with the broadcast limit below the
+    // layer size, knnByRings must route stragglers through coarser-res
+    // rings and the distributed shuffled fallback instead of
+    // collecting/broadcasting the layer — and still match brute force
+    val pts = SynthUniverse.points(spark, sfSmoke)
+    val polys = SpatialJoin.polygons(
+      SynthUniverse.wayMembers(spark, sfSmoke), SynthUniverse.nodes(spark, sfSmoke))
+    val cents = polys.filter(col("way_id") % 40 === 0).select(col("way_id"),
+      ((array_min(col("xs")) + array_max(col("xs"))) / 2.0).as("cx"),
+      ((array_min(col("ys")) + array_max(col("ys"))) / 2.0).as("cy"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("entity"), col("rank"), col("way_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val brute = key(SpatialJoin.knnBroadcast(pts, cents, 3))
+    spark.conf.set("spark.graft.knnBroadcastLimit", "1")
+    try {
+      val gated = key(SpatialJoin.knnByRings(pts, cents, res = 5, k = 3))
+      assert(gated === brute)
+    } finally spark.conf.unset("spark.graft.knnBroadcastLimit")
+  }
+
   test("knnByRings == knnBroadcast across random clustered layouts and k") {
     import spark.implicits._
     // deterministic LCG layouts; half the layer packed into one corner

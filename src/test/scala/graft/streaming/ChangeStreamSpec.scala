@@ -74,4 +74,45 @@ class ChangeStreamSpec extends SparkTestBase {
     assert(finalByKey(("node", 1L)).action === "delete")
     assert(finalByKey(("node", 1L)).version === 4)
   }
+
+  test("watermark TTL bounds dedup state to recently-active keys (RocksDB)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // 20 triggers x 50 FRESH keys each, event time advancing 1 min per
+    // trigger, TTL 2 min: without eviction the state would hold 1000
+    // keys; with the watermark TTL it must stay bounded by the keys
+    // active inside the 2-minute horizon (plus the watermark lag).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[graft.osm.ChangeOp]
+      val winners = ChangeStream.latestPerKey(input.toDS(), ttlMs = Some(120000L))
+      val ckpt = Files.createTempDirectory("graft-ttl-ckpt").toString
+      val q = winners.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("ttl_winners")
+        .start()
+      try {
+        val base = 1704067200000L
+        for (b <- 0 until 20) {
+          val ops = (0 until 50).map { i =>
+            graft.osm.ChangeOp(seq = b, action = "modify", kind = "node",
+              id = (b * 50 + i).toLong, version = 1,
+              ts = new java.sql.Timestamp(base + b * 60000L),
+              visible = true, lon = Some(1.0), lat = Some(2.0),
+              nodeRefs = Nil, members = Nil, tags = Map.empty)
+          }
+          input.addData(ops)
+          q.processAllAvailable()
+        }
+        val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+        assert(stateRows < 500,
+          s"state not bounded: $stateRows rows for 1000 short-lived keys")
+        // every op was still emitted exactly once (eviction loses no output)
+        assert(spark.table("ttl_winners").count() === 1000L)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
