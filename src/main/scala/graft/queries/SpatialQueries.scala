@@ -91,6 +91,15 @@ object SpatialQueries {
           relRings(s, dir).select(col("rel_id"), col("role"), col("xs"), col("ys")),
           PipRes, mode = "partitioned", salt = 8, hotThreshold = 500L)
         .select(col("doc_id"), col("entity"), col("rel_id"))),
+    "q72_multipolygon_evenodd" -> ((s, dir) =>
+      // nesting-correct containment: ODD number of containing member
+      // rings, roles ignored — handles island-in-hole relations the
+      // role predicate (q56) cannot; oracle counts containing
+      // rectangles per (point, relation) and keeps odd counts
+      SpatialJoin.pipJoinMultiEvenOdd(SynthUniverse.points(s, dir),
+          relRings(s, dir).select(col("rel_id"), col("role"), col("xs"), col("ys")),
+          PipRes)
+        .select(col("doc_id"), col("entity"), col("rel_id"))),
     "q57_multipolygon_wkt" -> ((s, dir) => {
       // multipolygon geometry ASSEMBLY: outer ring first, holes in member
       // order, 7-decimal osm2rdf emission — all codegen column ops
@@ -266,6 +275,16 @@ object SpatialQueries {
     "q31_knn" -> knnOracle,
     "q56_multipolygon_pip" -> multiPipOracle,
     "q56b_multipolygon_salted" -> multiPipOracle,
+    "q72_multipolygon_evenodd" ->
+      s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte}, ${SynthSql.relMembersCte}
+         |SELECT doc_id, entity, rel_id FROM (
+         |  SELECT p.doc_id, p.entity, rm.rel_id, COUNT(*) AS hits
+         |  FROM points p, rel_members rm
+         |  JOIN ways w ON rm.member_id = w.way_id
+         |  WHERE p.lon BETWEEN w.x0 AND w.x0 + w.w
+         |    AND p.lat BETWEEN w.y0 AND w.y0 + w.h
+         |  GROUP BY 1, 2, 3)
+         |WHERE hits % 2 = 1""".stripMargin,
     "q71_incremental_multipip" ->
       s"""WITH ${SynthSql.changesCte}, ${SynthSql.winnersCte}, ${SynthSql.waysCte},
          |  ${SynthSql.pointsCte}, ${SynthSql.relMembersCte}

@@ -177,7 +177,10 @@ object SpatialJoin {
     * (/root/reference/src/osm/Osm2ttl.cpp:112-133; inner/outer roles per
     * /root/reference/src/util/OsmObjectHelper.cpp:12-23): a point lies
     * in a relation's multipolygon iff it lies in >=1 `outer` ring and in
-    * NO `inner` ring (hole).
+    * NO `inner` ring (hole). This role predicate assumes the common
+    * NON-NESTED layout (holes directly inside outers, nothing inside a
+    * hole); for nested relations (island-in-hole) it wrongly excludes
+    * island points — use [[pipJoinMultiEvenOdd]] for those.
     *
     * Pure composition of existing ops — no new expression: every ring
     * cell-covers independently, the point joins each candidate ring by
@@ -206,6 +209,37 @@ object SpatialJoin {
         max(when(col("role") =!= "outer", 1).otherwise(0)).as("i_hit"))
       .filter(col("o_hit") === 1 && col("i_hit") === 0)
       .drop("o_hit", "i_hit")
+  }
+
+  /** Even-odd multipolygon containment — the NESTING-correct variant
+    * of [[pipJoinMulti]]: a point is inside iff it lies in an ODD
+    * number of the relation's member rings, role tags ignored. This
+    * handles arbitrarily nested relations (an island outer inside
+    * another outer's hole: 3 containing rings → inside), where the
+    * role predicate 'in an outer AND in no inner' wrongly excludes the
+    * island because the point also hits the hole ring.
+    * [[pipJoinMulti]]'s role form remains the cheaper choice for the
+    * common non-nested case (holes directly inside outers) and is the
+    * form the q56 oracle pins; this one is q72's.
+    *
+    * Same scale shape: cell-prefilter equi-join + ONE map-side-combined
+    * count per (point, relation). Boundary points shared by two rings
+    * count both (even → excluded) — the deliberate convention the
+    * oracle's inclusive BETWEEN mirrors. */
+  def pipJoinMultiEvenOdd(points: DataFrame, rings: DataFrame, res: Int,
+      keyCols: Seq[String] = Seq("doc_id", "entity"),
+      mode: String = "auto", salt: Int = 1,
+      hotThreshold: Long = 2000000L): DataFrame = {
+    val cover = coverWithBbox(rings, res)
+    val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
+    cellJoin(pts, cover, mode, salt, hotThreshold)
+      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy") &&
+        PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
+      .groupBy(keyCols.map(col) :+ col("rel_id"): _*)
+      .agg(count(lit(1)).as("__hits"))
+      .filter(pmod(col("__hits"), lit(2)) === 1)
+      .drop("__hits")
   }
 
   /** Exact brute-force kNN against a broadcast centroid layer — the

@@ -33,6 +33,68 @@ class MultipolygonSpec extends SparkTestBase {
     assert(out === Set((1L, 1L), (5L, 2L)))
   }
 
+  test("even-odd variant handles island-in-hole nesting; role form pins its non-nested contract") {
+    // outer 0..10, hole 2..8, island 4..6 inside the hole — the layout
+    // the role predicate cannot express: an island point hits an outer
+    // AND an inner ring, so 'outer AND no inner' excludes it, while
+    // even-odd (3 containing rings) correctly includes it
+    val (ox, oy) = ring(0, 0, 10, 10)
+    val (hx, hy) = ring(2, 2, 6, 6)
+    val (sx, sy) = ring(4, 4, 2, 2)
+    val rings = Seq(
+      (1L, "outer", ox, oy),
+      (1L, "inner", hx, hy),
+      (1L, "outer", sx, sy)) // island: a second outer nested in the hole
+      .toDF("rel_id", "role", "xs", "ys")
+    val pts = Seq(
+      (1L, "a", 1.0, 1.0), // outer only (1 ring)        -> inside
+      (2L, "b", 3.0, 3.0), // outer+hole (2 rings)       -> outside
+      (3L, "c", 5.0, 5.0), // outer+hole+island (3)      -> inside
+      (4L, "d", 15.0, 5.0)) // nothing                    -> outside
+      .toDF("doc_id", "entity", "lon", "lat")
+    val evenOdd = SpatialJoin.pipJoinMultiEvenOdd(pts, rings, res = 4)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(evenOdd === Set(1L, 3L))
+    // and the documented limitation of the role form on this layout:
+    // the island point is (wrongly, by nesting semantics) excluded —
+    // pinned here so the contract stays explicit
+    val roleForm = SpatialJoin.pipJoinMulti(pts, rings, res = 4)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(roleForm === Set(1L))
+  }
+
+  test("even-odd agrees with JTS symmetric-difference area semantics on nested rects") {
+    // JTS reference: the even-odd region of a set of rings is the
+    // symmetric difference of their polygons; covers() on that
+    // geometry must agree with the distributed operator for interior
+    // points (boundary conventions differ by construction)
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    def poly(x0: Double, y0: Double, w: Double, h: Double) =
+      gf.createPolygon(Array(
+        new Coordinate(x0, y0), new Coordinate(x0 + w, y0),
+        new Coordinate(x0 + w, y0 + h), new Coordinate(x0, y0 + h),
+        new Coordinate(x0, y0)))
+    val rects = Seq((0.0, 0.0, 12.0, 12.0), (2.0, 2.0, 8.0, 8.0), (4.0, 4.0, 4.0, 4.0))
+    val region = rects.map { case (a, b, c, d) => poly(a, b, c, d) }
+      .map(_.asInstanceOf[org.locationtech.jts.geom.Geometry])
+      .reduce(_ symDifference _)
+    val rings = rects.zipWithIndex.map { case ((a, b, c, d), i) =>
+      val (xs, ys) = ring(a, b, c, d)
+      (1L, if (i == 1) "inner" else "outer", xs, ys)
+    }.toDF("rel_id", "role", "xs", "ys")
+    // interior probe grid (offset by 0.5 so no point sits on a ring edge)
+    val pts = (for (x <- 0 until 14; y <- 0 until 14)
+      yield ((x * 14 + y).toLong, "p", x + 0.5, y + 0.5))
+      .toDF("doc_id", "entity", "lon", "lat")
+    val got = SpatialJoin.pipJoinMultiEvenOdd(pts, rings, res = 4)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val want = (for (x <- 0 until 14; y <- 0 until 14
+      if region.covers(gf.createPoint(new Coordinate(x + 0.5, y + 0.5))))
+      yield (x * 14 + y).toLong).toSet
+    assert(got === want)
+  }
+
   test("pipJoinMulti agrees with a JTS per-ring reference on random layouts") {
     // integer coordinates keep every cross product exact, so the
     // distributed cover-join + role-fold must agree with a driver-side
