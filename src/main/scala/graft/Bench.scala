@@ -76,13 +76,16 @@ object Bench {
   def buildStore(s: SparkSession, dir: String, root: String): Unit = {
     rmrf(root)
     val buckets = math.max(16, s.sparkContext.defaultParallelism)
-    val nodes = SynthUniverse.nodesMeta(s, dir)
+    // cached: each layer feeds its table write AND 4-6 triple-family
+    // derivation branches below
+    val nodes = SynthUniverse.nodesMeta(s, dir).cache()
     SnapshotTable.create(s, s"$root/nodes", nodes, Seq("node_id"), buckets)
     val wm = SynthUniverse.wayMembers(s, dir)
     val baseWays = ChangePipeline.reconstructWays(
         wm.select(col("way_id")).distinct(), wm, nodes)
       .withColumn("ts", SynthUniverse.synthTs(col("way_id")))
       .withColumn("tags", SynthUniverse.wayTagMap(col("way_id")))
+      .cache()
     SnapshotTable.create(s, s"$root/ways", baseWays, Seq("way_id"), buckets)
     val rm = SynthUniverse.relMembers(s, dir)
     val baseRels = rm
@@ -96,12 +99,14 @@ object Bench {
           ";").as("members"))
       .withColumn("ts", SynthUniverse.synthTs(col("rel_id")))
       .withColumn("tags", SynthUniverse.relTagMap(col("rel_id")))
+      .cache()
     SnapshotTable.create(s, s"$root/rels", baseRels, Seq("rel_id"), buckets)
     val triples = graft.rdf.TripleDerive.ownedNodeTriplesFull(nodes)
       .unionByName(graft.rdf.TripleDerive.ownedWayTriplesFull(baseWays))
       .unionByName(graft.rdf.TripleDerive.ownedRelTriplesFull(baseRels))
       .select(col("subj_key"), col("s"), col("p"), col("o"))
     SnapshotTable.create(s, s"$root/triples", triples, Seq("subj_key"), buckets)
+    Seq(nodes, baseWays, baseRels).foreach(_.unpersist())
   }
 
   /** The ×F-replicated geo-entity stream (shared by the e2e faces). */
@@ -137,6 +142,24 @@ object Bench {
     val winners = ChangePipeline.dedupLatest(SynthUniverse.changesFull(s, dir))
     val applied = new Replicator(s, storeRoot).applyOps(winners)
     tiles.count() + applied
+  }
+
+  /** Round-2 comparison shape: the SAME e2e the r1/r2 bench measured
+    * (join + tiles + node-only merge, no snapshot store) — kept so the
+    * committed docs/sec stays comparable across rounds now that
+    * [[e2ePipeline]] prices the full 3-layer + triple-store contract. */
+  def e2eJoinR2(s: SparkSession, dir: String): Long = {
+    val pts = replicatedPoints(s, dir)
+    val polys = SpatialJoin.polygons(
+      SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+    val pip = SpatialJoin.pipJoin(pts, polys, res = PipRes,
+      mode = "partitioned", salt = 16, hotThreshold = 50000L)
+    val tiles = pip
+      .withColumn("tile", graft.geo.GeoFunctions.cellAt(col("lon"), col("lat"), 5))
+      .groupBy(col("tile")).agg(count(lit(1)).as("n"))
+    val winners = ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir))
+    val merged = ChangePipeline.applyNodeOps(SynthUniverse.nodes(s, dir), winners)
+    tiles.count() + merged.count()
   }
 
   /** SPARK_GRAFT_E2E_PROFILE=1: time each e2e leg separately (each
@@ -229,11 +252,20 @@ object Bench {
         time(e2ePipeline(spark, sfDir, storeRoot))._1
       }.min
     val docsPerSec = if (skipE2e) 0.0 else docs / e2eSec
+    // r2-shape comparison leg (join + tiles + node-only merge)
+    val e2eJoinSec =
+      if (skipE2e) 0.0
+      else (1 to e2eReps).map { _ =>
+        clearState(spark)
+        time(e2eJoinR2(spark, sfDir))._1
+      }.min
+    val joinDocsPerSec = if (skipE2e) 0.0 else docs / e2eJoinSec
 
-    val qs = (if (skipE2e) results else results :+ ("e2e_pipeline" -> e2eSec))
+    val qs = (if (skipE2e) results
+      else results :+ ("e2e_pipeline" -> e2eSec) :+ ("e2e_join_r2shape" -> e2eJoinSec))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + e2eSec
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec}"""
+    val total = results.map(_._2).sum + e2eSec + e2eJoinSec
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec}"""
     println(line)
     // sbt prefixes stdout with "[info] ", defeating the driver's JSON
     // parse — the bare line also lands in BENCH/last.json

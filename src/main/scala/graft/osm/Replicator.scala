@@ -296,7 +296,14 @@ class Replicator(spark: SparkSession, root: String) {
       relDelta.map { case (d, _) => () => timed("rels.merge")(
         rels.mergeInto(d, Seq("rel_id"), deleteMarker = Some("deleted")).updateRows) } ++
       tripleDelta.map { d => () => timed("triples.merge") {
-        triples.mergeInto(d, Seq("subj_key"), deleteMarker = Some("deleted")); 0L } }
+        // the triple store is written EVERY batch but never scanned in
+        // the loop — merge-on-read delta commits keep the per-batch
+        // write O(batch); the chain compacts every
+        // spark.graft.triplesCompactEvery (default 8) batches
+        val every = spark.conf.getOption("spark.graft.triplesCompactEvery")
+          .map(_.toInt).getOrElse(8)
+        triples.mergeIntoDelta(d, Seq("subj_key"),
+          deleteMarker = Some("deleted"), compactEvery = every); 0L } }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(merges.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val applied =

@@ -101,6 +101,42 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     case None => throw new IllegalStateException(s"no current snapshot at $root")
   }
 
+  /** True if `id` is a merge-on-read DELTA commit (see
+    * [[mergeIntoDelta]]) rather than a full bucketed layout. */
+  private def isDelta(info: Map[String, String]): Boolean =
+    info.contains("deltaParent")
+
+  /** Delta snapshot ids above the chain's base, oldest first. */
+  private def deltaChain(id: Long): Seq[Long] =
+    snapshotInfo(id).get("deltaParent") match {
+      case Some(p) => deltaChain(p.toLong) :+ id
+      case None => Nil
+    }
+
+  private def chainBase(id: Long): Long =
+    snapshotInfo(id).get("deltaParent") match {
+      case Some(p) => chainBase(p.toLong)
+      case None => id
+    }
+
+  /** Merge-on-read resolution: base layout ∪ delta files, LATEST
+    * commit wins per key (a delta replaces the key's whole row family;
+    * `__del` tombstones drop it). One shuffle on the key. */
+  private def resolveDelta(id: Long, info: Map[String, String]): DataFrame = {
+    val keyCols = info("keyCols").split(",").toSeq
+    val baseDf = readAt(chainBase(id))
+      .withColumn("__del", lit(false)).withColumn("__c", lit(0))
+    val all = deltaChain(id).zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(dataDir(d).toString).drop("__b")
+        .withColumn("__c", lit(i + 1))
+    }.foldLeft(baseDf)(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    all.withColumn("__mc", max(col("__c")).over(w))
+      .filter(col("__c") === col("__mc") && !col("__del"))
+      .drop("__del", "__c", "__mc")
+  }
+
   /** Time travel: read the table as of a given snapshot id.
     *
     * A bucketed snapshot whose every row was deleted has an EMPTY
@@ -108,6 +144,8 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     * an empty frame with the schema recorded in the snapshot metadata
     * instead of pointing spark.read at a dir with no parquet files. */
   def readAt(id: Long): DataFrame = {
+    val info0 = snapshotInfo(id)
+    if (isDelta(info0)) return resolveDelta(id, info0)
     val buckets = bucketPaths(id)
     if (buckets.nonEmpty)
       spark.read.parquet(buckets.values.map(_.toString).toSeq.sorted: _*)
@@ -232,7 +270,12 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
       case Some(keys) =>
         require(keys.split(",").toSeq == keyCols,
           s"table bucketed on [$keys], merge keyed on [${keyCols.mkString(",")}]")
-        mergeBucketed(cur, updates, keyCols, info("numBuckets").toInt, deleteMarker)
+        if (isDelta(info))
+          // a copy-on-write merge atop a delta chain folds the chain in:
+          // resolve once, rewrite fully (compaction + merge in one)
+          compactWith(updates, keyCols, info("numBuckets").toInt, deleteMarker)
+        else
+          mergeBucketed(cur, updates, keyCols, info("numBuckets").toInt, deleteMarker)
       case None => // legacy flat table: copy-on-write of everything
         val upd = updates.cache()
         val n = upd.count()
@@ -323,6 +366,80 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
       "bucketRows" -> serBuckets(newRows),
       "bucketBytes" -> serBuckets(newBytes)))
     MergeResult(sid, updateRows)
+  }
+
+  /** Merge-on-read MERGE INTO: commits ONLY the delta (upserts +
+    * `__del` tombstones, bucketed like the base) — per-batch write
+    * cost is O(batch), never O(table). Reads resolve the chain
+    * latest-commit-wins per key ([[resolveDelta]]); once the chain
+    * exceeds `compactEvery` deltas the merge compacts (resolve + full
+    * bucketed rewrite), bounding read amplification. This is the mode
+    * for tables that are WRITTEN every batch but rarely scanned in the
+    * hot loop (the owner-keyed triple store): a 100 TB table cannot
+    * afford a copy-on-write rewrite per replication batch. */
+  def mergeIntoDelta(updates: DataFrame, keyCols: Seq[String],
+      deleteMarker: Option[String] = None, compactEvery: Int = 8): MergeResult = {
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no current snapshot at $root"))
+    val info = snapshotInfo(cur)
+    val keys = info.get("keyCols").filter(_.nonEmpty).getOrElse(
+      throw new IllegalStateException("delta merge requires a bucketed table"))
+    require(keys.split(",").toSeq == keyCols,
+      s"table bucketed on [$keys], merge keyed on [${keyCols.mkString(",")}]")
+    val numBuckets = info("numBuckets").toInt
+    if (deltaChain(cur).length + 1 > compactEvery)
+      compactWith(updates, keyCols, numBuckets, deleteMarker)
+    else {
+      val upd = updates.withColumn("__b", bucketExpr(keyCols, numBuckets)).cache()
+      val updateRows = upd.groupBy(col("__b")).agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1)).sum
+      val withDel = deleteMarker match {
+        case Some(m) => upd.withColumnRenamed(m, "__del")
+        case None => upd.withColumn("__del", lit(false))
+      }
+      val id = cur + 1
+      val dir = dataDir(id)
+      clusterByBucket(withDel, numBuckets)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 5000000)
+        .partitionBy("__b").parquet(dir.toString)
+      upd.unpersist()
+      // manifest carries the parent's bucket layout forward untouched;
+      // rowCount stays the parent's (resolution-exact counting would
+      // defeat the O(batch) write) and is marked approximate
+      val sid = writeMeta(id, "delta",
+        info.get("rowCount").map(_.toLong).getOrElse(0L),
+        dirBytes(dir), Map(
+          "keyCols" -> keys, "numBuckets" -> numBuckets.toString,
+          "schema" -> info.getOrElse("schema", ""),
+          "bucketSrc" -> info.getOrElse("bucketSrc", ""),
+          "bucketRows" -> info.getOrElse("bucketRows", ""),
+          "bucketBytes" -> info.getOrElse("bucketBytes", ""),
+          "rowCountApprox" -> "true",
+          "deltaParent" -> cur.toString))
+      MergeResult(sid, updateRows)
+    }
+  }
+
+  /** Resolve the current state (delta chains folded in) and rewrite it
+    * fully with `updates` applied — the compaction face shared by
+    * [[mergeIntoDelta]]'s chain cap and [[mergeInto]]-atop-a-chain. */
+  private def compactWith(updates: DataFrame, keyCols: Seq[String],
+      numBuckets: Int, deleteMarker: Option[String]): MergeResult = {
+    val resolved = read()
+    val upd = updates.cache()
+    val n = upd.count()
+    val keyD0 = upd.select(keyCols.map(col): _*).distinct()
+    val keyD = if (n <= 5000000L) broadcast(keyD0) else keyD0.hint("shuffle_hash")
+    val ins = deleteMarker match {
+      case Some(m) => upd.filter(!col(m)).drop(m)
+      case None => upd
+    }
+    val id = commitBucketed(
+      resolved.join(keyD, keyCols, "left_anti").unionByName(ins),
+      "compact", keyCols, numBuckets)
+    upd.unpersist()
+    MergeResult(id, n)
   }
 }
 

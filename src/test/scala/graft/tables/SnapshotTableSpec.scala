@@ -77,6 +77,55 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.readAt(s1).count() === 64)
     assert(t.readAt(s1).as[(Long, String)].collect().toMap.apply(2L) === "v2")
   }
+  test("merge-on-read delta commits: latest-wins resolution, tombstones, compaction") {
+    val root = freshRoot("mor")
+    // owner-keyed family table: multiple rows per key, a merge replaces
+    // the key's whole family (the triple-store shape)
+    val t = SnapshotTable.create(spark, root,
+      Seq((1L, "a1"), (1L, "a2"), (2L, "b1"), (3L, "c1"))
+        .toDF("k", "v"), Seq("k"), numBuckets = 4)
+
+    // delta 1: replace family of 1, delete 2
+    val d1 = Seq((1L, Some("a1v2"), false), (1L, Some("a2v2"), false),
+      (2L, None, true)).toDF("k", "v", "deleted")
+      .select(col("k"), col("v"), col("deleted"))
+    val r1 = t.mergeIntoDelta(d1, Seq("k"), Some("deleted"), compactEvery = 3)
+    assert(r1.updateRows === 3)
+    def state(): Map[Long, Set[String]] = t.read().as[(Long, String)]
+      .collect().groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    assert(state() === Map(1L -> Set("a1v2", "a2v2"), 3L -> Set("c1")))
+    assert(t.snapshotInfo(t.currentSnapshot.get)("operation") === "delta")
+
+    // delta 2: re-create key 2, shrink family of 1 to one row
+    val d2 = Seq((2L, Some("b1v3"), false), (1L, Some("a-only"), false))
+      .toDF("k", "v", "deleted")
+    t.mergeIntoDelta(d2, Seq("k"), Some("deleted"), compactEvery = 3)
+    assert(state() === Map(1L -> Set("a-only"), 2L -> Set("b1v3"), 3L -> Set("c1")))
+
+    // delta 3 exceeds compactEvery=2 -> full compaction; content identical
+    val d3 = Seq((3L, Option.empty[String], true)).toDF("k", "v", "deleted")
+    t.mergeIntoDelta(d3, Seq("k"), Some("deleted"), compactEvery = 2)
+    assert(state() === Map(1L -> Set("a-only"), 2L -> Set("b1v3")))
+    assert(t.snapshotInfo(t.currentSnapshot.get)("operation") === "compact")
+    // post-compaction the table is a plain bucketed layout again: a
+    // copy-on-write merge works directly on it
+    t.mergeInto(Seq((2L, Some("b1v4"), false)).toDF("k", "v", "deleted"),
+      Seq("k"), Some("deleted"))
+    assert(state() === Map(1L -> Set("a-only"), 2L -> Set("b1v4")))
+  }
+
+  test("copy-on-write merge atop an open delta chain folds the chain in") {
+    val root = freshRoot("mor-cow")
+    val t = SnapshotTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    t.mergeIntoDelta(Seq((1L, Some("a2"), false)).toDF("k", "v", "deleted"),
+      Seq("k"), Some("deleted"), compactEvery = 8)
+    val r = t.mergeInto(Seq((2L, Some("b2"), false)).toDF("k", "v", "deleted"),
+      Seq("k"), Some("deleted"))
+    assert(r.updateRows === 1)
+    assert(t.read().as[(Long, String)].collect().toSet === Set((1L, "a2"), (2L, "b2")))
+    assert(t.snapshotInfo(t.currentSnapshot.get)("operation") === "compact")
+  }
 }
 
 class LineageSpec extends SparkTestBase {
