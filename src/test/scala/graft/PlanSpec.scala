@@ -65,6 +65,22 @@ class PlanSpec extends SparkTestBase {
     assert(rows.nonEmpty && rows.forall(!_.isNullAt(2)))
   }
 
+  test("incremental multipolygon maintenance broadcasts the small sets, no cross product") {
+    val plan = formatted(SparkEntry.queries("q71_incremental_multipip")(spark, sfSmall))
+    assert(!plan.contains("CartesianProduct"), "q71 degenerated to a cross product")
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected broadcast of the affected-relation / cover-cell sets")
+    assert(plan.contains("pip_contains"), "native refine expression missing")
+  }
+
+  test("even-odd multipolygon keeps the single-aggregate shape") {
+    val plan = formatted(SparkEntry.queries("q72_multipolygon_evenodd")(spark, sfSmall))
+    assert(!plan.contains("CartesianProduct"), "q72 degenerated to a cross product")
+    assert(plan.contains("pip_contains"), "native refine expression missing")
+    // one hash-aggregate pair (partial + final) over (key, rel), no window
+    assert(!plan.contains("Window"), "even-odd must not need a window")
+  }
+
   test("multipolygon join refines natively and never cross-products") {
     val plan = formatted(SparkEntry.queries("q56_multipolygon_pip")(spark, sfSmall))
     assert(plan.contains("pip_contains"), "native refine expression missing from plan")
