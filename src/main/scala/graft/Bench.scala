@@ -252,17 +252,21 @@ object Bench {
         time(e2ePipeline(spark, sfDir, storeRoot))._1
       }.min
     val docsPerSec = if (skipE2e) 0.0 else docs / e2eSec
-    // r2-shape comparison leg (join + tiles + node-only merge)
+    // r2-shape comparison leg (join + tiles + node-only merge);
+    // SPARK_GRAFT_SKIP_R2SHAPE=1 drops it (the scaling protocol only
+    // measures the full contract)
+    val skipR2 = skipE2e || sys.env.contains("SPARK_GRAFT_SKIP_R2SHAPE")
     val e2eJoinSec =
-      if (skipE2e) 0.0
+      if (skipR2) 0.0
       else (1 to e2eReps).map { _ =>
         clearState(spark)
         time(e2eJoinR2(spark, sfDir))._1
       }.min
-    val joinDocsPerSec = if (skipE2e) 0.0 else docs / e2eJoinSec
+    val joinDocsPerSec = if (skipR2) 0.0 else docs / e2eJoinSec
 
-    val qs = (if (skipE2e) results
-      else results :+ ("e2e_pipeline" -> e2eSec) :+ ("e2e_join_r2shape" -> e2eJoinSec))
+    val qs = ((if (skipE2e) results
+      else results :+ ("e2e_pipeline" -> e2eSec)) ++
+      (if (skipR2) Nil else Seq("e2e_join_r2shape" -> e2eJoinSec)))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + e2eSec + e2eJoinSec
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec}"""

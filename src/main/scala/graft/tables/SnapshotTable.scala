@@ -324,20 +324,20 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     }).drop("__b")
     val id = cur + 1
     val dir = dataDir(id)
-    // two writes, NO full-bucket shuffle: the kept base rows come out
-    // of per-bucket dirs already bucket-aligned (their partition tasks
-    // each hold exactly one __b value), so they stream scan→anti-join→
-    // write; only the (batch-sized) delta is clustered. Untouched-row
-    // rewrite never shuffles — the merge's shuffle cost is O(batch).
-    // __b is re-derived from the keys (the read targets the bucket
-    // dirs directly, so the partition column isn't inferred) — a pure
-    // projection that preserves the bucket alignment of the scan tasks
-    keep.foreach(_.withColumn("__b", bucketExpr(keyCols, numBuckets))
+    // ONE write job, NO full-bucket shuffle: the kept base rows come
+    // out of per-bucket dirs already bucket-aligned (each scan task
+    // holds exactly one __b value; __b is re-derived from the keys as
+    // a pure projection since the read targets the bucket dirs
+    // directly), the (batch-sized) delta alone is clustered, and the
+    // union preserves both children's partitioning — so untouched-row
+    // rewrite never shuffles and the whole merge commits in a single
+    // action (driver job latency is the core-count-invariant cost of
+    // a batch, so every saved round trip scales the low-core levels).
+    val insB = clusterByBucket(
+      ins.withColumn("__b", bucketExpr(keyCols, numBuckets)), numBuckets)
+    val keepB = keep.map(_.withColumn("__b", bucketExpr(keyCols, numBuckets)))
+    keepB.map(_.unionByName(insB)).getOrElse(insB)
       .write.mode("overwrite")
-      .option("maxRecordsPerFile", 5000000)
-      .partitionBy("__b").parquet(dir.toString))
-    clusterByBucket(ins.withColumn("__b", bucketExpr(keyCols, numBuckets)), numBuckets)
-      .write.mode(if (keep.isEmpty) "overwrite" else "append")
       .option("maxRecordsPerFile", 5000000)
       .partitionBy("__b").parquet(dir.toString)
     upd.unpersist()
