@@ -243,14 +243,20 @@ object Bench {
       name -> sec
     }
     val docs = Tables.documents(spark, sfDir).count() * E2eFactor
-    // best-of-3: JIT/GC variance dominates single runs at this scale
-    val e2eReps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "3").toInt
+    // best-of-5: JIT/GC variance dominates single runs at this scale
+    // (measured swing band ~30% even on best-of-3)
+    val e2eReps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "5").toInt
     val e2eSec =
       if (skipE2e) 0.0
-      else (1 to e2eReps).map { _ =>
-        clearState(spark)
-        time(e2ePipeline(spark, sfDir, storeRoot))._1
-      }.min
+      else {
+        val reps = (1 to e2eReps).map { _ =>
+          clearState(spark)
+          time(e2ePipeline(spark, sfDir, storeRoot))._1
+        }
+        System.err.println(
+          reps.map(t => f"$t%.2f").mkString("[bench] e2e reps: ", " ", " s"))
+        reps.min
+      }
     val docsPerSec = if (skipE2e) 0.0 else docs / e2eSec
     // r2-shape comparison leg (join + tiles + node-only merge);
     // SPARK_GRAFT_SKIP_R2SHAPE=1 drops it (the scaling protocol only

@@ -110,11 +110,8 @@ class Replicator(spark: SparkSession, root: String) {
     * failure leaves some layers advanced, which the idempotent MERGE +
     * post-batch seq checkpoint (ST4) makes safe to re-apply. */
   private def applyOpsInner(winnersIn: DataFrame): Long = {
-    // cached, NOT eagerly materialized: the concurrent merges race to
-    // its partitions and the cache loading lock makes the first
-    // arrival compute each partition once — an up-front count() is one
-    // more driver round trip on the batch's critical path
     val winners = winnersIn.cache() // ST2+ST5, reused per layer
+    winners.count() // materialize ONCE before the parallel merges fork
     // J10 metadata: a layer whose snapshot carries ts/tags columns (and
     // a change stream that supplies them) maintains the full
     // type/timestamp/tag/facts triple families; changed objects take
