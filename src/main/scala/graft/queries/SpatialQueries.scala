@@ -162,9 +162,12 @@ object SpatialQueries {
       val w = graft.osm.ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir)).cache()
       val mpRels = SynthUniverse.relations(s, dir)
         .filter(col("rel_type") === "multipolygon").select(col("rel_id"))
+      // cached: the ring-assembly DAG (polys join + groupBy) feeds the
+      // base join, the upserted-ring delta, and the cover-cell probe
       val areaRings = relRings(s, dir)
         .join(mpRels, Seq("rel_id"), "left_semi")
         .select(col("rel_id"), col("role"), col("xs"), col("ys"))
+        .cache()
       val pts = SynthUniverse.points(s, dir)
       val base = SpatialJoin.pipJoinMulti(pts, areaRings, PipRes)
       val st = graft.osm.ChangePipeline.staleWays(w, SynthUniverse.wayMembers(s, dir))

@@ -421,6 +421,82 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  // ---- maintenance + metadata tables ---------------------------------
+
+  /** Snapshot ids whose data dirs are still REFERENCED by any kept
+    * snapshot — via bucketSrc manifests (carried-by-reference buckets)
+    * or delta chains (a delta needs its whole ancestry, and each chain
+    * member's bucketSrc in turn). */
+  private def referencedBy(keep: Seq[Long]): Set[Long] =
+    keep.flatMap { id =>
+      val chain = (deltaChain(id) :+ chainBase(id)) :+ id
+      chain ++ chain.flatMap(c => bucketSources(c).values)
+    }.toSet
+
+  /** Expire snapshots older than the newest `keepLast`, deleting ONLY
+    * data dirs no retained snapshot references (the immutability
+    * invariant: a bucket dir carried by reference, or a delta chain
+    * ancestor, must survive as long as any retained manifest points at
+    * it). Retained snapshots' time travel keeps working; expired ids
+    * lose their metadata and data. Returns the deleted snapshot ids. */
+  def expireSnapshots(keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val all = snapshots
+    val keep = all.takeRight(keepLast)
+    val needed = referencedBy(keep)
+    val expired = all.dropRight(keepLast).filterNot(needed)
+    expired.foreach { id =>
+      val d = dataDir(id)
+      if (Files.exists(d))
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.delete(p))
+      Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json"))
+    }
+    expired
+  }
+
+  /** Iceberg-style `snapshots` metadata table: one row per snapshot
+    * with operation / rowCount / bytes / commit time / parent. */
+  def snapshotsMeta: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = snapshots.map { id =>
+      val i = snapshotInfo(id)
+      org.apache.spark.sql.Row(id, i.getOrElse("operation", ""),
+        i.get("rowCount").map(_.toLong).getOrElse(0L),
+        i.get("bytes").map(_.toLong).getOrElse(0L),
+        i.get("committedAtMs").map(_.toLong).getOrElse(0L),
+        i.get("parent").filter(_.nonEmpty).map(_.toLong).orNull,
+        isDelta(i))
+    }
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType.fromDDL(
+      "snapshot_id BIGINT, operation STRING, row_count BIGINT, bytes BIGINT," +
+        " committed_at_ms BIGINT, parent BIGINT, is_delta BOOLEAN"))
+  }
+
+  /** Iceberg-style `files` metadata table for a snapshot (default:
+    * current): one row per data file with its bucket and size. */
+  def filesMeta(id: Option[Long] = None): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val snap = id.orElse(currentSnapshot).getOrElse(
+      throw new IllegalStateException(s"no current snapshot at $root"))
+    val info = snapshotInfo(snap)
+    val dirs: Seq[(Int, Path)] =
+      if (isDelta(info))
+        (deltaChain(snap).map(d => -1 -> dataDir(d))) ++
+          bucketPaths(chainBase(snap)).toSeq
+      else if (bucketPaths(snap).nonEmpty) bucketPaths(snap).toSeq
+      else Seq(-1 -> dataDir(snap))
+    val rows = dirs.flatMap { case (b, d) =>
+      if (!Files.exists(d)) Nil
+      else Files.walk(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => org.apache.spark.sql.Row(snap, b, f.toString, Files.size(f)))
+        .toSeq
+    }
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType.fromDDL(
+      "snapshot_id BIGINT, bucket INT, path STRING, bytes BIGINT"))
+  }
+
   /** Resolve the current state (delta chains folded in) and rewrite it
     * fully with `updates` applied — the compaction face shared by
     * [[mergeIntoDelta]]'s chain cap and [[mergeInto]]-atop-a-chain. */

@@ -114,6 +114,54 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(state() === Map(1L -> Set("a-only"), 2L -> Set("b1v4")))
   }
 
+  test("expireSnapshots never deletes dirs still carried by reference or in a delta chain") {
+    val root = freshRoot("expire")
+    val base = (0L until 64L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = SnapshotTable.create(spark, root, base, Seq("id"), numBuckets = 8)
+    // two COW merges touch the SAME key -> the second rewrite orphans
+    // snapshot 2's bucket dir; snapshot 1's dirs stay referenced (they
+    // back every untouched bucket of the current manifest)
+    t.mergeInto(Seq((1L, "x", false)).toDF("id", "v", "deleted"), Seq("id"), Some("deleted"))
+    t.mergeInto(Seq((1L, "y", false)).toDF("id", "v", "deleted"), Seq("id"), Some("deleted"))
+    // an open delta chain on top
+    t.mergeIntoDelta(Seq((3L, Some("z"), false)).toDF("id", "v", "deleted"),
+      Seq("id"), Some("deleted"), compactEvery = 8)
+    val before = t.read().as[(Long, String)].collect().toMap
+    val expired = t.expireSnapshots(keepLast = 1)
+    // the chain needs snapshots 3+4 and snapshot 1 is carried by
+    // reference — only the overwritten COW snapshot 2 is reclaimable
+    assert(expired === Seq(2L))
+    assert(t.read().as[(Long, String)].collect().toMap === before)
+    assert(before(1L) === "y" && before(3L) === "z")
+    // compaction frees the ancestry: everything except the compacted
+    // snapshot goes
+    t.mergeInto(Seq((4L, "w", false)).toDF("id", "v", "deleted"), Seq("id"), Some("deleted"))
+    val expired2 = t.expireSnapshots(keepLast = 1)
+    assert(expired2.nonEmpty && !expired2.contains(t.currentSnapshot.get))
+    val after = t.read().as[(Long, String)].collect().toMap
+    assert(after === before + (4L -> "w"))
+  }
+
+  test("snapshots/files metadata tables expose commit history and data files") {
+    val root = freshRoot("meta-tables")
+    val t = SnapshotTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), numBuckets = 2)
+    t.mergeInto(Seq((1L, "A", false)).toDF("id", "v", "deleted"), Seq("id"), Some("deleted"))
+    t.mergeIntoDelta(Seq((2L, Some("B"), false)).toDF("id", "v", "deleted"),
+      Seq("id"), Some("deleted"))
+    val snaps = t.snapshotsMeta.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(6))).toMap
+    assert(snaps(1L) === (("create", false)))
+    assert(snaps(2L) === (("merge", false)))
+    assert(snaps(3L) === (("delta", true)))
+    val files = t.filesMeta().collect()
+    assert(files.nonEmpty && files.forall(_.getString(2).endsWith(".parquet")))
+    assert(files.forall(_.getLong(3) > 0))
+    // the delta snapshot's file set includes both chain files (bucket
+    // -1) and the base layout's bucket dirs
+    assert(files.exists(_.getInt(1) == -1) && files.exists(_.getInt(1) >= 0))
+  }
+
   test("copy-on-write merge atop an open delta chain folds the chain in") {
     val root = freshRoot("mor-cow")
     val t = SnapshotTable.create(spark, root,
