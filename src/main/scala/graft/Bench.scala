@@ -88,15 +88,8 @@ object Bench {
       .cache()
     SnapshotTable.create(s, s"$root/ways", baseWays, Seq("way_id"), buckets)
     val rm = SynthUniverse.relMembers(s, dir)
-    val baseRels = rm
-      .groupBy(col("rel_id"))
-      .agg(sort_array(collect_list(struct(
-        col("pos"), col("member_kind"), col("member_id"), col("role")))).as("ms"))
-      .select(col("rel_id"),
-        array_join(transform(col("ms"), m =>
-          concat(m.getField("member_kind"), lit("/"),
-            m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
-          ";").as("members"))
+    val baseRels = ChangePipeline.serializeRelMembers(
+        rm.withColumnRenamed("member_kind", "mtype"))
       .withColumn("ts", SynthUniverse.synthTs(col("rel_id")))
       .withColumn("tags", SynthUniverse.relTagMap(col("rel_id")))
       .cache()
@@ -246,6 +239,13 @@ object Bench {
     // best-of-5: JIT/GC variance dominates single runs at this scale
     // (measured swing band ~30% even on best-of-3)
     val e2eReps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "5").toInt
+    // each rep applies the batch to the SHARED store (idempotent
+    // MERGEs; the steady-state shape a live loop has). The triple
+    // store's delta chain grows by one per rep — keep the compaction
+    // threshold above warmup+reps so no rep silently times an
+    // O(table) compaction instead of the O(batch) delta commit.
+    spark.conf.set("spark.graft.triplesCompactEvery",
+      math.max(8, e2eReps + 2).toString)
     val e2eSec =
       if (skipE2e) 0.0
       else {

@@ -136,6 +136,22 @@ object ChangePipeline {
           m => concat(m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
           ";").as("members"))
 
+  /** Snapshot-layer serialization of TYPED relation members: ordered
+    * `mtype/ref/role` entries ';'-joined — the rels layer's storage
+    * format (kind kept so stale detection can restrict to way members,
+    * J3). One definition shared by the live loop, the store build, and
+    * the q70 oracle query. `rm` needs (rel_id, pos, mtype, member_id,
+    * role). */
+  def serializeRelMembers(rm: DataFrame): DataFrame =
+    rm.groupBy(col("rel_id"))
+      .agg(sort_array(collect_list(struct(
+        col("pos"), col("mtype"), col("member_id"), col("role")))).as("ms"))
+      .select(col("rel_id"),
+        array_join(transform(col("ms"), m =>
+          concat(m.getField("mtype"), lit("/"),
+            m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
+          ";").as("members"))
+
   /** J5 + SO2 guard: distinct member nodes of geometry-stale ways that
     * are NOT themselves in the change file
     * (/root/reference/src/osm/OsmChangeHandler.cpp:325-341, 688-699). */

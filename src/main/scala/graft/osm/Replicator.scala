@@ -112,19 +112,25 @@ class Replicator(spark: SparkSession, root: String) {
   private def applyOpsInner(winnersIn: DataFrame): Long = {
     val winners = winnersIn.cache() // ST2+ST5, reused per layer
     winners.count() // materialize ONCE before the parallel merges fork
-    // J10 metadata: a layer whose snapshot carries ts/tags columns (and
-    // a change stream that supplies them) maintains the full
-    // type/timestamp/tag/facts triple families; changed objects take
-    // the change file's values, stale rebuilds carry the stored ones
-    // forward (the reference re-fetches exactly these,
-    // /root/reference/src/osm/OsmDataFetcher.cpp:333-395).
-    val winMeta = Seq("ts", "tags").forall(winners.columns.contains)
+    // J10 metadata: a layer whose snapshot carries ts/tags columns
+    // maintains the full type/timestamp/tag/facts triple families;
+    // changed objects take the change file's values, stale rebuilds
+    // carry the stored ones forward (the reference re-fetches exactly
+    // these, /root/reference/src/osm/OsmDataFetcher.cpp:333-395). The
+    // LAYER schema is authoritative: a change stream missing ts/tags
+    // contributes nulls (the delta must still union with the kept base
+    // rows), never a silent schema mismatch.
+    def wcol(name: String, tpe: String): org.apache.spark.sql.Column =
+      if (winners.columns.contains(name)) col(name)
+      else lit(null).cast(tpe).as(name)
     def hasMeta(base: DataFrame): Boolean =
-      winMeta && Seq("ts", "tags").forall(base.columns.contains)
+      Seq("ts", "tags").forall(base.columns.contains)
     val baseNodes = nodes.read()
     val nodeMeta = hasMeta(baseNodes)
     val metaCols: Seq[org.apache.spark.sql.Column] =
-      if (nodeMeta) Seq(col("ts"), col("tags")) else Nil
+      if (nodeMeta) Seq(wcol("ts", "timestamp").as("ts"),
+        wcol("tags", "map<string,string>").as("tags"))
+      else Nil
     val nodeOps = winners.filter(col("kind") === "node")
       .select(Seq(col("id").as("node_id"),
         col("lon").as("lon"), col("lat").as("lat")) ++ metaCols :+
@@ -140,7 +146,8 @@ class Replicator(spark: SparkSession, root: String) {
     def withMeta(upserts: DataFrame, base: DataFrame, kind: String,
         idCol: String): DataFrame = {
       val wm = winners.filter(col("kind") === kind && col("action").isin("create", "modify"))
-        .select(col("id").as(idCol), col("ts").as("__wts"), col("tags").as("__wtags"))
+        .select(col("id").as(idCol), wcol("ts", "timestamp").as("__wts"),
+          wcol("tags", "map<string,string>").as("__wtags"))
       val bm = base.select(col(idCol), col("ts").as("__bts"), col("tags").as("__btags"))
       upserts.join(wm, Seq(idCol), "left").join(bm, Seq(idCol), "left")
         .withColumn("ts", coalesce(col("__wts"), col("__bts")))
@@ -223,15 +230,8 @@ class Replicator(spark: SparkSession, root: String) {
           .filter(col("kind") === "relation" && col("action").isin("create", "modify"))
           .select(col("id").as("rel_id"))
           .union(staleR.select(col("rel_id"))).distinct()
-        val upserts = membership.join(upsertIds, Seq("rel_id"), "left_semi")
-          .groupBy(col("rel_id"))
-          .agg(sort_array(collect_list(struct(
-            col("pos"), col("mtype"), col("member_id"), col("role")))).as("ms"))
-          .select(col("rel_id"),
-            array_join(transform(col("ms"), m =>
-              concat(m.getField("mtype"), lit("/"),
-                m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
-              ";").as("members"))
+        val upserts = ChangePipeline.serializeRelMembers(
+          membership.join(upsertIds, Seq("rel_id"), "left_semi"))
         val upsertsC = (if (hasMeta(base)) withMeta(upserts, base, "relation", "rel_id")
           else upserts).cache() // shared: rel merge + triple merge
         val dels = winners.filter(col("kind") === "relation" && col("action") === "delete")

@@ -168,15 +168,8 @@ object OsmQueries {
         .select(col("id").as("rel_id"))
       val rTs = w.filter(col("kind") === "relation" && col("action").isin("create", "modify"))
         .select(col("id").as("rel_id"), col("ts").as("w_ts"))
-      val mergedRels = rm
-        .groupBy(col("rel_id"))
-        .agg(sort_array(collect_list(struct(
-          col("pos"), col("member_kind"), col("member_id"), col("role")))).as("ms"))
-        .select(col("rel_id"),
-          array_join(transform(col("ms"), m =>
-            concat(m.getField("member_kind"), lit("/"),
-              m.getField("member_id").cast("string"), lit("/"), m.getField("role"))),
-            ";").as("members"))
+      val mergedRels = ChangePipeline.serializeRelMembers(
+          rm.withColumnRenamed("member_kind", "mtype"))
         .join(relDels, Seq("rel_id"), "left_anti")
         .join(rTs, Seq("rel_id"), "left")
         .withColumn("ts", coalesce(col("w_ts"), SynthUniverse.synthTs(col("rel_id"))))

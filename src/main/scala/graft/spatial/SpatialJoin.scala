@@ -340,24 +340,28 @@ object SpatialJoin {
     val cellW = 360.0 / CellIndex.width(res) // lon degrees per cell
     val cellH = 180.0 / CellIndex.width(res)
     val minEdge = math.min(cellW, cellH)
-    // The layer is the SMALL side (broadcast each round, collected by
-    // the brute-force fallback) but its assembly DAG — typically a
-    // join+groupBy ring reconstruction — is NOT small: cache it once
-    // instead of re-running it for the stats agg, every round's
-    // broadcast build, and the fallback collect. (Measured 2x on the
-    // bench layer; left cached for the caller's action since the
-    // returned plan still references it lazily.)
-    val cents = centroids.withColumn("ccell",
-      GeoFunctions.cellAt(col("cx"), col("cy"), res)).cache()
+    val cents0 = centroids.withColumn("ccell",
+      GeoFunctions.cellAt(col("cx"), col("cy"), res))
 
     // Density-informed start ring: ring 1 has a zero-width moat (can
     // never resolve anything), and each extra round costs a full
     // explode+join+window pass — so size the first probe from ONE agg
-    // over the (small) layer: smallest ring whose (2r+1)^2 block is
-    // expected to hold >= 4k candidates at the layer's bbox density.
-    val st = cents.agg(count(lit(1)), min(col("cx")), max(col("cx")),
+    // over the layer: smallest ring whose (2r+1)^2 block is expected
+    // to hold >= 4k candidates at the layer's bbox density.
+    val st = cents0.agg(count(lit(1)), min(col("cx")), max(col("cx")),
       min(col("cy")), max(col("cy"))).head()
     val nLayer = st.getLong(0)
+    // The SMALL layer's assembly DAG — typically a join+groupBy ring
+    // reconstruction — is NOT small: cache it once instead of
+    // re-running it for every round's broadcast build and the fallback
+    // collect (measured 2x on the bench layer; left cached for the
+    // caller's action since the returned plan references it lazily).
+    // An OVER-LIMIT layer is NOT cached: the coarser-resolution
+    // fallback recursion would otherwise pin one >limit copy per
+    // resolution level in executor memory.
+    val cents =
+      if (nLayer <= knnBroadcastLimit(points.sparkSession)) cents0.cache()
+      else cents0
     if (nLayer == 0) return points.limit(0)
     val bboxCells =
       (math.ceil((st.getDouble(2) - st.getDouble(1)) / cellW) + 1.0) *

@@ -81,11 +81,16 @@ object ChangeStream {
             Iterator.empty
           } else {
             // every invocation clears a previously-set timeout — re-arm
-            // it whenever state survives this call
+            // it whenever state survives this call. A null event time
+            // anchors the horizon at the CURRENT watermark (treating it
+            // as epoch 0 would clamp to watermark+1 and evict the key
+            // on the very next watermark advance, silently voiding the
+            // configured TTL).
             def arm(w: ChangeOp): Unit = if (useTtl) {
-              val target = (if (w.ts != null) w.ts.getTime else 0L) + ttlMs.get
+              val anchor =
+                if (w.ts != null) w.ts.getTime else state.getCurrentWatermarkMs()
               state.setTimeoutTimestamp(
-                math.max(target, state.getCurrentWatermarkMs() + 1))
+                math.max(anchor + ttlMs.get, state.getCurrentWatermarkMs() + 1))
             }
             val batchWinner = incoming.reduceOption((a, b) => if (newerThan(b, a)) b else a)
             batchWinner match {

@@ -47,6 +47,13 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
   private def bucketDir(snap: Long, b: Int): Path =
     dataDir(snap).resolve(s"__b=$b")
 
+
+  /** nio directory streams hold an open FD until close() — iterate
+    * them only through this closing bracket (a replication loop runs
+    * thousands of merges per session; leaked FDs accumulate). */
+  private def closing[A <: java.util.stream.BaseStream[_, _], R](st: A)(f: A => R): R =
+    try f(st) finally st.close()
+
   def currentSnapshot: Option[Long] = {
     val p = metaDir.resolve("current")
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
@@ -91,10 +98,10 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     * of only THIS snapshot's files). */
   private def writtenBucketBytes(dir: Path): Map[Int, Long] =
     if (!Files.exists(dir)) Map.empty
-    else Files.list(dir).iterator().asScala
+    else closing(Files.list(dir))(_.iterator().asScala
       .filter(_.getFileName.toString.startsWith("__b="))
       .map(d => d.getFileName.toString.stripPrefix("__b=").toInt -> dirBytes(d))
-      .toMap
+      .toMap)
 
   def read(): DataFrame = currentSnapshot match {
     case Some(id) => readAt(id)
@@ -144,13 +151,12 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     * an empty frame with the schema recorded in the snapshot metadata
     * instead of pointing spark.read at a dir with no parquet files. */
   def readAt(id: Long): DataFrame = {
-    val info0 = snapshotInfo(id)
-    if (isDelta(info0)) return resolveDelta(id, info0)
+    val info = snapshotInfo(id)
+    if (isDelta(info)) return resolveDelta(id, info)
     val buckets = bucketPaths(id)
     if (buckets.nonEmpty)
       spark.read.parquet(buckets.values.map(_.toString).toSeq.sorted: _*)
     else {
-      val info = snapshotInfo(id)
       if (info.get("keyCols").exists(_.nonEmpty)) {
         val ddl = info.getOrElse("schema", throw new IllegalStateException(
           s"bucketed snapshot $id at $root is empty and records no schema"))
@@ -163,16 +169,16 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
 
   def snapshots: Seq[Long] =
     if (!Files.exists(metaDir)) Nil
-    else Files.list(metaDir).iterator().asScala
+    else closing(Files.list(metaDir))(_.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("snapshot-") =>
         s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .toSeq.sorted)
 
   private def dirBytes(d: Path): Long =
     if (!Files.exists(d)) 0L
-    else Files.walk(d).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet")).map(Files.size).sum
+    else closing(Files.walk(d))(_.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).map(Files.size).sum)
 
   private def writeMeta(id: Long, operation: String, rows: Long, bytes: Long,
       extra: Map[String, String]): Long = {
@@ -344,8 +350,8 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     // per-bucket counts via a partition-column-only scan (row counts
     // come from the parquet footers; no data pages are read). A fully
     // deleted bucket has no dir and drops out of the manifest.
-    val hasData = Files.exists(dir) && Files.list(dir).iterator().asScala
-      .exists(_.getFileName.toString.startsWith("__b="))
+    val hasData = Files.exists(dir) && closing(Files.list(dir))(
+      _.iterator().asScala.exists(_.getFileName.toString.startsWith("__b=")))
     val written =
       if (!hasData) Map.empty[Int, Long]
       else spark.read.parquet(dir.toString)
@@ -393,6 +399,14 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
       val upd = updates.withColumn("__b", bucketExpr(keyCols, numBuckets)).cache()
       val updateRows = upd.groupBy(col("__b")).agg(count(lit(1)).as("n"))
         .collect().map(_.getLong(1)).sum
+      if (updateRows == 0L) {
+        // an empty batch must not commit: a delta snapshot whose data
+        // dir holds no parquet files would poison every later
+        // resolveDelta/compaction read (streaming foreachBatch sees
+        // empty micro-batches routinely)
+        upd.unpersist()
+        return MergeResult(cur, 0L)
+      }
       val withDel = deleteMarker match {
         case Some(m) => upd.withColumnRenamed(m, "__del")
         case None => upd.withColumn("__del", lit(false))
@@ -448,8 +462,8 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     expired.foreach { id =>
       val d = dataDir(id)
       if (Files.exists(d))
-        Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.delete(p))
+        closing(Files.walk(d))(_.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.delete(p)))
       Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json"))
     }
     expired
@@ -488,10 +502,10 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
       else Seq(-1 -> dataDir(snap))
     val rows = dirs.flatMap { case (b, d) =>
       if (!Files.exists(d)) Nil
-      else Files.walk(d).iterator().asScala
+      else closing(Files.walk(d))(_.iterator().asScala
         .filter(_.toString.endsWith(".parquet"))
         .map(f => org.apache.spark.sql.Row(snap, b, f.toString, Files.size(f)))
-        .toSeq
+        .toSeq)
     }
     spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType.fromDDL(
       "snapshot_id BIGINT, bucket INT, path STRING, bytes BIGINT"))

@@ -162,6 +162,20 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(files.exists(_.getInt(1) == -1) && files.exists(_.getInt(1) >= 0))
   }
 
+  test("an empty delta batch commits nothing and never poisons later reads") {
+    val root = freshRoot("mor-empty")
+    val t = SnapshotTable.create(spark, root,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    val empty = Seq.empty[(Long, Option[String], Boolean)].toDF("k", "v", "deleted")
+    val r = t.mergeIntoDelta(empty, Seq("k"), Some("deleted"))
+    assert(r.updateRows === 0L && t.currentSnapshot === Some(1L))
+    // a real delta afterwards still resolves (streaming sees empty
+    // micro-batches routinely; they must not leave a data-less commit)
+    t.mergeIntoDelta(Seq((1L, Some("a2"), false)).toDF("k", "v", "deleted"),
+      Seq("k"), Some("deleted"))
+    assert(t.read().as[(Long, String)].collect().toSet === Set((1L, "a2")))
+  }
+
   test("copy-on-write merge atop an open delta chain folds the chain in") {
     val root = freshRoot("mor-cow")
     val t = SnapshotTable.create(spark, root,
