@@ -230,22 +230,46 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
   private def clusterByBucket(df: DataFrame, numBuckets: Int): DataFrame =
     df.repartition(numBuckets, col("__b"))
 
+  /** Write a bucketed frame and return its per-bucket row counts from
+    * OBSERVED metrics riding the write action itself — commits are ONE
+    * Spark job, with no read-back listing/footer pass over the files
+    * just written (each saved driver round trip is core-count-invariant
+    * batch latency). Falls back to a footer scan for very wide bucket
+    * counts, where per-bucket conditional sums stop being sensible. */
+  private def writeCounted(df: DataFrame, dir: Path, numBuckets: Int): Map[Int, Long] = {
+    def write(d: DataFrame): Unit = d.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy("__b").parquet(dir.toString)
+    if (numBuckets <= 64) {
+      val obs = org.apache.spark.sql.Observation()
+      val metrics = (0 until numBuckets).map(b =>
+        sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"b$b"))
+      write(df.observe(obs, metrics.head, metrics.tail: _*))
+      val m = obs.get
+      (0 until numBuckets).flatMap { b =>
+        m.get(s"b$b").collect { case n: Number if n.longValue() > 0 =>
+          b -> n.longValue() }
+      }.toMap
+    } else {
+      write(df)
+      val hasData = Files.exists(dir) && closing(Files.list(dir))(
+        _.iterator().asScala.exists(_.getFileName.toString.startsWith("__b=")))
+      if (!hasData) Map.empty
+      else spark.read.parquet(dir.toString)
+        .groupBy(col("__b")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+  }
+
   /** Full bucketed write: every bucket dir lands under this snapshot.
-    * The clustered frame is cached so the per-bucket row histogram and
-    * the file write share ONE computation of the input DAG — no
-    * read-back listing/footer pass over the files just written. */
+    * Per-bucket counts ride the write as observed metrics — the commit
+    * is ONE Spark job. */
   def commitBucketed(df: DataFrame, operation: String,
       keyCols: Seq[String], numBuckets: Int): Long = {
     val id = currentSnapshot.getOrElse(0L) + 1
     val dir = dataDir(id)
-    val out = clusterByBucket(
-      df.withColumn("__b", bucketExpr(keyCols, numBuckets)), numBuckets).cache()
-    val counts = out.groupBy(col("__b")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    out.write.mode("overwrite")
-      .option("maxRecordsPerFile", 5000000)
-      .partitionBy("__b").parquet(dir.toString)
-    out.unpersist()
+    val counts = writeCounted(clusterByBucket(
+      df.withColumn("__b", bucketExpr(keyCols, numBuckets)), numBuckets), dir, numBuckets)
     val src = counts.keys.map(_ -> id).toMap
     val bytes = writtenBucketBytes(dir)
     writeMeta(id, operation, counts.values.sum, bytes.values.sum, Map(
@@ -342,21 +366,11 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     val insB = clusterByBucket(
       ins.withColumn("__b", bucketExpr(keyCols, numBuckets)), numBuckets)
     val keepB = keep.map(_.withColumn("__b", bucketExpr(keyCols, numBuckets)))
-    keepB.map(_.unionByName(insB)).getOrElse(insB)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", 5000000)
-      .partitionBy("__b").parquet(dir.toString)
+    // per-bucket counts ride the write as observed metrics; a fully
+    // deleted bucket counts zero and drops out of the manifest
+    val written = writeCounted(
+      keepB.map(_.unionByName(insB)).getOrElse(insB), dir, numBuckets)
     upd.unpersist()
-    // per-bucket counts via a partition-column-only scan (row counts
-    // come from the parquet footers; no data pages are read). A fully
-    // deleted bucket has no dir and drops out of the manifest.
-    val hasData = Files.exists(dir) && closing(Files.list(dir))(
-      _.iterator().asScala.exists(_.getFileName.toString.startsWith("__b=")))
-    val written =
-      if (!hasData) Map.empty[Int, Long]
-      else spark.read.parquet(dir.toString)
-        .groupBy(col("__b")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val newSrc = (srcMap -- touched) ++ written.keys.map(_ -> id)
     val newRows = (rowsMap -- touched) ++ written
     // untouched buckets' bytes come from the parent manifest (legacy
@@ -396,28 +410,28 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     if (deltaChain(cur).length + 1 > compactEvery)
       compactWith(updates, keyCols, numBuckets, deleteMarker)
     else {
-      val upd = updates.withColumn("__b", bucketExpr(keyCols, numBuckets)).cache()
-      val updateRows = upd.groupBy(col("__b")).agg(count(lit(1)).as("n"))
-        .collect().map(_.getLong(1)).sum
-      if (updateRows == 0L) {
-        // an empty batch must not commit: a delta snapshot whose data
-        // dir holds no parquet files would poison every later
-        // resolveDelta/compaction read (streaming foreachBatch sees
-        // empty micro-batches routinely)
-        upd.unpersist()
-        return MergeResult(cur, 0L)
-      }
+      val upd = updates.withColumn("__b", bucketExpr(keyCols, numBuckets))
       val withDel = deleteMarker match {
         case Some(m) => upd.withColumnRenamed(m, "__del")
         case None => upd.withColumn("__del", lit(false))
       }
       val id = cur + 1
       val dir = dataDir(id)
-      clusterByBucket(withDel, numBuckets)
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", 5000000)
-        .partitionBy("__b").parquet(dir.toString)
-      upd.unpersist()
+      // the delta commit is ONE Spark job: the write carries its own
+      // observed per-bucket counts
+      val counts = writeCounted(clusterByBucket(withDel, numBuckets), dir, numBuckets)
+      val updateRows = counts.values.sum
+      if (updateRows == 0L) {
+        // an empty batch must not commit: a delta snapshot whose data
+        // dir holds no parquet files would poison every later
+        // resolveDelta/compaction read (streaming foreachBatch sees
+        // empty micro-batches routinely) — drop the fileless dir and
+        // leave the table untouched
+        if (Files.exists(dir))
+          closing(Files.walk(dir))(_.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.delete(p)))
+        return MergeResult(cur, 0L)
+      }
       // manifest carries the parent's bucket layout forward untouched;
       // rowCount stays the parent's (resolution-exact counting would
       // defeat the O(batch) write) and is marked approximate
