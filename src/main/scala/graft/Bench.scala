@@ -177,6 +177,26 @@ object Bench {
     t("applyOps")(new Replicator(s, storeRoot).applyOps(winners))
   }
 
+  /** Fixed calibration probe (single-threaded ALU loop + a 64 MB
+    * memory sweep): identical engine code measures 25-50% apart hours
+    * apart on this shared host — the probe's seconds ride the JSON so
+    * cross-run comparisons can be normalized by host phase. */
+  def hostProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 100000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+    }
+    val buf = new Array[Long](8 * 1024 * 1024) // 64 MB
+    var j = 0
+    while (j < buf.length) { buf(j) = x + j; j += 1 }
+    var s = 0L; j = 0
+    while (j < buf.length) { s += buf(j); j += 1 }
+    if ((x ^ s) == 42L) System.err.print("") // defeat dead-code elim
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def time[A](f: => A): (Double, A) = {
     val t0 = System.nanoTime()
     val a = f
@@ -275,7 +295,8 @@ object Bench {
       (if (skipR2) Nil else Seq("e2e_join_r2shape" -> e2eJoinSec)))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + e2eSec + e2eJoinSec
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec}"""
+    val probe = math.min(hostProbe(), hostProbe()) // best-of-2, untimed
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec,"host_probe_sec":$probe}"""
     println(line)
     // sbt prefixes stdout with "[info] ", defeating the driver's JSON
     // parse — the bare line also lands in BENCH/last.json
