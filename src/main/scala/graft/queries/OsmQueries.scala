@@ -175,12 +175,12 @@ object OsmQueries {
         .withColumn("ts", coalesce(col("w_ts"), SynthUniverse.synthTs(col("rel_id"))))
         .drop("w_ts")
         .withColumn("tags", SynthUniverse.relTagMap(col("rel_id")))
-      // each family derivation scans its layer 4-6x (one select per
-      // triple family) — cache the merged layers so the heavy
-      // merge/reconstruction DAGs compute once, not per family branch
-      TripleDerive.ownedNodeTriplesFull(mergedNodes.cache())
-        .unionByName(TripleDerive.ownedWayTriplesFull(mergedWays.cache()))
-        .unionByName(TripleDerive.ownedRelTriplesFull(mergedRels.cache()))
+      // family derivation is single-pass (array-build + one explode per
+      // layer), so each heavy merge/reconstruction DAG computes exactly
+      // once — no layer cache needed
+      TripleDerive.ownedNodeTriplesFull(mergedNodes)
+        .unionByName(TripleDerive.ownedWayTriplesFull(mergedWays))
+        .unionByName(TripleDerive.ownedRelTriplesFull(mergedRels))
         .select(col("s"), col("p"), col("o"))
     }),
   )

@@ -1,6 +1,6 @@
 package graft.rdf
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** osm2rdf-equivalent triple derivation as a DataFrame transform —
@@ -156,101 +156,105 @@ object TripleDerive {
   // SPARQL has no owner notion) into a per-object bucket replace:
   // merging by subj_key atomically swaps an object's whole family,
   // linked-geometry and member-key subjects included.
+  //
+  // Each derivation is SINGLE-PASS: one scan of the layer builds the
+  // whole family as an array of (s,p,o) structs per row (higher-order
+  // `transform` over the member list and `map_entries(tags)`), then one
+  // `explode` — instead of a union of 4-8 per-family selects that each
+  // rescan the source. At corpus scale the layer never fits a cache, so
+  // the N-scan shape reads the parquet N times; this shape reads it
+  // once and stays inside whole-stage codegen.
 
-  /** [[linkedNodeTriples]] + owner key (both subject forms end in the
-    * owning node id). */
-  def ownedNodeTriples(nodes: DataFrame): DataFrame =
-    linkedNodeTriples(nodes).withColumn("subj_key",
-      concat(lit("node:"), regexp_extract(col("s"), "(\\d+)$", 1)))
+  private def t3(s: Column, p: Column, o: Column): Column =
+    struct(s.as("s"), p.as("p"), o.as("o"))
 
-  /** Way family from the snapshot shape (way_id, members, wkt):
-    * [[wayMemberTriples]] rows + the stored-WKT geometry triple. */
-  def ownedWayTriples(ways: DataFrame): DataFrame = {
-    val m = ways
-      .select(col("way_id"), posexplode(split(col("members"), ";")).as(Seq("pos", "nid")))
-      .select(col("way_id"), col("pos"), col("nid").cast("long").as("node_id"))
-      .withColumn("mk",
-        concat(lit("osm2rdfmember:way_"), col("way_id"), lit("_"), col("pos")))
-    val k = concat(lit("way:"), col("way_id"))
-    val link = m.select(k.as("subj_key"),
-      concat(lit("osmway:"), col("way_id")).as("s"),
-      lit("osmway:member").as("p"), col("mk").as("o"))
-    val id = m.select(k.as("subj_key"), col("mk").as("s"),
-      lit("osm2rdfmember:id").as("p"),
-      concat(lit("osmnode:"), col("node_id")).as("o"))
-    val pos = m.select(k.as("subj_key"), col("mk").as("s"),
-      lit("osm2rdfmember:pos").as("p"), col("pos").cast("string").as("o"))
-    val geom = ways.filter(col("wkt").isNotNull)
-      .select(concat(lit("way:"), col("way_id")).as("subj_key"),
-        concat(lit("osmway:"), col("way_id")).as("s"),
-        lit("geo:asWKT").as("p"), col("wkt").as("o"))
-    link.unionByName(id).unionByName(pos).unionByName(geom)
+  /** `osmmeta:timestamp` + `osmkey:*` + `osm2rdf:facts` array parts —
+    * emitted only when the frame carries those columns (and ts/tags are
+    * non-null), mirroring the reference's per-object re-fetch
+    * (/root/reference/src/osm/OsmDataFetcher.cpp:333-395,
+    * src/sparql/QueryWriter.cpp:242-255). */
+  private def metaParts(df: DataFrame, s: Column): Seq[Column] = {
+    val tsPart =
+      if (!df.columns.contains("ts")) Nil
+      else Seq(array_compact(array(when(col("ts").isNotNull,
+        t3(s, lit("osmmeta:timestamp"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))))))
+    val tagParts =
+      if (!df.columns.contains("tags")) Nil
+      else Seq(
+        transform(
+          map_entries(coalesce(col("tags"), map().cast("map<string,string>"))),
+          e => t3(s, concat(lit("osmkey:"), e("key")), e("value"))),
+        array(t3(s, lit("osm2rdf:facts"),
+          coalesce(size(col("tags")), lit(0)).cast("string"))))
+    tsPart ++ tagParts
+  }
+
+  private def explodeOwned(df: DataFrame, key: Column, parts: Seq[Column]): DataFrame =
+    df.select(key.as("subj_key"), explode(concat(parts: _*)).as("t"))
+      .select(col("subj_key"), col("t.s").as("s"), col("t.p").as("p"),
+        col("t.o").as("o"))
+
+  /** [[linkedNodeTriples]] + rdf:type + the meta family, owner-keyed —
+    * one scan of the node layer. */
+  def ownedNodeTriplesFull(nodes: DataFrame): DataFrame = {
+    val s = concat(lit("osmnode:"), col("node_id"))
+    val gs = concat(lit("osm2rdfgeom:osm_node_"), col("node_id"))
+    val wkt = concat(lit("POINT("), format_string("%.7f", col("lon")), lit(" "),
+      format_string("%.7f", col("lat")), lit(")"))
+    val fixed = array(
+      t3(s, lit("geo:hasGeometry"), gs),
+      t3(gs, lit("geo:asWKT"), wkt),
+      t3(s, lit("rdf:type"), lit("osm:node")))
+    explodeOwned(nodes, concat(lit("node:"), col("node_id")),
+      fixed +: metaParts(nodes, s))
+  }
+
+  /** Way family from the snapshot shape (way_id, members, wkt, [ts],
+    * [tags]): member link/id/pos triples + the stored-WKT geometry
+    * triple + rdf:type + meta — one scan of the way layer. */
+  def ownedWayTriplesFull(ways: DataFrame): DataFrame = {
+    val s = concat(lit("osmway:"), col("way_id"))
+    val memT = flatten(transform(
+      coalesce(split(col("members"), ";"), array().cast("array<string>")),
+      (e, i) => {
+        val mk = concat(lit("osm2rdfmember:way_"), col("way_id"), lit("_"), i)
+        array(
+          t3(s, lit("osmway:member"), mk),
+          t3(mk, lit("osm2rdfmember:id"),
+            concat(lit("osmnode:"), e.cast("long"))),
+          t3(mk, lit("osm2rdfmember:pos"), i.cast("string")))
+      }))
+    val geomT = array_compact(array(when(col("wkt").isNotNull,
+      t3(s, lit("geo:asWKT"), col("wkt")))))
+    val typeT = array(t3(s, lit("rdf:type"), lit("osm:way")))
+    explodeOwned(ways, concat(lit("way:"), col("way_id")),
+      Seq(memT, geomT, typeT) ++ metaParts(ways, s))
   }
 
   /** Relation family from the snapshot shape (rel_id, members with
-    * `mtype/ref/role` entries): [[relMemberTriples]] rows + owner. */
-  def ownedRelTriples(rels: DataFrame): DataFrame = {
-    val m = rels
-      .select(col("rel_id"), posexplode(split(col("members"), ";")).as(Seq("pos", "e")))
-      .select(col("rel_id"), col("pos"),
-        split_part(col("e"), lit("/"), lit(1)).as("member_kind"),
-        split_part(col("e"), lit("/"), lit(2)).cast("long").as("member_id"),
-        split_part(col("e"), lit("/"), lit(3)).as("role"))
-    relMemberTriples(m).withColumn("subj_key",
-      concat(lit("rel:"), coalesce(
-        nullif(regexp_extract(col("s"), "rel_(\\d+)_", 1), lit("")),
-        regexp_extract(col("s"), "(\\d+)$", 1))))
+    * `mtype/ref/role` entries, [ts], [tags]): member link/id/role/pos
+    * triples + rdf:type + meta — one scan of the relation layer. */
+  def ownedRelTriplesFull(rels: DataFrame): DataFrame = {
+    val s = concat(lit("osmrel:"), col("rel_id"))
+    val memT = flatten(transform(
+      coalesce(split(col("members"), ";"), array().cast("array<string>")),
+      (e, i) => {
+        val mk = concat(lit("osm2rdfmember:rel_"), col("rel_id"), lit("_"), i)
+        val kind = split_part(e, lit("/"), lit(1))
+        val pfx = when(kind === "node", "osmnode:")
+          .when(kind === "way", "osmway:").otherwise("osmrel:")
+        array(
+          t3(s, lit("osmrel:member"), mk),
+          t3(mk, lit("osm2rdfmember:id"),
+            concat(pfx, split_part(e, lit("/"), lit(2)).cast("long"))),
+          t3(mk, lit("osm2rdfmember:role"), split_part(e, lit("/"), lit(3))),
+          t3(mk, lit("osm2rdfmember:pos"), i.cast("string")))
+      }))
+    val typeT = array(t3(s, lit("rdf:type"), lit("osm:relation")))
+    explodeOwned(rels, concat(lit("rel:"), col("rel_id")),
+      Seq(memT, typeT) ++ metaParts(rels, s))
   }
-
-  // ---- full J10 families (type / timestamp / tags / facts) -----------
-  // The reference re-fetches tags+timestamp for every stale object and
-  // re-inserts the whole family each batch
-  // (/root/reference/src/osm/OsmDataFetcher.cpp:333-395,
-  // src/sparql/QueryWriter.cpp:242-255); its two-hop DELETE removes tag
-  // triples too (QueryWriter.cpp:42-60). Here the layers CARRY the
-  // metadata (optional `ts` timestamp and `tags` map columns), so the
-  // full family derives in-plan from the layer row alone — emission is
-  // column-guarded: layers without metadata emit only the type triple.
-
-  /** rdf:type + osmmeta:timestamp + osmkey:* + osm2rdf:facts for any
-    * layer frame, owner-keyed. ts/tags families appear only when the
-    * frame carries those columns (and ts is non-null). */
-  private def ownedMetaTriples(objs: DataFrame, idCol: String,
-      pfx: String, rdfType: String, keyPfx: String): DataFrame = {
-    val k = concat(lit(keyPfx), col(idCol)).as("subj_key")
-    val s = concat(lit(pfx), col(idCol)).as("s")
-    val typeT = objs.select(k, s, lit("rdf:type").as("p"), lit(rdfType).as("o"))
-    val tsT =
-      if (!objs.columns.contains("ts")) None
-      else Some(objs.filter(col("ts").isNotNull)
-        .select(k, s, lit("osmmeta:timestamp").as("p"),
-          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("o")))
-    val tagT =
-      if (!objs.columns.contains("tags")) None
-      else Some(objs.select(k, s, explode(col("tags")).as(Seq("tk", "tv")))
-        .select(col("subj_key"), col("s"),
-          concat(lit("osmkey:"), col("tk")).as("p"), col("tv").as("o")))
-    val factsT =
-      if (!objs.columns.contains("tags")) None
-      else Some(objs.select(k, s, lit("osm2rdf:facts").as("p"),
-        coalesce(size(col("tags")), lit(0)).cast("string").as("o")))
-    (Seq(typeT) ++ tsT ++ tagT ++ factsT).reduce(_ unionByName _)
-  }
-
-  /** [[ownedNodeTriples]] + the meta family. */
-  def ownedNodeTriplesFull(nodes: DataFrame): DataFrame =
-    ownedNodeTriples(nodes).unionByName(
-      ownedMetaTriples(nodes, "node_id", "osmnode:", "osm:node", "node:"))
-
-  /** [[ownedWayTriples]] + the meta family. */
-  def ownedWayTriplesFull(ways: DataFrame): DataFrame =
-    ownedWayTriples(ways).unionByName(
-      ownedMetaTriples(ways, "way_id", "osmway:", "osm:way", "way:"))
-
-  /** [[ownedRelTriples]] + the meta family. */
-  def ownedRelTriplesFull(rels: DataFrame): DataFrame =
-    ownedRelTriples(rels).unionByName(
-      ownedMetaTriples(rels, "rel_id", "osmrel:", "osm:relation", "rel:"))
 
   /** J11: two-hop delete — remove triples whose subject is a deleted
     * element AND triples of objects linked from them (the OPTIONAL
