@@ -28,6 +28,8 @@ object SparkEntry {
         _root_.graft.queries.GeomTripleQueries.oracles),
       (_root_.graft.queries.TripleSinkQueries.queries,
         _root_.graft.queries.TripleSinkQueries.oracles),
+      (_root_.graft.queries.TableQueries.queries,
+        _root_.graft.queries.TableQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

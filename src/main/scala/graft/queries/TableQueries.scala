@@ -1,0 +1,74 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.SnapshotTable
+
+/** Corpus-table maintenance over the snapshot-table layer — the
+  * merge-on-read path exercised end-to-end on the `documents` corpus:
+  * create → delta commits (upserts + tombstones) → compaction →
+  * resolved read, all against real table storage. The oracle recomputes
+  * the final state closed-form, proving the chain's
+  * latest-commit-wins resolution AND the compaction rewrite exact.
+  *
+  * Reference analogue: the database state after a sequence of change
+  * batches (/root/reference/src/osm/OsmChangeHandler.cpp:442-575) —
+  * here over an LLM-corpus table instead of the triple store, the shape
+  * a 100 TB training-data pipeline maintains under daily refreshes
+  * (per-batch write O(batch), never O(corpus)).
+  */
+object TableQueries {
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally st.close()
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_mor_corpus" -> ((s, dir) => {
+      val root = "target/q73_store_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      deleteRec(Paths.get(root))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), lit(0L).as("rev"), col("n_chars"))
+      val t = SnapshotTable.create(s, root, base,
+        keyCols = Seq("doc_id"), numBuckets = 16)
+      (1 to 3).foreach { b =>
+        val ups = base.filter(col("doc_id") % 5 === b)
+          .select(col("doc_id"), lit(b.toLong).as("rev"),
+            (col("n_chars") + b).as("n_chars"), lit(false).as("del"))
+        val dels = base.filter(col("doc_id") % 17 === b && col("doc_id") % 5 =!= b)
+          .select(col("doc_id"), lit(0L).as("rev"),
+            lit(null).cast("long").as("n_chars"), lit(true).as("del"))
+        // compactEvery=2: batches 1-2 are O(batch) delta commits; batch 3
+        // folds the chain into a full bucketed layout (compaction), so
+        // one query covers both write paths + the resolved read
+        t.mergeIntoDelta(ups.unionByName(dels), Seq("doc_id"),
+          deleteMarker = Some("del"), compactEvery = 2)
+      }
+      t.read().select(col("doc_id"), col("rev"), col("n_chars"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // closed form of the three batches: u = the one upsert batch that
+    // touches the doc (doc_id%5 ∈ 1..3), d = the one tombstone batch
+    // (doc_id%17 ∈ 1..3, never the same batch as its upsert); the doc
+    // survives iff it was never tombstoned or a LATER batch upserted it
+    // (latest-commit-wins), with the upsert's payload
+    "q73_mor_corpus" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 5 BETWEEN 1 AND 3 THEN doc_id % 5 ELSE 0 END AS u,
+        |    CASE WHEN doc_id % 17 BETWEEN 1 AND 3 AND doc_id % 17 <> doc_id % 5
+        |         THEN doc_id % 17 ELSE 0 END AS d
+        |  FROM documents)
+        |SELECT doc_id, CAST(u AS BIGINT) AS rev,
+        |  CAST(n_chars + u AS BIGINT) AS n_chars
+        |FROM f WHERE d = 0 OR u > d""".stripMargin,
+  )
+}
