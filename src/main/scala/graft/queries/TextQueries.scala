@@ -90,6 +90,60 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("g")).as("n_hits"))
     }),
+    "q74_sequence_pack" -> ((s, dir) => {
+      // greedy sequence packing (pretraining batch assembly): docs of a
+      // source, in doc_id order, fill bins of byte budget B; a doc that
+      // would overflow starts the next bin (an oversized doc gets its
+      // own). The fold is inherently sequential PER GROUP — no window
+      // expresses the running reset — so this is the legitimate
+      // mapPartitions case: ONE shuffle co-locates each source, sort
+      // within partitions orders it, and the pass streams with O(1)
+      // state. At 100 TB the groups distribute; a single pathological
+      // source serializes by the op's own semantics (packing order is
+      // the contract).
+      val B = 4000L
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .as[(String, Long, Long)]
+        .repartition(col("source"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+        .mapPartitions { it =>
+          var curSrc: String = null; var bin = 0L; var acc = 0L
+          it.map { case (src, id, n) =>
+            if (src != curSrc) { curSrc = src; bin = 0L; acc = n }
+            else if (acc + n > B) { bin += 1; acc = n }
+            else acc += n
+            (src, id, bin)
+          }
+        }.toDF("source", "doc_id", "bin")
+    }),
+    "q75_tfidf_topk" -> ((s, dir) => {
+      // TF-IDF term ranking with EXACT integer idf (floor(1000*N/df) —
+      // a rational idf replaces ln so Spark and DuckDB hash
+      // bit-identically; ranking behavior is the same monotone-in-1/df
+      // shape). Scale: tf = one map-side-combined shuffle on
+      // (doc_id, term); df = one on term (|vocab| rows, broadcastable
+      // back); top-k = window over the doc_id-keyed tf frame.
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val n = docs.select(col("doc_id")).distinct().count()
+      val tf = docs.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = docs.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        // one IEEE division of exactly-representable integers + floor:
+        // bit-identical in Spark and DuckDB (no transcendental ln whose
+        // last-ulp could flip a rounding boundary between engines)
+        .withColumn("idf_milli", floor(lit(n) * lit(1000.0) / col("df")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(df), Seq("term"))
+        .withColumn("score", col("tf") * col("idf_milli"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rn").cast("long").as("rn"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -149,5 +203,36 @@ object TextQueries {
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 11 <> 0
         |GROUP BY 1""".stripMargin,
+    "q74_sequence_pack" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT source, doc_id, n_chars, rn,
+        |    CAST(0 AS BIGINT) AS bin, n_chars AS acc
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.source, s.doc_id, s.n_chars, s.rn,
+        |    CASE WHEN p.acc + s.n_chars > 4000 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.acc + s.n_chars > 4000 THEN s.n_chars
+        |         ELSE p.acc + s.n_chars END
+        |  FROM seq s JOIN pack p ON s.source = p.source AND s.rn = p.rn + 1)
+        |SELECT source, doc_id, CAST(bin AS BIGINT) AS bin FROM pack""".stripMargin,
+    "q75_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * CAST(FLOOR(1000.0 * n.n / df.df) AS BIGINT) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, CAST(score AS BIGINT) AS score, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term ASC) AS rn FROM scored)
+        |WHERE rn <= 3""".stripMargin,
   )
 }
