@@ -64,11 +64,8 @@ object Bench {
     s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
-  private def rmrf(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-  }
+  private def rmrf(dir: String): Unit =
+    graft.tables.SnapshotTable.deleteRecursively(Paths.get(dir))
 
   /** Untimed setup: materialize the 4-layer snapshot store
     * (nodes / ways / rels / owner-keyed triples) the live replication

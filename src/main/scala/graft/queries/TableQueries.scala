@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,36 +21,33 @@ import graft.tables.SnapshotTable
   * (per-batch write O(batch), never O(corpus)).
   */
 object TableQueries {
-  private def deleteRec(p: Path): Unit =
-    if (Files.exists(p)) {
-      val st = Files.walk(p)
-      try st.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-      finally st.close()
-    }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_mor_corpus" -> ((s, dir) => {
       val root = "target/q73_store_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      deleteRec(Paths.get(root))
+      SnapshotTable.deleteRecursively(Paths.get(root))
+      // cached: create + each batch's ups/dels all derive from it —
+      // without the cache the documents scan re-runs 7x and the benched
+      // figure prices input rescans instead of the MOR write path
       val base = Tables.documents(s, dir)
-        .select(col("doc_id"), lit(0L).as("rev"), col("n_chars"))
-      val t = SnapshotTable.create(s, root, base,
-        keyCols = Seq("doc_id"), numBuckets = 16)
-      (1 to 3).foreach { b =>
-        val ups = base.filter(col("doc_id") % 5 === b)
-          .select(col("doc_id"), lit(b.toLong).as("rev"),
-            (col("n_chars") + b).as("n_chars"), lit(false).as("del"))
-        val dels = base.filter(col("doc_id") % 17 === b && col("doc_id") % 5 =!= b)
-          .select(col("doc_id"), lit(0L).as("rev"),
-            lit(null).cast("long").as("n_chars"), lit(true).as("del"))
-        // compactEvery=2: batches 1-2 are O(batch) delta commits; batch 3
-        // folds the chain into a full bucketed layout (compaction), so
-        // one query covers both write paths + the resolved read
-        t.mergeIntoDelta(ups.unionByName(dels), Seq("doc_id"),
-          deleteMarker = Some("del"), compactEvery = 2)
-      }
-      t.read().select(col("doc_id"), col("rev"), col("n_chars"))
+        .select(col("doc_id"), lit(0L).as("rev"), col("n_chars")).cache()
+      try {
+        val t = SnapshotTable.create(s, root, base,
+          keyCols = Seq("doc_id"), numBuckets = 16)
+        (1 to 3).foreach { b =>
+          val ups = base.filter(col("doc_id") % 5 === b)
+            .select(col("doc_id"), lit(b.toLong).as("rev"),
+              (col("n_chars") + b).as("n_chars"), lit(false).as("del"))
+          val dels = base.filter(col("doc_id") % 17 === b && col("doc_id") % 5 =!= b)
+            .select(col("doc_id"), lit(0L).as("rev"),
+              lit(null).cast("long").as("n_chars"), lit(true).as("del"))
+          // compactEvery=2: batches 1-2 are O(batch) delta commits; batch 3
+          // folds the chain into a full bucketed layout (compaction), so
+          // one query covers both write paths + the resolved read
+          t.mergeIntoDelta(ups.unionByName(dels), Seq("doc_id"),
+            deleteMarker = Some("del"), compactEvery = 2)
+        }
+        t.read().select(col("doc_id"), col("rev"), col("n_chars"))
+      } finally base.unpersist()
     }),
   )
 

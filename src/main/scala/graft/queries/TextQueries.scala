@@ -109,9 +109,11 @@ object TextQueries {
         .repartition(col("source"))
         .sortWithinPartitions(col("source"), col("doc_id"))
         .mapPartitions { it =>
-          var curSrc: String = null; var bin = 0L; var acc = 0L
+          // explicit first-row flag, not a null sentinel: a NULL source
+          // group must still get its reset (null != null is false)
+          var first = true; var curSrc: String = null; var bin = 0L; var acc = 0L
           it.map { case (src, id, n) =>
-            if (src != curSrc) { curSrc = src; bin = 0L; acc = n }
+            if (first || src != curSrc) { first = false; curSrc = src; bin = 0L; acc = n }
             else if (acc + n > B) { bin += 1; acc = n }
             else acc += n
             (src, id, bin)

@@ -48,11 +48,7 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     dataDir(snap).resolve(s"__b=$b")
 
 
-  /** nio directory streams hold an open FD until close() — iterate
-    * them only through this closing bracket (a replication loop runs
-    * thousands of merges per session; leaked FDs accumulate). */
-  private def closing[A <: java.util.stream.BaseStream[_, _], R](st: A)(f: A => R): R =
-    try f(st) finally st.close()
+  import SnapshotTable.closing
 
   def currentSnapshot: Option[Long] = {
     val p = metaDir.resolve("current")
@@ -427,9 +423,7 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
         // resolveDelta/compaction read (streaming foreachBatch sees
         // empty micro-batches routinely) — drop the fileless dir and
         // leave the table untouched
-        if (Files.exists(dir))
-          closing(Files.walk(dir))(_.sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(p => Files.delete(p)))
+        SnapshotTable.deleteRecursively(dir)
         return MergeResult(cur, 0L)
       }
       // manifest carries the parent's bucket layout forward untouched;
@@ -474,10 +468,7 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     val needed = referencedBy(keep)
     val expired = all.dropRight(keepLast).filterNot(needed)
     expired.foreach { id =>
-      val d = dataDir(id)
-      if (Files.exists(d))
-        closing(Files.walk(d))(_.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.delete(p)))
+      SnapshotTable.deleteRecursively(dataDir(id))
       Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json"))
     }
     expired
@@ -552,6 +543,20 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
 case class MergeResult(snapshotId: Long, updateRows: Long)
 
 object SnapshotTable {
+  /** nio directory streams hold an open FD until close() — iterate
+    * them only through this closing bracket (a replication loop runs
+    * thousands of merges per session; leaked FDs accumulate). */
+  private[graft] def closing[A <: java.util.stream.BaseStream[_, _], R](st: A)(f: A => R): R =
+    try f(st) finally st.close()
+
+  /** THE recursive directory delete (walk, reverse-sort, delete),
+    * FD-safe; no-op on a missing path. Every rm -rf in the codebase
+    * goes through here. */
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      closing(Files.walk(p))(_.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f)))
+
   /** Create with key columns (the default path) → hash-bucketed layout
     * with O(touched-buckets) MERGE; without keys → legacy flat layout. */
   def create(spark: SparkSession, root: String, df: DataFrame,
