@@ -103,7 +103,10 @@ object TextQueries {
       // the contract).
       val B = 4000L
       import s.implicits._
-      Tables.documents(s, dir)
+      // raw read, not Tables.documents: the co-locating repartition
+      // below already spreads the single-row-group test file, so the
+      // spread() exchange would be a second, wasted shuffle
+      s.read.parquet(s"$dir/documents.parquet")
         .select(col("source"), col("doc_id"), col("n_chars"))
         .as[(String, Long, Long)]
         .repartition(col("source"))

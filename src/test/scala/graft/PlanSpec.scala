@@ -91,6 +91,25 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.linesIterator.take(30).mkString("\n"))
   }
 
+  test("q74 packing plans exactly one exchange (co-locate) and no join") {
+    val plan = formatted(SparkEntry.queries("q74_sequence_pack")(spark, sfSmall))
+    // one shuffle co-locates each source; the greedy fold itself must
+    // add no further exchange, join, or window
+    assert("(?m)^\\s*\\+- Exchange".r.findAllIn(plan).size === 1,
+      plan.linesIterator.take(40).mkString("\n"))
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  test("q75 tf-idf broadcasts the vocabulary side and keeps aggregates map-side-combined") {
+    val plan = formatted(SparkEntry.queries("q75_tfidf_topk")(spark, sfSmall))
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocabulary (df) side must broadcast:\n" +
+        plan.linesIterator.take(40).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    // tf and df both get partial_count / partial map-side aggregation
+    assert("partial_count".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cell_at",
