@@ -126,6 +126,49 @@ object SimilarityQueries {
         .select(col("id_a"), col("id_b"),
           round(col("cos") * 1e9, 0).cast("long").as("cos_ppb"))
     }),
+    "q76_kmeans_assign" -> ((s, dir) => {
+      // Lloyd k-means (the IVF coarse quantizer TRAINED instead of
+      // picked): 2 iterations on an exact integer grid — vectors
+      // quantize to positive micro-units, assignment is an integer
+      // squared-L2 argmin folded over ONE broadcast centroid row (no
+      // xK row blowup), the update is a per-dim truncated integer mean
+      // (order-insensitive, so any aggregation schedule agrees with
+      // the oracle bit-for-bit). Per iteration: one explode + one
+      // map-side-combined shuffle on (cid, pos); K and dims are tiny
+      // vs the corpus, the corpus is scanned once per iteration.
+      val k = 4
+      val q = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round((x + lit(1.0)) * 1000000).cast("long")).as("vq"))
+      def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+        val centArr = cents
+          .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+        def dist(cv: Column): Column = aggregate(
+          zip_with(col("vq"), cv, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        val best = aggregate(
+          transform(col("cs"), c =>
+            struct(dist(c.getField("cv")).as("d"), c.getField("cid").as("cid"))),
+          struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
+          (acc, x) => when(x.getField("d") < acc.getField("d") ||
+              (x.getField("d") === acc.getField("d") &&
+                x.getField("cid") < acc.getField("cid")), x)
+            .otherwise(acc))
+        vecs.crossJoin(broadcast(centArr))
+          .withColumn("cid", best.getField("cid")).drop("cs")
+      }
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select(col("cid"), posexplode(col("vq")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(expr("sum(x) div count(*)").as("dm"))
+          .groupBy(col("cid"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("dm")))).as("ps"))
+          .select(col("cid"), transform(col("ps"), p => p.getField("dm")).as("cv"))
+      val c0 = q.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("vq").as("cv"))
+      assign(q, update(assign(q, c0)))
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"))
+    }),
   )
 
   private def dotSql2(x: String, y: String) =
@@ -204,5 +247,41 @@ object SimilarityQueries {
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, CAST(ROUND(cos*1000000000,0) AS BIGINT) AS cos_ppb
          |FROM p WHERE cos >= 0.98""".stripMargin,
+    "q76_kmeans_assign" -> {
+      // exact-integer grid: every arithmetic step is closed over BIGINT
+      // (quantize, squared-L2, truncated mean), so the two engines'
+      // different aggregation orders cannot diverge
+      def d2(v: String, c: String) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+           |      [($v[i] - $c[i]) * ($v[i] - $c[i])
+           |       for i in range(1, len($v)+1)]), (x,y) -> x+y)""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    [CAST(ROUND((x + 1.0) * 1000000) AS BIGINT) for x in embedding] AS vq
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, vq AS cv FROM q WHERE vec_id < 4),
+         |a1 AS (
+         |  SELECT vec_id, vq, cid FROM (
+         |    SELECT q.vec_id, q.vq, c0.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${d2("q.vq", "c0.cv")} ASC, c0.cid ASC) AS rn
+         |    FROM q CROSS JOIN c0)
+         |  WHERE rn = 1),
+         |c1 AS (
+         |  SELECT cid, list(dm ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos, CAST(SUM(x) // COUNT(*) AS BIGINT) AS dm FROM (
+         |      SELECT cid, unnest(vq) AS x,
+         |        unnest(range(1, len(vq)+1)) AS pos FROM a1)
+         |    GROUP BY cid, pos)
+         |  GROUP BY cid),
+         |a2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT q.vec_id, c1.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${d2("q.vq", "c1.cv")} ASC, c1.cid ASC) AS rn
+         |    FROM q CROSS JOIN c1)
+         |  WHERE rn = 1)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2""".stripMargin
+    },
   )
 }
