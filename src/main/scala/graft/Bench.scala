@@ -44,7 +44,8 @@ object Bench {
     "q60_incremental_pip", "q61_decontaminate", "q63_sessionize",
     "q64_asof_join", "q65_range_join", "q70_triples_after_merge",
     "q71_incremental_multipip", "q73_mor_corpus",
-    "q74_sequence_pack", "q75_tfidf_topk", "q76_kmeans_assign")
+    "q74_sequence_pack", "q75_tfidf_topk", "q76_kmeans_assign",
+    "q78_repetition")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -123,6 +123,43 @@ object TextQueries {
           }
         }.toDF("source", "doc_id", "bin")
     }),
+    "q77_mixture_sample" -> ((s, dir) => {
+      // deterministic data-mixture sampling (the "data mixing" stage of
+      // a pretraining pipeline): each source gets a closed-form rate in
+      // milli-units; a doc survives iff its stable 60-bit content hash
+      // falls under the rate. Hash-threshold sampling is reproducible
+      // across reruns/engines and needs no state — one narrow scan, no
+      // shuffle, no RNG. Rates would come from a mixture-weights dim
+      // table at scale (broadcast); the closed form keeps the oracle
+      // exact here.
+      import graft.text.TextFunctions.hash60
+      val rate = (length(col("source")) % 5) * 200 + 100
+      Tables.documents(s, dir)
+        .filter(pmod(hash60(col("doc_id").cast("string")), lit(1000L)) < rate)
+        .select(col("doc_id"), col("source"))
+    }),
+    "q78_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signal: the fraction of 3-grams
+      // that are repeats of an earlier gram in the same doc (ppm,
+      // integer-exact) + the hottest gram's count. Two
+      // map-side-combined aggregations — (doc, gram) then doc — the
+      // same shape at any corpus size.
+      val n = 3
+      val grams = Tables.documents(s, dir)
+        .withColumn("ts", tokens(col("text")))
+        .filter(size(col("ts")) >= n)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+            i => array_join(slice(col("ts"), i, lit(n)), " "))).as("g"))
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("max_gram"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          expr("1000000 * (n_grams - n_distinct) div n_grams").as("rep_ppm"),
+          col("max_gram"))
+    }),
     "q75_tfidf_topk" -> ((s, dir) => {
       // TF-IDF term ranking with EXACT integer idf (floor(1000*N/df) —
       // a rational idf replaces ln so Spark and DuckDB hash
@@ -208,6 +245,27 @@ object TextQueries {
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 11 <> 0
         |GROUP BY 1""".stripMargin,
+    "q77_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+        |        % 1000
+        |      < (length(source) % 5) * 200 + 100""".stripMargin,
+    "q78_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
+        |                         for i in range(1, len(ts) - 1)]) AS g
+        |  FROM toks WHERE len(ts) >= 3
+        |),
+        |pg AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(1000000 * (SUM(cnt) - COUNT(*)) // SUM(cnt) AS BIGINT) AS rep_ppm,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_gram
+        |FROM pg GROUP BY doc_id""".stripMargin,
     "q74_sequence_pack" ->
       """WITH RECURSIVE seq AS (
         |  SELECT source, doc_id, n_chars,
