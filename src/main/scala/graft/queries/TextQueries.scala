@@ -25,6 +25,12 @@ object TextQueries {
   private def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
+  /** Word n-grams of a token array as space-joined strings (shared by
+    * decontamination q61 and repetition q78). */
+  private def ngrams(ts: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(1), size(ts) - (n - 1)),
+      i => array_join(slice(ts, i, lit(n)), " "))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_langid" -> ((s, dir) => {
       // score_l = count of profile-stopword tokens (with multiplicity);
@@ -81,9 +87,7 @@ object TextQueries {
       val grams = Tables.documents(s, dir)
         .withColumn("ts", tokens(col("text")))
         .filter(size(col("ts")) >= n)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("ts")) - (n - 1)),
-            i => array_join(slice(col("ts"), i, lit(n)), " "))).as("g"))
+        .select(col("doc_id"), explode(ngrams(col("ts"), n)).as("g"))
       val bench = grams.filter(col("doc_id") % 11 === 0).select(col("g")).distinct()
       grams.filter(col("doc_id") % 11 =!= 0)
         .join(broadcast(bench), Seq("g"), "left_semi")
@@ -148,9 +152,7 @@ object TextQueries {
       val grams = Tables.documents(s, dir)
         .withColumn("ts", tokens(col("text")))
         .filter(size(col("ts")) >= n)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("ts")) - (n - 1)),
-            i => array_join(slice(col("ts"), i, lit(n)), " "))).as("g"))
+        .select(col("doc_id"), explode(ngrams(col("ts"), n)).as("g"))
       grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).as("n_grams"),
@@ -169,10 +171,15 @@ object TextQueries {
       // back); top-k = window over the doc_id-keyed tf frame.
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val n = docs.select(col("doc_id")).distinct().count()
-      val tf = docs.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = docs.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // ONE corpus scan: df and N both derive from the compact
+      // (doc, term) frame — tf already holds one row per pair, so
+      // df(term) = its per-term row count, never a second explode of
+      // the corpus (cache scoped to this evaluation; the bench clears
+      // state between reps)
+      val tf = docs.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")).cache()
+      val n = tf.select(col("doc_id")).distinct().count()
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         // one IEEE division of exactly-representable integers + floor:
         // bit-identical in Spark and DuckDB (no transcendental ln whose
         // last-ulp could flip a rounding boundary between engines)
