@@ -196,6 +196,28 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Multi-threaded companion probe: N concurrent 64 MB sweeps expose
+    * the MEMORY-BANDWIDTH phase (the dominant noise source for the
+    * shuffle/scan-heavy queries) that a single-threaded ALU probe
+    * cannot see. */
+  def hostProbeMt(threads: Int = 8): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val buf = new Array[Long](8 * 1024 * 1024) // 64 MB
+        var j = 0
+        while (j < buf.length) { buf(j) = j + t; j += 1 }
+        var s = 0L; var r = 0
+        while (r < 4) {
+          j = 0; while (j < buf.length) { s += buf(j); j += 1 }; r += 1
+        }
+        if (s == 42L) System.err.print("") // defeat dead-code elim
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def time[A](f: => A): (Double, A) = {
     val t0 = System.nanoTime()
     val a = f
@@ -295,7 +317,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + e2eSec + e2eJoinSec
     val probe = math.min(hostProbe(), hostProbe()) // best-of-2, untimed
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec,"host_probe_sec":$probe}"""
+    val probeMt = math.min(hostProbeMt(), hostProbeMt())
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec,"host_probe_sec":$probe,"host_probe_mt_sec":$probeMt}"""
     println(line)
     // sbt prefixes stdout with "[info] ", defeating the driver's JSON
     // parse — the bare line also lands in BENCH/last.json
