@@ -95,37 +95,17 @@ object TextQueries {
         .agg(countDistinct(col("g")).as("n_hits"))
     }),
     "q74_sequence_pack" -> ((s, dir) => {
-      // greedy sequence packing (pretraining batch assembly): docs of a
-      // source, in doc_id order, fill bins of byte budget B; a doc that
-      // would overflow starts the next bin (an oversized doc gets its
-      // own). The fold is inherently sequential PER GROUP — no window
-      // expresses the running reset — so this is the legitimate
-      // mapPartitions case: ONE shuffle co-locates each source, sort
-      // within partitions orders it, and the pass streams with O(1)
-      // state. At 100 TB the groups distribute; a single pathological
-      // source serializes by the op's own semantics (packing order is
-      // the contract).
-      val B = 4000L
-      import s.implicits._
-      // raw read, not Tables.documents: the co-locating repartition
-      // below already spreads the single-row-group test file, so the
-      // spread() exchange would be a second, wasted shuffle
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("source"), col("doc_id"), col("n_chars"))
-        .as[(String, Long, Long)]
-        .repartition(col("source"))
-        .sortWithinPartitions(col("source"), col("doc_id"))
-        .mapPartitions { it =>
-          // explicit first-row flag, not a null sentinel: a NULL source
-          // group must still get its reset (null != null is false)
-          var first = true; var curSrc: String = null; var bin = 0L; var acc = 0L
-          it.map { case (src, id, n) =>
-            if (first || src != curSrc) { first = false; curSrc = src; bin = 0L; acc = n }
-            else if (acc + n > B) { bin += 1; acc = n }
-            else acc += n
-            (src, id, bin)
-          }
-        }.toDF("source", "doc_id", "bin")
+      // greedy sequence packing over the corpus — see
+      // [[graft.operators.SequencePack]] for the operator (one
+      // co-locating shuffle + a streaming O(1)-state pass). Raw read,
+      // not Tables.documents: the operator's repartition already
+      // spreads the single-row-group test file, so the spread()
+      // exchange would be a second, wasted shuffle.
+      graft.operators.SequencePack.pack(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        group = "source", order = "doc_id", cost = "n_chars", budget = 4000L)
+        .select(col("source"), col("doc_id"), col("bin"))
     }),
     "q77_mixture_sample" -> ((s, dir) => {
       // deterministic data-mixture sampling (the "data mixing" stage of
