@@ -49,6 +49,35 @@ object TableQueries {
         t.read().select(col("doc_id"), col("rev"), col("n_chars"))
       } finally base.unpersist()
     }),
+    "q79_snapshot_diff" -> ((s, dir) => {
+      // CDC read: one batch of inserts/updates/tombstones lands as an
+      // O(batch) delta commit, then `changesBetween` diffs the create
+      // snapshot against the delta head (resolving the chain) into
+      // typed insert/update/delete rows — the feed a downstream
+      // incremental consumer (index, embedding refresh) subscribes to.
+      val root = "target/q79_store_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      SnapshotTable.deleteRecursively(Paths.get(root))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), lit(0L).as("rev"), col("n_chars")).cache()
+      try {
+        val t = SnapshotTable.create(s, root, base,
+          keyCols = Seq("doc_id"), numBuckets = 16)
+        val ins = base.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("rev"),
+            (col("n_chars") + 7).as("n_chars"), lit(false).as("del"))
+        val upd = base.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id"), lit(1L).as("rev"),
+            (col("n_chars") + 1).as("n_chars"), lit(false).as("del"))
+        val dels = base.filter(col("doc_id") % 17 === 1 && col("doc_id") % 5 =!= 1)
+          .select(col("doc_id"), lit(0L).as("rev"),
+            lit(null).cast("long").as("n_chars"), lit(true).as("del"))
+        t.mergeIntoDelta(ins.unionByName(upd).unionByName(dels),
+          Seq("doc_id"), deleteMarker = Some("del"))
+        t.changesBetween(1L, t.currentSnapshot.get, Seq("doc_id"))
+          .select(col("doc_id"), col("change_type"),
+            col("payload.rev").as("rev"), col("payload.n_chars").as("n_chars"))
+      } finally base.unpersist()
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -67,5 +96,18 @@ object TableQueries {
         |SELECT doc_id, CAST(u AS BIGINT) AS rev,
         |  CAST(n_chars + u AS BIGINT) AS n_chars
         |FROM f WHERE d = 0 OR u > d""".stripMargin,
+    // closed form of the one batch: every %23 doc spawns an insert
+    // under a shifted id, every %5=1 doc updates (rev flips 0->1, so
+    // the payload always differs), every %17=1 non-update doc deletes
+    "q79_snapshot_diff" ->
+      """SELECT doc_id + 1000000 AS doc_id, 'insert' AS change_type,
+        |  CAST(1 AS BIGINT) AS rev, CAST(n_chars + 7 AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 23 = 0
+        |UNION ALL
+        |SELECT doc_id, 'update', CAST(1 AS BIGINT), CAST(n_chars + 1 AS BIGINT)
+        |FROM documents WHERE doc_id % 5 = 1
+        |UNION ALL
+        |SELECT doc_id, 'delete', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 17 = 1 AND doc_id % 5 <> 1""".stripMargin,
   )
 }

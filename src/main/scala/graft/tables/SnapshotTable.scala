@@ -163,6 +163,32 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** CDC read between two snapshots (Delta `table_changes` analogue):
+    * one row per key whose state differs, tagged insert / update /
+    * delete, with the `to`-side payload (NULLs for deletes). Computed
+    * as ONE full outer join on the key — at scale both sides are
+    * bucket-clustered scans of the same layout, and keys untouched
+    * between the snapshots drop out with no per-key state kept. Works
+    * across delta chains (either side resolves through [[readAt]]). */
+  def changesBetween(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
+    val payload = (df: DataFrame) =>
+      struct(df.columns.filterNot(keyCols.contains).map(col).toSeq: _*)
+    val a = readAt(from)
+    val b = readAt(to)
+    val av = a.select(keyCols.map(col) :+ payload(a).as("__pa") :+
+      lit(true).as("__ina"): _*)
+    val bv = b.select(keyCols.map(col) :+ payload(b).as("__pb") :+
+      lit(true).as("__inb"): _*)
+    av.join(bv, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__ina").isNull, "insert")
+          .when(col("__inb").isNull, "delete")
+          .when(col("__pa") =!= col("__pb"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type") :+
+        col("__pb").as("payload"): _*)
+  }
+
   def snapshots: Seq[Long] =
     if (!Files.exists(metaDir)) Nil
     else closing(Files.list(metaDir))(_.iterator().asScala
