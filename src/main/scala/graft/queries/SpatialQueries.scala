@@ -147,6 +147,48 @@ object SpatialQueries {
         .select(col("doc_id"), col("entity"), col("way_id"))
         .unionByName(delta.select(col("doc_id"), col("entity"), col("way_id")))
     }),
+    "q80_incremental_tiles" -> ((s, dir) => {
+      // IVM of an AGGREGATE view: the tile-count rollup of the indexed
+      // join output is maintained under a change batch with count
+      // DELTAS — new = old − removed + added — never recomputing the
+      // stored aggregate. removed = base rows of affected ways (at
+      // scale a pruned read of the way_id-bucketed stored join
+      // output); added = the q60-style cover-cell-targeted re-join.
+      // Counts are additive (self-maintainable view), so the batch
+      // costs O(affected), not O(corpus). The oracle recomputes the
+      // post-change rollup from scratch.
+      val w = graft.osm.ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir)).cache()
+      val wayOps = w.filter(col("kind") === "way")
+      val affected = wayOps.select(col("id").as("way_id")).distinct()
+      val upsertW = wayOps.filter(col("action").isin("create", "modify"))
+        .select(col("id").as("way_id"))
+      val polysAll = polys(s, dir)
+      // cached: stands in for the STORED join output (fed by both the
+      // old-aggregate leg and the removed leg)
+      val base = SpatialJoin.pipJoin(SynthUniverse.points(s, dir), polysAll, PipRes)
+        .cache()
+      val tile = GeoFunctions.cellAt(col("lon"), col("lat"), TileRes)
+      val baseTiles = base.groupBy(tile.as("tile")).agg(count(lit(1)).as("n0"))
+      val removed = base.join(broadcast(affected), Seq("way_id"), "left_semi")
+        .groupBy(tile.as("tile")).agg(count(lit(1)).as("r"))
+      val upPolys = polysAll.join(upsertW, Seq("way_id"), "left_semi")
+      val cells = upPolys.select(explode(org.apache.spark.sql.GraftSqlShim.column(
+        graft.spatial.CoverCellsExpr(
+          org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("ys")), PipRes)))
+        .as("cell")).distinct()
+      val cand = SynthUniverse.points(s, dir)
+        .withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), PipRes))
+        .join(broadcast(cells), Seq("cell"), "left_semi")
+        .drop("cell")
+      val added = SpatialJoin.pipJoin(cand, upPolys, PipRes)
+        .groupBy(tile.as("tile")).agg(count(lit(1)).as("a"))
+      baseTiles.join(removed, Seq("tile"), "full_outer")
+        .join(added, Seq("tile"), "full_outer")
+        .select(col("tile"), (coalesce(col("n0"), lit(0L)) -
+          coalesce(col("r"), lit(0L)) + coalesce(col("a"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+    }),
     "q71_incremental_multipip" -> ((s, dir) => {
       // Incremental maintenance of the RELATION-derived (holes-aware)
       // area join — the reference's `_modifiedAreas` flow
@@ -326,6 +368,17 @@ object SpatialQueries {
          |  ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h
          |WHERE way_id NOT IN
          |  (SELECT id FROM winners WHERE kind = 'way' AND action = 'delete')""".stripMargin,
+    "q80_incremental_tiles" ->
+      s"""WITH ${SynthSql.changesCte}, ${SynthSql.winnersCte}, ${SynthSql.waysCte},
+         |  ${SynthSql.pointsCte},
+         |j AS (
+         |  SELECT lon, lat FROM points JOIN ways
+         |    ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h
+         |  WHERE way_id NOT IN
+         |    (SELECT id FROM winners WHERE kind = 'way' AND action = 'delete'))
+         |SELECT ${GeoFunctions.cellAtSql("lon", "lat", TileRes)} AS tile,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM j GROUP BY 1""".stripMargin,
     "q58_simplify_ring" ->
       s"""WITH ${SynthSql.waysCte}
          |SELECT way_id,
