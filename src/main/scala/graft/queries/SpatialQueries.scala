@@ -189,6 +189,62 @@ object SpatialQueries {
           coalesce(col("r"), lit(0L)) + coalesce(col("a"), lit(0L))).as("n"))
         .filter(col("n") > 0)
     }),
+    "q81_incremental_knn" -> ((s, dir) => {
+      // IVM of the kNN JOIN OUTPUT under a change batch. Deletes force
+      // a re-query ONLY for points whose stored top-k references a
+      // touched centroid (ring-expansion path against the post-change
+      // layer); for every other point upserts can only DISPLACE:
+      // merging the stored top-k with candidates against the
+      // batch-sized (broadcast) upsert centroids and re-ranking is
+      // exact, because any surviving centroid outside the stored top-k
+      // is provably farther than the stored k-th. Per-batch cost
+      // O(touched · re-query + corpus · |batch|) — never a full corpus
+      // re-query. The oracle recomputes post-change kNN from scratch.
+      val k = 3
+      val w = graft.osm.ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir))
+      val layerOps = w.filter(col("kind") === "way" && col("id") % 40 === 0)
+      val affected = layerOps.select(col("id").as("way_id")).distinct()
+      val deleted = layerOps.filter(col("action") === "delete")
+        .select(col("id").as("way_id"))
+      val upserts = layerOps.filter(col("action").isin("create", "modify"))
+        .select(col("id").as("way_id"))
+      val layer0 = knnLayer(s, dir)
+      // post-change layer: the synthetic upserts re-derive the same
+      // closed-form centroid, so C' = C − deletes
+      val layer1 = layer0.join(broadcast(deleted), Seq("way_id"), "left_anti")
+      val newCents = layer0.join(broadcast(upserts), Seq("way_id"), "left_semi")
+      // cached: stands in for the STORED kNN output table (feeds the
+      // touched-key probe and the untouched carry-over leg)
+      val base = SpatialJoin.knnBroadcast(SynthUniverse.points(s, dir), layer0, k)
+        .cache()
+      val touchedKeys = base.join(broadcast(affected), Seq("way_id"), "left_semi")
+        .select(col("doc_id"), col("entity")).distinct()
+      val touchedPts = SynthUniverse.points(s, dir)
+        .join(touchedKeys, Seq("doc_id", "entity"), "left_semi")
+      val requeried = SpatialJoin.knnByRings(touchedPts, layer1, res = 5, k = k)
+        .select(col("doc_id"), col("entity"), col("rank"), col("d2"), col("way_id"))
+      val untouchedPts = SynthUniverse.points(s, dir)
+        .join(touchedKeys, Seq("doc_id", "entity"), "left_anti")
+      val candidates = SpatialJoin.knnBroadcast(untouchedPts, newCents, k)
+      // candidate way_ids are all touched; untouched stored rows
+      // reference none — the union is duplicate-free by construction.
+      // At scale the stored output is bucketed by point key, making
+      // this re-rank window shuffle-free.
+      val merged = base.join(touchedKeys, Seq("doc_id", "entity"), "left_anti")
+        .select(col("doc_id"), col("entity"), col("d2"), col("way_id"))
+        .unionByName(candidates
+          .select(col("doc_id"), col("entity"), col("d2"), col("way_id")))
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("entity"))
+        .orderBy(col("d2").asc, col("way_id").asc)
+      merged.withColumn("rank", row_number().over(wnd))
+        .filter(col("rank") <= k)
+        .select(col("doc_id"), col("entity"), col("rank"), col("d2"), col("way_id"))
+        .unionByName(requeried)
+        .select(col("doc_id"), col("entity"), col("rank"),
+          col("way_id").as("nearest_way"),
+          round(col("d2") * 1e9, 0).cast("long").as("d2_e9"))
+    }),
     "q71_incremental_multipip" -> ((s, dir) => {
       // Incremental maintenance of the RELATION-derived (holes-aware)
       // area join — the reference's `_modifiedAreas` flow
@@ -318,6 +374,24 @@ object SpatialQueries {
          |  ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h""".stripMargin,
     "q31b_knn_rings" -> knnOracle,
     "q31_knn" -> knnOracle,
+    "q81_incremental_knn" ->
+      s"""WITH ${SynthSql.changesCte}, ${SynthSql.winnersCte}, ${SynthSql.waysCte},
+         |  ${SynthSql.pointsCte},
+         |cents AS (
+         |  SELECT way_id, (x0 + (x0 + w)) / 2.0 AS cx, (y0 + (y0 + h)) / 2.0 AS cy
+         |  FROM ways WHERE way_id % 40 = 0
+         |    AND way_id NOT IN (SELECT id FROM winners
+         |      WHERE kind = 'way' AND action = 'delete'))
+         |SELECT doc_id, entity, rank, way_id AS nearest_way,
+         |  CAST(ROUND(d2*1000000000,0) AS BIGINT) AS d2_e9
+         |FROM (
+         |  SELECT p.doc_id, p.entity, c.way_id,
+         |    (p.lon - c.cx)*(p.lon - c.cx) + (p.lat - c.cy)*(p.lat - c.cy) AS d2,
+         |    ROW_NUMBER() OVER (PARTITION BY p.doc_id, p.entity
+         |      ORDER BY (p.lon - c.cx)*(p.lon - c.cx) + (p.lat - c.cy)*(p.lat - c.cy) ASC,
+         |               c.way_id ASC) AS rank
+         |  FROM points p, cents c)
+         |WHERE rank <= 3""".stripMargin,
     "q56_multipolygon_pip" -> multiPipOracle,
     "q56b_multipolygon_salted" -> multiPipOracle,
     "q72_multipolygon_evenodd" ->
