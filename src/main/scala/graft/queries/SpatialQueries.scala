@@ -21,6 +21,12 @@ object SpatialQueries {
 
   val PipRes = 6   // cell edge (5.63° x 2.81°) vs max polygon edge 4.5° — cover stays <= ~6 cells
   val TileRes = 5
+  val ZBits = 16   // Morton bits per axis (q82)
+  /** q82's query box (minLon, maxLon, minLat, maxLat): straddles both
+    * midlines (the corner-envelope-degenerate case the interval
+    * decomposition exists for) and contains two gazetteer clusters
+    * ('window', 'row' — ~780 points at sf0.01). */
+  val Q82Box = (-12.0, 29.0, -36.0, 4.0)
 
   private def polys(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.polygons(SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
@@ -324,6 +330,22 @@ object SpatialQueries {
       t5.groupBy(GeoFunctions.parentAt(col("tile"), TileRes, TileRes - 1).as("tile"))
         .agg(sum(col("n5")).as("n_points"))
     }),
+    "q82_zorder_scan" -> ((s, dir) => {
+      // Z-order clustered STORAGE + pruned bbox scan: the corpus is
+      // written clustered along the Morton curve, and the query reads
+      // it back through a literal z-interval that pushes down to the
+      // parquet scan — at 100 TB whole files/row-groups outside the
+      // interval are skipped via min/max stats (ZOrderSpec measures
+      // the file-count drop). The oracle both proves the pruned read
+      // returns exactly the bbox rows AND pins the Morton encoding
+      // itself cross-engine (zval is part of the hashed output).
+      val root = "target/q82_zcluster_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.geo.ZOrder.cluster(SynthUniverse.points(s, dir),
+        "lon", "lat", ZBits, root, numFiles = 16)
+      graft.geo.ZOrder.bboxRead(s, root, "lon", "lat", ZBits,
+          Q82Box._1, Q82Box._2, Q82Box._3, Q82Box._4)
+        .select(col("doc_id"), col("entity"), col("zval"))
+    }),
     "q32_raster_tiles" -> ((s, dir) =>
       SynthUniverse.points(s, dir)
         .withColumn("tile", GeoFunctions.cellAt(col("lon"), col("lat"), TileRes))
@@ -488,6 +510,19 @@ object SpatialQueries {
          |WHERE rank <= 3""".stripMargin
 
   private val tileOracles: Map[String, String] = Map(
+    "q82_zorder_scan" -> {
+      import graft.geo.ZOrder
+      s"""WITH ${SynthSql.pointsCte},
+         |b AS (
+         |  SELECT doc_id, entity,
+         |    ${ZOrder.quantSql("lon", ZOrder.LonLo, ZOrder.LonSpan, ZBits)} AS ix,
+         |    ${ZOrder.quantSql("lat", ZOrder.LatLo, ZOrder.LatSpan, ZBits)} AS iy
+         |  FROM points
+         |  WHERE lon >= ${Q82Box._1} AND lon <= ${Q82Box._2}
+         |    AND lat >= ${Q82Box._3} AND lat <= ${Q82Box._4})
+         |SELECT doc_id, entity, ${ZOrder.interleaveSql("ix", "iy", ZBits)} AS zval
+         |FROM b""".stripMargin
+    },
     "q32_raster_tiles" ->
       s"""WITH ${SynthSql.pointsCte}
          |SELECT ${GeoFunctions.cellAtSql("lon", "lat", TileRes)} AS tile,
