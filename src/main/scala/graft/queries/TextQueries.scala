@@ -25,6 +25,12 @@ object TextQueries {
   private def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
+  // PII patterns (q83), written in the Java∩RE2 subset: the SAME
+  // string is compiled by Spark (java.util.regex) and DuckDB (RE2).
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
   /** Word n-grams of a token array as space-joined strings (shared by
     * decontamination q61 and repetition q78). */
   private def ngrams(ts: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
@@ -142,6 +148,44 @@ object TextQueries {
           expr("1000000 * (n_grams - n_distinct) div n_grams").as("rep_ppm"),
           col("max_gram"))
     }),
+    "q83_pii_redact" -> ((s, dir) => {
+      // PII scrubbing — the redaction stage a web-scale pipeline runs
+      // before tokenization. The patterns are general (email / phone /
+      // IPv4, written in the Java∩RE2 regex subset so the oracle runs
+      // them VERBATIM); the PII instances are synthesized
+      // deterministically onto the corpus (the synthetic documents
+      // carry none). Pure codegen regexp ops — one narrow scan, zero
+      // shuffle at any corpus size.
+      val salted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact u"), col("doc_id"),
+              lit("@ex-"), col("doc_id") % 7, lit(".org")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit(" call +1-"), col("doc_id") % 700 + 200,
+              lit("-555-"), col("doc_id") % 9000 + 1000))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit(" host 10."), col("doc_id") % 256,
+              lit("."), (col("doc_id") * 7) % 256,
+              lit("."), (col("doc_id") * 13) % 256))
+          .otherwise(lit(""))).as("t2"))
+      val red = Seq(PiiEmail -> "<EMAIL>", PiiPhone -> "<PHONE>", PiiIp -> "<IP>")
+        .foldLeft(col("t2")) { case (c, (pat, tag)) =>
+          regexp_replace(c, lit(pat), lit(tag)) }
+      salted.select(col("doc_id"), red.as("redacted"),
+        regexp_count(col("t2"), lit(PiiEmail)).cast("long").as("n_email"),
+        regexp_count(col("t2"), lit(PiiPhone)).cast("long").as("n_phone"),
+        regexp_count(col("t2"), lit(PiiIp)).cast("long").as("n_ip"))
+    }),
+    "q84_heavy_hitters" -> ((s, dir) =>
+      // exact hot-term detection with bounded state — see
+      // [[graft.operators.HeavyHitters]] (Misra-Gries candidates per
+      // partition + exact recount of the broadcast union; never a
+      // full-vocabulary shuffle). φ = 1/200 of all tokens.
+      graft.operators.HeavyHitters.topFraction(
+        Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("term")),
+        "term", phiDen = 200)),
     "q75_tfidf_topk" -> ((s, dir) => {
       // TF-IDF term ranking with EXACT integer idf (floor(1000*N/df) —
       // a rational idf replaces ln so Spark and DuckDB hash
@@ -180,6 +224,31 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q83_pii_redact" ->
+      s"""WITH salted AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' contact u' || doc_id || '@ex-' || (doc_id % 7) || '.org'
+         |         WHEN doc_id % 4 = 1 THEN ' call +1-' || (doc_id % 700 + 200) || '-555-' || (doc_id % 9000 + 1000)
+         |         WHEN doc_id % 4 = 2 THEN ' host 10.' || (doc_id % 256) || '.' || ((doc_id*7) % 256) || '.' || ((doc_id*13) % 256)
+         |         ELSE '' END AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t2,
+         |    '$PiiEmail', '<EMAIL>', 'g'),
+         |    '$PiiPhone', '<PHONE>', 'g'),
+         |    '$PiiIp', '<IP>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(t2, '$PiiEmail')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t2, '$PiiPhone')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t2, '$PiiIp')) AS BIGINT) AS n_ip
+         |FROM salted""".stripMargin,
+    "q84_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS total FROM toks)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM toks GROUP BY term
+        |HAVING COUNT(*) * 200 > (SELECT total FROM tot)""".stripMargin,
     "q15_langid" -> {
       val scores = profileSql.map { case (l, e) => s"SELECT doc_id, '$l' AS lang, $e AS score FROM toks" }
         .mkString("\nUNION ALL\n")
