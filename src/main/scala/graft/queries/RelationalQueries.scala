@@ -68,6 +68,19 @@ object RelationalQueries {
         .join(broadcast(flagged), col("l_partkey") === col("p_partkey"), "left_semi")
         .select(col("l_orderkey")).distinct()
     }),
+    "q85_bloom_semijoin" -> ((s, dir) => {
+      // the SHUFFLE-regime counterpart of q04: when the build side is
+      // too large to broadcast, [[graft.operators.BloomJoin]] builds a
+      // fixed-size bitset in one pass and drops non-matching probe
+      // rows BEFORE the exchange — the shuffle carries ~matches, not
+      // the corpus. False positives are removed by the exact join, so
+      // the output is bit-identical to the plain semi-join the oracle
+      // runs.
+      val flagged = part(s, dir).filter(col("p_size") % 5 === 0)
+        .select(col("p_partkey").as("l_partkey"))
+      graft.operators.BloomJoin.semiJoin(lineitem(s, dir), flagged, "l_partkey")
+        .select(col("l_orderkey")).distinct()
+    }),
     "q05_antijoin_customers_without_orders" -> ((s, dir) => {
       customer(s, dir)
         .join(orders(s, dir).select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
@@ -234,6 +247,9 @@ object RelationalQueries {
     "q04_semijoin_orders_of_flagged_parts" ->
       """SELECT DISTINCT l_orderkey FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size % 7 = 0)""".stripMargin,
+    "q85_bloom_semijoin" ->
+      """SELECT DISTINCT l_orderkey FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size % 5 = 0)""".stripMargin,
     "q05_antijoin_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
