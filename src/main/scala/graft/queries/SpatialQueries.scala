@@ -346,6 +346,19 @@ object SpatialQueries {
           Q82Box._1, Q82Box._2, Q82Box._3, Q82Box._4)
         .select(col("doc_id"), col("entity"), col("zval"))
     }),
+    "q86_bbox_overlap" -> ((s, dir) => {
+      // polygon×polygon overlap pairs via the cell-cover equi-join with
+      // reference-point dedup — the oracle plans the quadratic
+      // inequality self-join; the Spark side shuffles once on the cell
+      // and emits each pair exactly once with NO distinct (each
+      // candidate survives only in the cell holding the intersection's
+      // lower-left corner).
+      val boxes = SynthUniverse.ways(s, dir).select(
+        col("way_id"), col("x0").as("minx"), col("y0").as("miny"),
+        (col("x0") + col("w")).as("maxx"), (col("y0") + col("h")).as("maxy"))
+      SpatialJoin.bboxOverlapJoin(boxes, boxes, PipRes, idCol = "way_id")
+        .filter(col("a_id") < col("b_id"))
+    }),
     "q32_raster_tiles" -> ((s, dir) =>
       SynthUniverse.points(s, dir)
         .withColumn("tile", GeoFunctions.cellAt(col("lon"), col("lat"), TileRes))
@@ -396,6 +409,12 @@ object SpatialQueries {
          |  ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h""".stripMargin,
     "q31b_knn_rings" -> knnOracle,
     "q31_knn" -> knnOracle,
+    "q86_bbox_overlap" ->
+      s"""WITH ${SynthSql.waysCte}
+         |SELECT a.way_id AS a_id, b.way_id AS b_id
+         |FROM ways a JOIN ways b ON a.way_id < b.way_id
+         | AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
+         | AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h""".stripMargin,
     "q81_incremental_knn" ->
       s"""WITH ${SynthSql.changesCte}, ${SynthSql.winnersCte}, ${SynthSql.waysCte},
          |  ${SynthSql.pointsCte},

@@ -458,4 +458,47 @@ object SpatialJoin {
   def nearestByRings(points: DataFrame, centroids: DataFrame, res: Int,
       maxRing: Int = 8): DataFrame =
     knnByRings(points, centroids, res, k = 1, maxRing = maxRing)
+
+  /** Exact bbox-overlap join (the polygon×polygon counterpart of
+    * [[pipJoin]]): emits every (left, right) pair whose boxes
+    * intersect, each pair EXACTLY ONCE, with no `distinct`.
+    *
+    * Both sides explode to their covering cells at `res` and
+    * equi-join on the cell — one shuffle (or a broadcast under AQE),
+    * never the all-pairs comparison a plain inequality join plans.
+    * A pair sharing k cells would surface k times; instead of a
+    * dedup shuffle, each candidate is kept only in the cell that
+    * contains the intersection's lower-left corner (the classic
+    * reference-point rule): the corner lies inside BOTH boxes, so
+    * exactly one joined cell passes the check, and the predicate is
+    * codegen'd arithmetic on the four bbox scalars already riding the
+    * rows. For non-rectangular geometries this is the candidate
+    * stage — compose an exact JTS refine on the emitted pairs.
+    *
+    * Inputs carry (`idCol`, minx, miny, maxx, maxy); output is
+    * (leftId, rightId) renamed from the shared idCol — so a self-join
+    * passes the SAME frame twice and filters `leftId < rightId`.
+    */
+  def bboxOverlapJoin(left: DataFrame, right: DataFrame, res: Int,
+      idCol: String = "id",
+      leftId: String = "a_id", rightId: String = "b_id"): DataFrame = {
+    def cover(df: DataFrame, outId: String, p: String): DataFrame = df.select(
+      col(idCol).as(outId),
+      col("minx").as(p + "minx"), col("miny").as(p + "miny"),
+      col("maxx").as(p + "maxx"), col("maxy").as(p + "maxy"),
+      explode(org.apache.spark.sql.GraftSqlShim.column(
+        CoverCellsExpr(
+          org.apache.spark.sql.GraftSqlShim.expression(
+            array(col("minx"), col("maxx"), col("maxx"), col("minx"))),
+          org.apache.spark.sql.GraftSqlShim.expression(
+            array(col("miny"), col("miny"), col("maxy"), col("maxy"))), res)))
+        .as("cell"))
+    val cornerX = greatest(col("lminx"), col("rminx"))
+    val cornerY = greatest(col("lminy"), col("rminy"))
+    cover(left, leftId, "l").join(cover(right, rightId, "r"), "cell")
+      .filter(col("lminx") <= col("rmaxx") && col("rminx") <= col("lmaxx") &&
+        col("lminy") <= col("rmaxy") && col("rminy") <= col("lmaxy") &&
+        GeoFunctions.cellAt(cornerX, cornerY, res) === col("cell"))
+      .select(col(leftId), col(rightId))
+  }
 }
