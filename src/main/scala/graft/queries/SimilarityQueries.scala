@@ -46,6 +46,44 @@ object SimilarityQueries {
   private def embAsDouble(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
+  /** 2-iteration integer-grid Lloyd assignment (q76's machinery,
+    * shared with q88): input carries `vec_id` and the quantized `vq`
+    * (plus any payload columns, which ride through); output adds
+    * `cid`. Initial centroids are the k lowest-id vectors; assignment
+    * is an integer squared-L2 argmin folded over ONE broadcast
+    * centroid row; the update is a per-dim truncated integer mean —
+    * every step closed over BIGINT, so any aggregation schedule
+    * produces the oracle's exact clusters. */
+  private def kmeansAssign2(vecs: DataFrame, k: Int): DataFrame = {
+    def assign(vs: DataFrame, cents: DataFrame): DataFrame = {
+      val centArr = cents
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+      def dist(cv: Column): Column = aggregate(
+        zip_with(col("vq"), cv, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val best = aggregate(
+        transform(col("cs"), c =>
+          struct(dist(c.getField("cv")).as("d"), c.getField("cid").as("cid"))),
+        struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
+        (acc, x) => when(x.getField("d") < acc.getField("d") ||
+            (x.getField("d") === acc.getField("d") &&
+              x.getField("cid") < acc.getField("cid")), x)
+          .otherwise(acc))
+      vs.crossJoin(broadcast(centArr))
+        .withColumn("cid", best.getField("cid")).drop("cs")
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("vq")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("sum(x) div count(*)").as("dm"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("dm")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("dm")).as("cv"))
+    val c0 = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("vq").as("cv"))
+    assign(vecs, update(assign(vecs, c0)))
+  }
+
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
@@ -136,38 +174,45 @@ object SimilarityQueries {
       // the oracle bit-for-bit). Per iteration: one explode + one
       // map-side-combined shuffle on (cid, pos); K and dims are tiny
       // vs the corpus, the corpus is scanned once per iteration.
-      val k = 4
       val q = Tables.embeddings(s, dir).select(col("vec_id"),
         transform(col("embedding"),
           x => round((x + lit(1.0)) * 1000000).cast("long")).as("vq"))
-      def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-        val centArr = cents
-          .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
-        def dist(cv: Column): Column = aggregate(
-          zip_with(col("vq"), cv, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        val best = aggregate(
-          transform(col("cs"), c =>
-            struct(dist(c.getField("cv")).as("d"), c.getField("cid").as("cid"))),
-          struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
-          (acc, x) => when(x.getField("d") < acc.getField("d") ||
-              (x.getField("d") === acc.getField("d") &&
-                x.getField("cid") < acc.getField("cid")), x)
-            .otherwise(acc))
-        vecs.crossJoin(broadcast(centArr))
-          .withColumn("cid", best.getField("cid")).drop("cs")
-      }
-      def update(assigned: DataFrame): DataFrame =
-        assigned.select(col("cid"), posexplode(col("vq")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(expr("sum(x) div count(*)").as("dm"))
-          .groupBy(col("cid"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("dm")))).as("ps"))
-          .select(col("cid"), transform(col("ps"), p => p.getField("dm")).as("cv"))
-      val c0 = q.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("vq").as("cv"))
-      assign(q, update(assign(q, c0)))
+      kmeansAssign2(q, 4)
         .select(col("vec_id"), col("cid").cast("long").as("cluster"))
+    }),
+    "q88_semdedup" -> ((s, dir) => {
+      // SemDedup (cluster-then-dedup): k-means partitions the corpus,
+      // near-duplicate pairs are searched ONLY within a cluster, and
+      // every vector that matches a lower-id cluster-mate at
+      // cos >= 0.98 is dropped. The published algorithm's scale story
+      // is exactly this shape: k grows with the corpus so cluster
+      // sizes stay bounded, making the within-cluster pair join the
+      // only super-linear stage — never an all-pairs cross product.
+      // Reuses q76's exact-integer Lloyd assignment and q22's planted
+      // perturbed copies.
+      val e = embAsDouble(s, dir)
+      val planted = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x * (lit(1.0) + (i % 3 - 1).cast("double") * 0.01)).as("v"))
+      val all = e.unionByName(planted)
+        .withColumn("vq", transform(col("v"),
+          x => round((x + lit(1.0)) * 1000000).cast("long")))
+      // cache: the assignment feeds both pair sides and the final
+      // projection (3 consumers); scoped to this evaluation — the
+      // bench clears state between reps
+      val assigned = kmeansAssign2(all, 4)
+        .select(col("vec_id"), col("v"), col("cid")).cache()
+      val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+        col("v").as("va"))
+      val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+        col("v").as("vb"))
+      val removed = a.join(b, "cid").filter(col("id_a") < col("id_b"))
+        .filter(cos(col("va"), col("vb")) >= 0.98)
+        .select(col("id_b").as("vec_id")).distinct()
+      assigned.join(removed.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+          when(col("dup").isNotNull, 0L).otherwise(1L).as("kept"))
     }),
   )
 
@@ -247,41 +292,69 @@ object SimilarityQueries {
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, CAST(ROUND(cos*1000000000,0) AS BIGINT) AS cos_ppb
          |FROM p WHERE cos >= 0.98""".stripMargin,
-    "q76_kmeans_assign" -> {
-      // exact-integer grid: every arithmetic step is closed over BIGINT
-      // (quantize, squared-L2, truncated mean), so the two engines'
-      // different aggregation orders cannot diverge
-      def d2(v: String, c: String) =
-        s"""list_reduce(list_prepend(0::BIGINT,
-           |      [($v[i] - $c[i]) * ($v[i] - $c[i])
-           |       for i in range(1, len($v)+1)]), (x,y) -> x+y)""".stripMargin
+    "q76_kmeans_assign" ->
       s"""WITH q AS (
          |  SELECT vec_id,
          |    [CAST(ROUND((x + 1.0) * 1000000) AS BIGINT) for x in embedding] AS vq
          |  FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, vq AS cv FROM q WHERE vec_id < 4),
-         |a1 AS (
-         |  SELECT vec_id, vq, cid FROM (
-         |    SELECT q.vec_id, q.vq, c0.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        ${d2("q.vq", "c0.cv")} ASC, c0.cid ASC) AS rn
-         |    FROM q CROSS JOIN c0)
-         |  WHERE rn = 1),
-         |c1 AS (
-         |  SELECT cid, list(dm ORDER BY pos) AS cv FROM (
-         |    SELECT cid, pos, CAST(SUM(x) // COUNT(*) AS BIGINT) AS dm FROM (
-         |      SELECT cid, unnest(vq) AS x,
-         |        unnest(range(1, len(vq)+1)) AS pos FROM a1)
-         |    GROUP BY cid, pos)
-         |  GROUP BY cid),
-         |a2 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT q.vec_id, c1.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        ${d2("q.vq", "c1.cv")} ASC, c1.cid ASC) AS rn
-         |    FROM q CROSS JOIN c1)
-         |  WHERE rn = 1)
-         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2""".stripMargin
-    },
+         |$kmeansCtes
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2""".stripMargin,
+    "q88_semdedup" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    [v[i] * (1.0 + CAST((i-1) % 3 - 1 AS DOUBLE) * 0.01)
+         |     for i in range(1, len(v)+1)] AS v
+         |  FROM e0 WHERE vec_id % 20 = 0),
+         |allv AS (SELECT * FROM e0 UNION ALL SELECT * FROM planted),
+         |q AS (
+         |  SELECT vec_id, v,
+         |    [CAST(ROUND((x + 1.0) * 1000000) AS BIGINT) for x in v] AS vq
+         |  FROM allv),
+         |$kmeansCtes,
+         |withc AS (
+         |  SELECT q.vec_id, q.v, a2.cid FROM q JOIN a2 USING (vec_id)),
+         |removed AS (
+         |  SELECT DISTINCT b.vec_id FROM withc a JOIN withc b
+         |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql2("a.v", "b.v")} /
+         |    (${normSql("a", "v")} * ${normSql("b", "v")}) >= 0.98)
+         |SELECT w.vec_id, CAST(w.cid AS BIGINT) AS cluster,
+         |  CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM withc w LEFT JOIN removed r ON w.vec_id = r.vec_id""".stripMargin,
   )
+
+  /** The 2-iteration Lloyd CTE chain ([[kmeansAssign2]]'s DuckDB
+    * mirror): expects a CTE `q`(vec_id, …, vq) in scope; exposes
+    * `a2`(vec_id, cid). Exact-integer grid: every arithmetic step is
+    * closed over BIGINT (quantize, squared-L2, truncated mean), so the
+    * two engines' different aggregation orders cannot diverge. */
+  private lazy val kmeansCtes: String = {
+    def d2(v: String, c: String) =
+      s"""list_reduce(list_prepend(0::BIGINT,
+         |      [($v[i] - $c[i]) * ($v[i] - $c[i])
+         |       for i in range(1, len($v)+1)]), (x,y) -> x+y)""".stripMargin
+    s"""c0 AS (SELECT vec_id AS cid, vq AS cv FROM q WHERE vec_id < 4),
+       |a1 AS (
+       |  SELECT vec_id, vq, cid FROM (
+       |    SELECT q.vec_id, q.vq, c0.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${d2("q.vq", "c0.cv")} ASC, c0.cid ASC) AS rn
+       |    FROM q CROSS JOIN c0)
+       |  WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cid, list(dm ORDER BY pos) AS cv FROM (
+       |    SELECT cid, pos, CAST(SUM(x) // COUNT(*) AS BIGINT) AS dm FROM (
+       |      SELECT cid, unnest(vq) AS x,
+       |        unnest(range(1, len(vq)+1)) AS pos FROM a1)
+       |    GROUP BY cid, pos)
+       |  GROUP BY cid),
+       |a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT q.vec_id, c1.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${d2("q.vq", "c1.cv")} ASC, c1.cid ASC) AS rn
+       |    FROM q CROSS JOIN c1)
+       |  WHERE rn = 1)""".stripMargin
+  }
 }

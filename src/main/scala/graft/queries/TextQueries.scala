@@ -217,6 +217,26 @@ object TextQueries {
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("score"), col("rn").cast("long").as("rn"))
     }),
+    "q87_chunk_overlap" -> ((s, dir) => {
+      // context-window chunking: fixed-size character chunks with
+      // overlap (stride = size − overlap), the batch-assembly stage
+      // before tokenization. Pure narrow plan — sequence + explode +
+      // substr inside one codegen stage, NO shuffle: at 100 TB this is
+      // embarrassingly parallel and the chunk explosion never leaves
+      // its input partition.
+      val (size, overlap) = (256, 64)
+      val stride = size - overlap
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        .select(col("doc_id"), col("text"), col("n"),
+          explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
+            .as("off"))
+        .filter(col("off") < col("n"))
+        .select(col("doc_id"),
+          (col("off") / stride).cast("long").as("chunk_id"),
+          col("text").substr(col("off") + 1, lit(size)).as("chunk"))
+        .withColumn("n_chunk_chars", length(col("chunk")).cast("long"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -353,5 +373,15 @@ object TextQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, term ASC) AS rn FROM scored)
         |WHERE rn <= 3""".stripMargin,
+    "q87_chunk_overlap" ->
+      """WITH offs AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, length(text) - 1, 192)) AS off
+        |  FROM documents)
+        |SELECT doc_id, off // 192 AS chunk_id,
+        |  substr(text, CAST(off + 1 AS INT), 256) AS chunk,
+        |  CAST(length(substr(text, CAST(off + 1 AS INT), 256)) AS BIGINT)
+        |    AS n_chunk_chars
+        |FROM offs WHERE off < length(text)""".stripMargin,
   )
 }
