@@ -30,6 +30,8 @@ object SparkEntry {
         _root_.graft.queries.TripleSinkQueries.oracles),
       (_root_.graft.queries.TableQueries.queries,
         _root_.graft.queries.TableQueries.oracles),
+      (_root_.graft.queries.GraphQueries.queries,
+        _root_.graft.queries.GraphQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

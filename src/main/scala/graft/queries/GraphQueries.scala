@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over a deterministic hyperlink graph derived
+  * from the `documents` table — the web-graph signals (PageRank-style
+  * authority, later maybe HITS/components) a crawl-scale pipeline
+  * computes next to its text signals.
+  *
+  * The graph: every document links to 3 targets `(doc_id*31 + 7k) % N`
+  * (k = 1..3, N = corpus size) — a closed-form multigraph both engines
+  * derive identically, out-degree exactly 3.
+  *
+  * All rank arithmetic is exact-integer (micro-units, truncated
+  * division), the same cross-engine determinism trick as q76's k-means:
+  * per-edge contributions are integers, their sum is order-insensitive,
+  * and the damping step multiplies BEFORE dividing — so Spark's and
+  * DuckDB's different aggregation schedules cannot diverge by an ulp.
+  */
+object GraphQueries {
+
+  /** links(src, dst) for a given corpus size. */
+  private def links(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id").as("src"),
+      explode(array((1 to 3).map(k =>
+        pmod(col("doc_id") * 31 + k * 7, lit(n))): _*)).as("dst"))
+
+  /** One damped PageRank step: r'(v) = 0.15 + 0.85·Σ r(u)/out(u) in
+    * micro-units with truncated integer division. One shuffle on src
+    * (the join), one map-side-combined shuffle on dst (the sum); at
+    * scale the link table is hash-partitioned on src once and every
+    * iteration reuses that exchange. */
+  private def step(docs: DataFrame, lnk: DataFrame, r: DataFrame): DataFrame = {
+    val contrib = lnk.join(r, lnk("src") === r("doc_id"))
+      .select(col("dst"), expr("rank div 3").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+    docs.select(col("doc_id"))
+      .join(contrib, col("doc_id") === col("dst"), "left")
+      .select(col("doc_id"),
+        (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val lnk = links(docs, n)
+      val r0 = docs.select(col("doc_id"), lit(1000000L).as("rank"))
+      step(docs, lnk, step(docs, lnk, r0))
+        .select(col("doc_id"), col("rank").as("rank_micro"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q90_pagerank" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |links AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |r0 AS (SELECT doc_id, 1000000::BIGINT AS rank FROM documents),
+        |r1 AS (
+        |  SELECT d.doc_id,
+        |    150000 + (85 * COALESCE(c.in_sum, 0)) // 100 AS rank
+        |  FROM documents d LEFT JOIN (
+        |    SELECT l.dst, SUM(r.rank // 3) AS in_sum
+        |    FROM links l JOIN r0 r ON l.src = r.doc_id GROUP BY l.dst) c
+        |  ON d.doc_id = c.dst),
+        |r2 AS (
+        |  SELECT d.doc_id,
+        |    150000 + (85 * COALESCE(c.in_sum, 0)) // 100 AS rank
+        |  FROM documents d LEFT JOIN (
+        |    SELECT l.dst, SUM(r.rank // 3) AS in_sum
+        |    FROM links l JOIN r1 r ON l.src = r.doc_id GROUP BY l.dst) c
+        |  ON d.doc_id = c.dst)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank_micro FROM r2""".stripMargin,
+  )
+}

@@ -237,6 +237,28 @@ object TextQueries {
           col("text").substr(col("off") + 1, lit(size)).as("chunk"))
         .withColumn("n_chunk_chars", length(col("chunk")).cast("long"))
     }),
+    "q89_inverted_index" -> ((s, dir) => {
+      // search-index build: term -> ordered posting list (doc_id:tf).
+      // Two-stage aggregation — (term, doc) counts first (map-side
+      // combined, so the shuffle carries per-doc term counts, not raw
+      // tokens), then one groupBy(term) assembles the ordered list.
+      // Skew note for 100 TB: stopword-grade terms concentrate a
+      // whole-corpus posting on one reducer — production shards a
+      // posting list over pos ranges (the same salting scheme as the
+      // PIP join's hot cells) or drops df > cutoff terms before the
+      // second stage; the exact build here is the correctness anchor.
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+              p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))),
+            ";").as("postings"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -383,5 +405,13 @@ object TextQueries {
         |  CAST(length(substr(text, CAST(off + 1 AS INT), 256)) AS BIGINT)
         |    AS n_chunk_chars
         |FROM offs WHERE off < length(text)""".stripMargin,
+    "q89_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT term, COUNT(*) AS df,
+        |  string_agg(doc_id || ':' || tf, ';' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term""".stripMargin,
   )
 }

@@ -19,7 +19,8 @@ class RelationalQueriesSpec extends SparkTestBase {
       queries.DedupQueries.queries, queries.SimilarityQueries.queries,
       queries.SpatialQueries.queries, queries.OsmQueries.queries,
       queries.FunctionQueries.queries, queries.GeomTripleQueries.queries,
-      queries.TripleSinkQueries.queries, queries.TableQueries.queries)
+      queries.TripleSinkQueries.queries, queries.TableQueries.queries,
+      queries.GraphQueries.queries)
     assert(moduleMaps.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules")
     assert(SparkEntry.queries.size === SparkEntry.oracleSql.size)
