@@ -45,7 +45,9 @@ object Bench {
     "q64_asof_join", "q65_range_join", "q70_triples_after_merge",
     "q71_incremental_multipip", "q73_mor_corpus",
     "q74_sequence_pack", "q75_tfidf_topk", "q76_kmeans_assign",
-    "q78_repetition")
+    "q78_repetition", "q85_bloom_semijoin", "q86_bbox_overlap",
+    "q87_chunk_overlap", "q88_semdedup", "q89_inverted_index",
+    "q90_pagerank")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e
