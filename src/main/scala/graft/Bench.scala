@@ -47,7 +47,7 @@ object Bench {
     "q74_sequence_pack", "q75_tfidf_topk", "q76_kmeans_assign",
     "q78_repetition", "q85_bloom_semijoin", "q86_bbox_overlap",
     "q87_chunk_overlap", "q88_semdedup", "q89_inverted_index",
-    "q90_pagerank")
+    "q90_pagerank", "q91_trajectory_length")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

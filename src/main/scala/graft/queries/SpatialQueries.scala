@@ -358,6 +358,45 @@ object SpatialQueries {
         (col("x0") + col("w")).as("maxx"), (col("y0") + col("h")).as("maxy"))
       SpatialJoin.bboxOverlapJoin(boxes, boxes, PipRes, idCol = "way_id")
         .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    }),
+    "q92_overlap_area" -> ((s, dir) => {
+      // overlap pairs refined to the intersection's exact area — for
+      // rectangles the closed form is width×height of the clipped box,
+      // computed from the bbox scalars the join already emits (no
+      // re-join, no geometry rescan). Identical parenthesization on
+      // both engines keeps the double product bit-stable before the
+      // integer rounding.
+      val boxes = SynthUniverse.ways(s, dir).select(
+        col("way_id"), col("x0").as("minx"), col("y0").as("miny"),
+        (col("x0") + col("w")).as("maxx"), (col("y0") + col("h")).as("maxy"))
+      val iw = least(col("lmaxx"), col("rmaxx")) - greatest(col("lminx"), col("rminx"))
+      val ih = least(col("lmaxy"), col("rmaxy")) - greatest(col("lminy"), col("rminy"))
+      SpatialJoin.bboxOverlapJoin(boxes, boxes, PipRes, idCol = "way_id")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round((iw * ih) * 1e7, 0).cast("long").as("area_e7"))
+    }),
+    "q91_trajectory_length" -> ((s, dir) => {
+      // per-user travel distance over the deterministic event
+      // positions: ONE shuffle on user_id — the window orders each
+      // user's track, the same-key groupBy reuses that partitioning
+      // (no second exchange). Per-segment distances are e7-rounded to
+      // integers BEFORE summing, so the aggregate is order-insensitive
+      // (IEEE sqrt is correctly rounded — both engines see identical
+      // segment doubles).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
+        .select(col("user_id"),
+          (col("lon") - lag(col("lon"), 1).over(w)).as("dx"),
+          (col("lat") - lag(col("lat"), 1).over(w)).as("dy"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(round(sqrt(col("dx") * col("dx") + col("dy") * col("dy")) * 1e7, 0)
+            .cast("long")), lit(0L)).as("dist_e7"))
     }),
     "q32_raster_tiles" -> ((s, dir) =>
       SynthUniverse.points(s, dir)
@@ -415,6 +454,31 @@ object SpatialQueries {
          |FROM ways a JOIN ways b ON a.way_id < b.way_id
          | AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
          | AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h""".stripMargin,
+    "q92_overlap_area" ->
+      s"""WITH ${SynthSql.waysCte},
+         |boxes AS (SELECT way_id, x0 AS minx, y0 AS miny,
+         |  x0 + w AS maxx, y0 + h AS maxy FROM ways)
+         |SELECT a.way_id AS a_id, b.way_id AS b_id,
+         |  CAST(ROUND(((LEAST(a.maxx, b.maxx) - GREATEST(a.minx, b.minx)) *
+         |    (LEAST(a.maxy, b.maxy) - GREATEST(a.miny, b.miny))) * 10000000.0, 0)
+         |    AS BIGINT) AS area_e7
+         |FROM boxes a JOIN boxes b ON a.way_id < b.way_id
+         | AND a.minx <= b.maxx AND b.minx <= a.maxx
+         | AND a.miny <= b.maxy AND b.miny <= a.maxy""".stripMargin,
+    "q91_trajectory_length" ->
+      """WITH pos AS (
+        |  SELECT event_id, ts, user_id,
+        |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
+        |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id,
+        |    lon - LAG(lon) OVER w AS dx, lat - LAG(lat) OVER w AS dy
+        |  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(COALESCE(SUM(CAST(ROUND(sqrt(dx*dx + dy*dy) * 10000000.0, 0)
+        |    AS BIGINT)), 0) AS BIGINT) AS dist_e7
+        |FROM seg GROUP BY user_id""".stripMargin,
     "q81_incremental_knn" ->
       s"""WITH ${SynthSql.changesCte}, ${SynthSql.winnersCte}, ${SynthSql.waysCte},
          |  ${SynthSql.pointsCte},

@@ -477,7 +477,9 @@ object SpatialJoin {
     *
     * Inputs carry (`idCol`, minx, miny, maxx, maxy); output is
     * (leftId, rightId) renamed from the shared idCol — so a self-join
-    * passes the SAME frame twice and filters `leftId < rightId`.
+    * passes the SAME frame twice and filters `leftId < rightId` — plus
+    * the two sides' bbox scalars (l/r-prefixed) so downstream refines
+    * (intersection geometry, JTS exact tests) need no re-join.
     */
   def bboxOverlapJoin(left: DataFrame, right: DataFrame, res: Int,
       idCol: String = "id",
@@ -499,6 +501,6 @@ object SpatialJoin {
       .filter(col("lminx") <= col("rmaxx") && col("rminx") <= col("lmaxx") &&
         col("lminy") <= col("rmaxy") && col("rminy") <= col("lmaxy") &&
         GeoFunctions.cellAt(cornerX, cornerY, res) === col("cell"))
-      .select(col(leftId), col(rightId))
+      .drop("cell")
   }
 }

@@ -49,7 +49,7 @@ class OverlapJoinSpec extends SparkTestBase {
       .toDF("id", "minx", "miny", "maxx", "maxy")
     val got = SpatialJoin.bboxOverlapJoin(touch, touch, Res)
       .filter(col("a_id") < col("b_id"))
-      .as[(Long, Long)].collect().sorted
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().sorted
     // 2 and 3 touch at the single corner point (10,10) — closed
     // semantics includes corner contact too
     assert(got.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
