@@ -259,6 +259,32 @@ object TextQueries {
               p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))),
             ";").as("postings"))
     }),
+    "q89b_inverted_salted" -> ((s, dir) => {
+      // the skew-mitigated build (same oracle as q89 — the salted plan
+      // must emit byte-identical posting lists): a stopword-grade term
+      // concentrates its whole corpus-wide posting on one reducer in
+      // the plain build. Here stage 2a assembles per-(term, salt)
+      // partial lists — a hot term's df rows split across 8 reducers —
+      // and stage 2b merges a BOUNDED fan-in of 8 pre-sorted partials
+      // per term. Same technique as the PIP join's hot-cell salting
+      // (q30b): exactness is the oracle's job, skew-split the plan's.
+      val salt = 8
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val partial = tf
+        .groupBy(col("term"), pmod(col("doc_id"), lit(salt)).as("s"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("part"),
+          count(lit(1)).as("pdf"))
+      partial.groupBy(col("term"))
+        .agg(sum(col("pdf")).as("df"),
+          array_join(
+            transform(
+              sort_array(flatten(collect_list(col("part")))),
+              p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))),
+            ";").as("postings"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -405,13 +431,17 @@ object TextQueries {
         |  CAST(length(substr(text, CAST(off + 1 AS INT), 256)) AS BIGINT)
         |    AS n_chunk_chars
         |FROM offs WHERE off < length(text)""".stripMargin,
-    "q89_inverted_index" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
-        |SELECT term, COUNT(*) AS df,
-        |  string_agg(doc_id || ':' || tf, ';' ORDER BY doc_id) AS postings
-        |FROM tf GROUP BY term""".stripMargin,
+    "q89_inverted_index" -> invertedIndexSql,
+    // the salted build must reproduce the plain build byte-for-byte
+    "q89b_inverted_salted" -> invertedIndexSql,
   )
+
+  private lazy val invertedIndexSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+      |SELECT term, COUNT(*) AS df,
+      |  string_agg(doc_id || ':' || tf, ';' ORDER BY doc_id) AS postings
+      |FROM tf GROUP BY term""".stripMargin
 }
