@@ -157,6 +157,29 @@ object RelationalQueries {
       graft.operators.RangeJoin.rangeJoin(pts, "value", intervals, "lo", "hi", 5.0)
         .select(col("event_id"), col("o_orderkey"))
     }),
+    "q94_table_profile" -> ((s, dir) => {
+      // ANALYZE-style column profile in ONE corpus scan: every
+      // column's (rows, nulls, ndv, min, max) aggregates together,
+      // then the single result row unpivots in-memory to one row per
+      // column. The multi-column exact countDistinct plans one Expand
+      // (×cols) — at 100 TB swap exact ndv for the bounded-state KMV
+      // sketch (q66's aggregate) to keep the pass single-Expand-free.
+      val li = lineitem(s, dir)
+        .withColumn("price_cents", Tables.cents(col("l_extendedprice")))
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "price_cents")
+      val aggs = cols.flatMap { c => Seq(
+        count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("long").as(s"min_$c"),
+        max(col(c)).cast("long").as(s"max_$c")) }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col(s"n_$c").as("n_rows"),
+          col(s"nulls_$c").as("n_nulls"), col(s"ndv_$c").as("n_distinct"),
+          col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"))): _*)).as("r"))
+        .select(col("r.*"))
+    }),
     "q66_kmv_sketch" -> ((s, dir) => {
       // KMV (k-minimum-values) distinct sketch, k=64 — DETERMINISTIC
       // given the md5-derived hash, so the estimate is exactly
@@ -302,6 +325,23 @@ object RelationalQueries {
         |SELECT e.event_id, i.o_orderkey
         |FROM events e JOIN intervals i
         |  ON e.value BETWEEN i.lo AND i.hi""".stripMargin,
+    "q94_table_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "price_cents")
+      val selects = cols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS BIGINT) AS min_v,
+           |  CAST(MAX($c) AS BIGINT) AS max_v
+           |FROM li""".stripMargin
+      }
+      s"""WITH li AS (
+         |  SELECT *, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+         |    AS price_cents
+         |  FROM lineitem)
+         |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "q66_kmv_sketch" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
         |h AS (SELECT event_type,

@@ -285,6 +285,23 @@ object TextQueries {
               p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))),
             ";").as("postings"))
     }),
+    "q93_source_sample" -> ((s, dir) => {
+      // deterministic per-group sampling (eval-set carve-outs): each
+      // source keeps its k=5 docs with the smallest stable hash —
+      // reproducible across engines and reruns, no RNG, one shuffle on
+      // source. At corpus scale swap the per-source full window sort
+      // for a partial per-partition top-k (q09's shape) — k and the
+      // group count are tiny relative to the corpus.
+      import graft.text.TextFunctions.hash60
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h60"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("h60", hash60(concat(lit("sample:"), col("doc_id"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("doc_id"), col("h60"),
+          col("rn").cast("long").as("rn"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -434,6 +451,16 @@ object TextQueries {
     "q89_inverted_index" -> invertedIndexSql,
     // the salted build must reproduce the plain build byte-for-byte
     "q89b_inverted_salted" -> invertedIndexSql,
+    "q93_source_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    CAST('0x' || substr(md5('sample:' || doc_id), 1, 15) AS BIGINT)
+        |      AS h60
+        |  FROM documents)
+        |SELECT source, doc_id, h60, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY h60, doc_id) AS rn FROM h)
+        |WHERE rn <= 5""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =
