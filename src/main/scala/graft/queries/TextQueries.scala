@@ -285,6 +285,49 @@ object TextQueries {
               p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))),
             ";").as("postings"))
     }),
+    "q95_incremental_index" -> ((s, dir) => {
+      // IVM of the inverted index (q89) under a document change batch
+      // — the text-side counterpart of q60/q80: updated docs (id%7=3
+      // append tokens) and deleted docs (id%13=5) touch only their own
+      // terms; every OTHER term's posting string passes through from
+      // the stored index untouched (no re-aggregation). The batch
+      // costs O(affected terms' postings), not O(vocabulary). The
+      // oracle rebuilds the whole index from the post-change corpus.
+      val docs = Tables.documents(s, dir)
+      def tfOf(d: DataFrame): DataFrame = d
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      def index(tf: DataFrame): DataFrame = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+              p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))),
+            ";").as("postings"))
+      // stored state stand-ins (at scale: the index table + its
+      // (term,doc) tf base, both key-bucketed); cache scoped to this
+      // evaluation — the bench clears state between reps
+      val baseTf = tfOf(docs).cache()
+      val baseIndex = index(baseTf).cache()
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"))
+      val affectedDocs = updated.select(col("doc_id")).union(deletedIds).distinct()
+      val removedTf = baseTf.join(affectedDocs, Seq("doc_id"), "left_semi")
+      val addedTf = tfOf(updated)
+        .join(deletedIds, Seq("doc_id"), "left_anti") // update ∩ delete → gone
+      val affectedTerms = removedTf.select(col("term"))
+        .union(addedTf.select(col("term"))).distinct()
+      val newTfAffected = baseTf
+        .join(affectedDocs, Seq("doc_id"), "left_anti")
+        .unionByName(addedTf)
+        .join(affectedTerms, Seq("term"), "left_semi")
+      val rebuilt = index(newTfAffected)
+      baseIndex.join(affectedTerms, Seq("term"), "left_anti")
+        .unionByName(rebuilt)
+    }),
     "q93_source_sample" -> ((s, dir) => {
       // deterministic per-group sampling (eval-set carve-outs): each
       // source keeps its k=5 docs with the smallest stable hash —
@@ -451,6 +494,19 @@ object TextQueries {
     "q89_inverted_index" -> invertedIndexSql,
     // the salted build must reproduce the plain build byte-for-byte
     "q89b_inverted_salted" -> invertedIndexSql,
+    "q95_incremental_index" ->
+      """WITH final AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM final),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT term, COUNT(*) AS df,
+        |  string_agg(doc_id || ':' || tf, ';' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term""".stripMargin,
     "q93_source_sample" ->
       """WITH h AS (
         |  SELECT source, doc_id,
