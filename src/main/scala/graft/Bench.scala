@@ -48,7 +48,8 @@ object Bench {
     "q78_repetition", "q85_bloom_semijoin", "q86_bbox_overlap",
     "q87_chunk_overlap", "q88_semdedup", "q89_inverted_index",
     "q90_pagerank", "q91_trajectory_length", "q93_source_sample",
-    "q94_table_profile", "q95_incremental_index")
+    "q94_table_profile", "q95_incremental_index",
+    "q96_jsonl_roundtrip", "q97_rank_suite")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -157,6 +157,20 @@ object RelationalQueries {
       graft.operators.RangeJoin.rangeJoin(pts, "value", intervals, "lo", "hi", 5.0)
         .select(col("event_id"), col("o_orderkey"))
     }),
+    "q97_rank_suite" -> ((s, dir) => {
+      // the remaining ranking-window surface (ntile / percent_rank /
+      // cume_dist) under a TOTAL order — ties broken by event_id, since
+      // ntile assigns by row position and would otherwise be
+      // nondeterministic. The rational ranks are single IEEE divisions
+      // of exact integers, so the basis-point rounding agrees across
+      // engines. One shuffle on event_type.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      events(s, dir).select(col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("ntile4"),
+        round(percent_rank().over(w) * 10000, 0).cast("long").as("pr_bp"),
+        round(cume_dist().over(w) * 10000, 0).cast("long").as("cume_bp"))
+    }),
     "q94_table_profile" -> ((s, dir) => {
       // ANALYZE-style column profile in ONE corpus scan: every
       // column's (rows, nulls, ndv, min, max) aggregates together,
@@ -325,6 +339,13 @@ object RelationalQueries {
         |SELECT e.event_id, i.o_orderkey
         |FROM events e JOIN intervals i
         |  ON e.value BETWEEN i.lo AND i.hi""".stripMargin,
+    "q97_rank_suite" ->
+      """SELECT event_id, event_type,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS ntile4,
+        |  CAST(ROUND(PERCENT_RANK() OVER w * 10000, 0) AS BIGINT) AS pr_bp,
+        |  CAST(ROUND(CUME_DIST() OVER w * 10000, 0) AS BIGINT) AS cume_bp
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
     "q94_table_profile" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "price_cents")
       val selects = cols.map { c =>

@@ -285,6 +285,27 @@ object TextQueries {
               p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))),
             ";").as("postings"))
     }),
+    "q96_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL is the interchange format of LLM data pipelines: encode
+      // every document as one JSON line, then parse it back
+      // (PERMISSIVE: malformed lines -> null struct, counted out by
+      // the filter, exactly how a crawl-dump reader must behave). A
+      // deliberately corrupt line rides along to prove the failure
+      // path. The oracle is the original table — the round trip must
+      // be lossless, escapes included. Pure narrow plan.
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val lines = Tables.documents(s, dir)
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("line"))
+        .unionByName(s.range(1).select(lit("{not json").as("line")))
+      lines.select(from_json(col("line"), schema).as("r"))
+        .filter(col("r").isNotNull && col("r.doc_id").isNotNull)
+        .select(col("r.*"))
+    }),
     "q95_incremental_index" -> ((s, dir) => {
       // IVM of the inverted index (q89) under a document change batch
       // — the text-side counterpart of q60/q80: updated docs (id%7=3
@@ -494,6 +515,8 @@ object TextQueries {
     "q89_inverted_index" -> invertedIndexSql,
     // the salted build must reproduce the plain build byte-for-byte
     "q89b_inverted_salted" -> invertedIndexSql,
+    "q96_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q95_incremental_index" ->
       """WITH final AS (
         |  SELECT doc_id,
