@@ -306,6 +306,79 @@ object TextQueries {
         .filter(col("r").isNotNull && col("r.doc_id").isNotNull)
         .select(col("r.*"))
     }),
+    "q98_dup_spans" -> ((s, dir) => {
+      // ExactSubstr-style duplicated-span detection (the published
+      // "dedup training data" signal at character granularity): every
+      // doc emits 40-char windows at stride 20 (bounded 2x blowup —
+      // NOT the O(n) every-offset suffix scan), a window hash seen in
+      // >=2 DISTINCT docs marks its span duplicated, and each doc
+      // reports window/dup-window counts + an integer ppm share. The
+      // window count is closed-form (no second explode). Shape: one
+      // narrow explode, two map-side-combined shuffles on the hash,
+      // one on doc_id — never all-pairs, never a corpus sort.
+      val L = 40; val S = 20
+      val docs = Tables.documents(s, dir)
+      val w = docs.filter(length(col("text")) >= L)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), length(col("text")) - (L - 1), lit(S)),
+          p => hash60(col("text").substr(p, lit(L))))).as("h"))
+      val dupH = w.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val perDoc = w.join(dupH, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dups"))
+      val nw = when(length(col("text")) >= L,
+        (length(col("text")) - L).cast("long") / S + 1)
+        .otherwise(0L).cast("long")
+      docs.select(col("doc_id"), nw.as("n_windows"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("dups"), lit(0L)).cast("long").as("n_dup_windows"),
+          when(col("n_windows") > 0,
+            coalesce(col("dups"), lit(0L)) * 1000000L / col("n_windows"))
+            .otherwise(0L).cast("long").as("dup_ppm"))
+    }),
+    "q99_url_canonical" -> ((s, dir) => {
+      // crawl-frontier URL canonicalization + collapse: fragment
+      // dropped, scheme/host lowercased, leading www. and default :80
+      // stripped, trailing path slashes trimmed, query params SORTED
+      // — then dedup by the canonical form (min doc_id wins). The
+      // messy inputs derive deterministically from (source, doc_id)
+      // so both engines build the identical corpus; the canonicalizer
+      // is the operator. Everything before the single canonical-key
+      // shuffle is codegen'd string work.
+      val docs = Tables.documents(s, dir)
+      // the variant class derives from doc_id DIV 40 (not doc_id % 4,
+      // which would correlate with the path) so docs sharing a path DO
+      // carry different raw suffixes — the trailing-slash and fragment
+      // variants of one URL really collapse into one canonical row
+      val cls = expr("(doc_id DIV 40) % 4")
+      val url = concat(lit("HTTP://WWW."), col("source"),
+        lit(".Example.COM:80/p/"), col("doc_id") % 40,
+        when(cls === 0, lit("/"))
+          .when(cls === 1, lit("?b=2&a=1&c=3"))
+          .when(cls === 2, lit("#frag"))
+          .otherwise(lit("?a=1&b=2")))
+      val parts = docs.select(col("doc_id"), url.as("url"))
+        .withColumn("nf", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("scheme",
+          lower(regexp_extract(col("nf"), "^([A-Za-z]+)://", 1)))
+        .withColumn("host", regexp_replace(regexp_replace(
+          lower(regexp_extract(col("nf"), "^[A-Za-z]+://([^/?#]+)", 1)),
+          "^www\\.", ""), ":80$", ""))
+        .withColumn("path0", regexp_replace(
+          regexp_extract(col("nf"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+          "/+$", ""))
+        .withColumn("q", regexp_extract(col("nf"), "\\?(.*)$", 1))
+      parts.select(col("doc_id"), concat(
+          col("scheme"), lit("://"), col("host"),
+          when(col("path0") === "", lit("/")).otherwise(col("path0")),
+          when(col("q") === "", lit("")).otherwise(concat(lit("?"),
+            array_join(sort_array(split(col("q"), "&")), "&"))))
+          .as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+    }),
     "q95_incremental_index" -> ((s, dir) => {
       // IVM of the inverted index (q89) under a document change batch
       // — the text-side counterpart of q60/q80: updated docs (id%7=3
@@ -517,6 +590,50 @@ object TextQueries {
     "q89b_inverted_salted" -> invertedIndexSql,
     "q96_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q98_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(substr(text, CAST(p AS INT), 40)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM documents,
+        |    LATERAL unnest(generate_series(1, len(text)-39, 20)) AS t(p)
+        |  WHERE len(text) >= 40),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |per AS (SELECT doc_id, COUNT(*) AS dups FROM w
+        |        WHERE h IN (SELECT h FROM dup) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN len(d.text) >= 40 THEN (len(d.text)-40)//20 + 1
+        |       ELSE 0 END AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(per.dups, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(CASE WHEN len(d.text) >= 40
+        |       THEN COALESCE(per.dups, 0) * 1000000 // ((len(d.text)-40)//20 + 1)
+        |       ELSE 0 END AS BIGINT) AS dup_ppm
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    "q99_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTP://WWW.' || source || '.Example.COM:80/p/' || (doc_id % 40) ||
+        |    CASE (doc_id // 40) % 4 WHEN 0 THEN '/' WHEN 1 THEN '?b=2&a=1&c=3'
+        |         WHEN 2 THEN '#frag' ELSE '?a=1&b=2' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, nf,
+        |    lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |      '^www\.', ''), ':80$', '') AS host,
+        |    regexp_replace(
+        |      regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+        |      '/+$', '') AS path0,
+        |    regexp_extract(nf, '\?(.*)$', 1) AS q
+        |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u))
+        |SELECT scheme || '://' || host ||
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+        |    CASE WHEN q = '' THEN ''
+        |         ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+        |    END AS canon_url,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+        |FROM p GROUP BY 1""".stripMargin,
     "q95_incremental_index" ->
       """WITH final AS (
         |  SELECT doc_id,
