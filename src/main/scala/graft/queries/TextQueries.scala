@@ -37,6 +37,12 @@ object TextQueries {
     transform(sequence(lit(1), size(ts) - (n - 1)),
       i => array_join(slice(ts, i, lit(n)), " "))
 
+  /** q16's quality score in exact integer milli units, over a token
+    * array column — shared by q16 and the budget selection q100. */
+  private def qualityMilli(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(lit(1000.0) * size(array_distinct(ts)) / size(ts) *
+      least(lit(1.0), size(ts) / lit(100.0)), 0).cast("long")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_langid" -> ((s, dir) => {
       // score_l = count of profile-stopword tokens (with multiplicity);
@@ -66,9 +72,7 @@ object TextQueries {
         round(lit(1000.0) *
           expr("size(filter(ts, t -> t IN ('the','a','of','and','is')))") / size(col("ts")), 0)
           .cast("long").as("stop_milli"),
-        round(lit(1000.0) * size(array_distinct(col("ts"))) / size(col("ts")) *
-          least(lit(1.0), size(col("ts")) / lit(100.0)), 0)
-          .cast("long").as("quality_milli"))
+        qualityMilli(col("ts")).as("quality_milli"))
     }),
     "q17_token_count" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -305,6 +309,39 @@ object TextQueries {
       lines.select(from_json(col("line"), schema).as("r"))
         .filter(col("r").isNotNull && col("r.doc_id").isNotNull)
         .select(col("r.*"))
+    }),
+    "q100_budget_select" -> ((s, dir) => {
+      // token-budget corpus curation: keep the highest-quality docs
+      // (quality DESC, doc_id ASC) until the running token count
+      // reaches 60% of the corpus. The NAIVE shape — the oracle — is a
+      // global sort + prefix sum, a single-partition window at corpus
+      // scale. The scale shape here: (1) one shuffle builds the
+      // per-score token histogram (domain <= 1001 milli values — a
+      // driver-safe collect, same contract as the IVF centroid row);
+      // (2) the threshold + boundary-score remainder come from a
+      // driver-side cumulative walk of that tiny array; (3) full
+      // strata pass a codegen filter (NO sort anywhere); (4) only the
+      // ONE boundary stratum runs an ordered prefix window. Ties at
+      // the boundary are bounded by the score granularity, the only
+      // place a real deployment would widen the key.
+      val base = Tables.documents(s, dir)
+        .withColumn("ts", tokens(col("text")))
+        .select(col("doc_id"), qualityMilli(col("ts")).as("score"),
+          size(col("ts")).cast("long").as("toks"))
+        .cache()
+      val hist = base.groupBy(col("score")).agg(sum(col("toks")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+      val budget = hist.map(_._2).sum * 6 / 10
+      var cum = 0L; var boundary = Long.MinValue; var rem = 0L
+      for ((sc, t) <- hist if boundary == Long.MinValue)
+        if (cum + t <= budget) cum += t else { boundary = sc; rem = budget - cum }
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      base.filter(col("score") > boundary).unionByName(
+        base.filter(col("score") === boundary)
+          .withColumn("cum", sum(col("toks")).over(w))
+          .filter(col("cum") <= rem).drop("cum"))
     }),
     "q98_dup_spans" -> ((s, dir) => {
       // ExactSubstr-style duplicated-span detection (the published
@@ -590,6 +627,19 @@ object TextQueries {
     "q89b_inverted_salted" -> invertedIndexSql,
     "q96_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q100_budget_select" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(1000.0*len(list_distinct(ts))/len(ts)
+        |      *LEAST(1.0, len(ts)/100.0),0) AS BIGINT) AS score,
+        |    CAST(len(ts) AS BIGINT) AS toks
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |        FROM documents)),
+        |tot AS (SELECT SUM(toks)*6//10 AS b FROM q),
+        |c AS (SELECT doc_id, score, toks,
+        |  SUM(toks) OVER (ORDER BY score DESC, doc_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+        |SELECT doc_id, score, toks FROM c, tot WHERE cum <= b""".stripMargin,
     "q98_dup_spans" ->
       """WITH w AS (
         |  SELECT doc_id,
