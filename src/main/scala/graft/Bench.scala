@@ -35,6 +35,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_pricing_agg", "q02_revenue_per_nation", "q03_dedup_latest",
     "q07_ordered_group_concat", "q09_topk_per_group",
+    "q09b_topk_agg",
     "q11_exact_dedup", "q13_minhash_lsh_pairs", "q14_simhash",
     "q15_langid", "q17_token_count", "q18_fingerprint",
     "q19_cosine_topk", "q29_extract_entities", "q30_pip_join",

@@ -117,6 +117,22 @@ object RelationalQueries {
         .select(col("o_custkey"), col("rank"), col("o_orderkey"),
           cents(col("o_totalprice")).as("price_cents"))
     }),
+    "q09b_topk_agg" -> ((s, dir) => {
+      // q09's per-group top-k through the BOUNDED-STATE native
+      // aggregate (functions.TopKAgg) instead of the window: the
+      // window plan sorts EVERY order of every customer; this plan's
+      // exchange carries at most k=3 rows per (partition, customer)
+      // thanks to map-side partial aggregation, and nothing sorts.
+      // Ranks order by exact integer cents (the aggregate's Long ord),
+      // so the oracle ranks by the same rounded key.
+      val o = orders(s, dir).select(col("o_custkey"),
+        cents(col("o_totalprice")).as("pc"), col("o_orderkey"))
+      o.groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKAgg.topK(col("pc"), col("o_orderkey"), 3).as("tk"))
+        .select(col("o_custkey"), posexplode(col("tk")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.tie").as("o_orderkey"), col("col.ord").as("price_cents"))
+    }),
     "q67_quantiles" -> ((s, dir) =>
       // exact interpolated percentiles (both engines: linear interp at
       // p*(n-1)); bp conversion AFTER the quantile keeps the arithmetic
@@ -308,6 +324,15 @@ object RelationalQueries {
         |  CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS price_cents
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
         |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders)
+        |WHERE rank <= 3""".stripMargin,
+    "q09b_topk_agg" ->
+      """SELECT o_custkey, rank, o_orderkey, price_cents
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS price_cents,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY CAST(ROUND(o_totalprice*100,0) AS BIGINT) DESC,
+        |            o_orderkey ASC) AS rank
+        |      FROM orders)
         |WHERE rank <= 3""".stripMargin,
     "q10_facts_count" ->
       "SELECT user_id, event_type, COUNT(*) AS facts FROM events GROUP BY user_id, event_type",
