@@ -51,7 +51,8 @@ object Bench {
     "q90_pagerank", "q91_trajectory_length", "q93_source_sample",
     "q94_table_profile", "q95_incremental_index",
     "q96_jsonl_roundtrip", "q97_rank_suite",
-    "q98_dup_spans", "q99_url_canonical", "q100_budget_select")
+    "q98_dup_spans", "q99_url_canonical", "q100_budget_select",
+    "q101_incremental_minhash")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

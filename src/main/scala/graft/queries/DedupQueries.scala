@@ -37,8 +37,8 @@ object DedupQueries {
     * index, concat ONE gram) — exploding a higher-order-function-built
     * array re-evaluates the whole array expression per output row
     * (measured 25x slower); this shape keeps the generator trivial. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    val withTs = Tables.documents(s, dir)
+  private def shingleRowsOf(d: DataFrame): DataFrame = {
+    val withTs = d
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= ShingleN)
     withTs
@@ -50,10 +50,44 @@ object DedupQueries {
       .distinct()
   }
 
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(Tables.documents(s, dir))
+
   /** (doc_id, shingles) — distinct word-3-gram sets per document. */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    shingleRows(s, dir).groupBy(col("doc_id"))
+  private def shingleSetsOf(d: DataFrame): DataFrame =
+    shingleRowsOf(d).groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh"))
+
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    shingleSetsOf(Tables.documents(s, dir))
+
+  /** (doc_id, band, bkey) LSH band keys of a (doc_id, text) corpus:
+    * one md5 per (doc, shingle), 16 overflow-free permutations folded
+    * into 16 partial-min aggregates in a single groupBy(doc_id). */
+  private def bandsOf(d: DataFrame): DataFrame = {
+    val exploded = shingleRowsOf(d).withColumn("h32", hash32(col("shingle")))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(minhashPerm(i, col("h32"))).as(s"mh$i"))
+    val sig = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      val key = md5(concat_ws(",",
+        (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string")): _*))
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * shingle-set sides — the linear-in-candidates scale path. */
+  private def verifiedPairs(cand: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame =
+    cand
+      .join(shA.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shB.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(intersectSize(col("sh_a"), col("sh_b")) * 2 >=
+        unionSize(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_exact_dedup" -> ((s, dir) => {
@@ -73,6 +107,46 @@ object DedupQueries {
           jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
     }),
     "q13_minhash_lsh_pairs" -> ((s, dir) => lshPairs(s, dir)),
+    "q101_incremental_minhash" -> ((s, dir) => {
+      // IVM of the verified near-dup pair set (q13) under a document
+      // change batch — the dedup-side member of the q60/q80/q81/q95
+      // IVM family. Updated docs (id%7=3, appended tokens) and deleted
+      // docs (id%13=5) invalidate ONLY pairs touching them; every
+      // other stored pair passes through untouched. New pairs come
+      // from band-bucket probes of the updated docs against the final
+      // corpus's bands — O(affected x bucket), never a full
+      // re-pairing. The oracle recomputes every pair from the
+      // post-change corpus.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // stored state stand-ins (at scale: the bands/shingles/pairs
+      // tables); caches scoped to this evaluation
+      val baseBands = bandsOf(docs).cache()
+      val baseSh = shingleSetsOf(docs).cache()
+      val basePairs = lshPairs(s, dir)
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"))
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      val affected = updated.select(col("doc_id")).union(deletedIds).distinct()
+      val keep = basePairs
+        .join(affected.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+        .join(affected.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
+      val updBands = bandsOf(updatedLive)
+      val finalBands = baseBands.join(affected, Seq("doc_id"), "left_anti")
+        .unionByName(updBands)
+      // the updated doc may be either pair side -> canonicalize a<b
+      val cand = updBands.as("x").join(finalBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+        .distinct()
+      val finalSh = baseSh.join(affected, Seq("doc_id"), "left_anti")
+        .unionByName(shingleSetsOf(updatedLive))
+      keep.unionByName(verifiedPairs(cand, finalSh, finalSh))
+    }),
     "q49_neardup_clusters" -> ((s, dir) => {
       // Connected components over the LSH near-dup pairs: min-label
       // propagation to FIXPOINT (each doc converges to the smallest
@@ -133,37 +207,16 @@ object DedupQueries {
 
   /** q13 body (LSH candidates → exact verify), shared with q49. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-      val sh = shingleSets(s, dir)
-      // signatures: ONE md5 per (doc, shingle) row, then 16
-      // overflow-free integer permutations folded into 16 partial-min
-      // aggregates in a single groupBy(doc_id).
-      val exploded = shingleRows(s, dir)
-        .withColumn("h32", hash32(col("shingle")))
-      val sigCols = (0 until NumHashes).map(i =>
-        min(minhashPerm(i, col("h32"))).as(s"mh$i"))
-      val sig = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      // band keys: md5 over the 4 row values of each band
-      val bandStructs = (0 until NumBands).map { b =>
-        val key = md5(concat_ws(",",
-          (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string")): _*))
-        struct(lit(b).as("band"), key.as("bkey"))
-      }
-      val bands = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val d = Tables.documents(s, dir)
+      val bands = bandsOf(d)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
       // exact verify on the candidate set only (the scale path)
-      cand
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .filter(intersectSize(col("sh_a"), col("sh_b")) * 2 >=
-          unionSize(col("sh_a"), col("sh_b")))
-        .select(col("id_a"), col("id_b"),
-          jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
+      val sh = shingleSetsOf(d)
+      verifiedPairs(cand, sh, sh)
   }
 
   /** The 16 permutation expressions, generated from the SAME constants
@@ -174,9 +227,9 @@ object DedupQueries {
 
   /** Shared DuckDB CTE chain: shingles -> minhash signatures -> LSH
     * bands -> verified near-dup `pairs(id_a, id_b, jaccard_ppm)`. */
-  private val lshCtes: String =
+  private def lshCtesFrom(src: String): String =
     """toks AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM SRC
       |), sh AS (
       |  SELECT doc_id, list_distinct(
       |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
@@ -202,7 +255,9 @@ object DedupQueries {
       |         / len(list_distinct(x.sh || y.sh)), 0) AS BIGINT) AS jaccard_ppm
       |  FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
       |  WHERE len(list_intersect(x.sh, y.sh)) * 2 >= len(list_distinct(x.sh || y.sh))
-      |)""".stripMargin.replace("MINHASH_EXPRS", minhashExprs)
+      |)""".stripMargin.replace("MINHASH_EXPRS", minhashExprs).replace("SRC", src)
+
+  private val lshCtes: String = lshCtesFrom("documents")
 
   val oracles: Map[String, String] = Map(
     "q11_exact_dedup" ->
@@ -228,6 +283,14 @@ object DedupQueries {
         |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(a.sh || b.sh))""".stripMargin,
     "q13_minhash_lsh_pairs" ->
       s"""WITH $lshCtes
+         |SELECT id_a, id_b, jaccard_ppm FROM pairs""".stripMargin,
+    "q101_incremental_minhash" ->
+      s"""WITH final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 5),
+         |${lshCtesFrom("final")}
          |SELECT id_a, id_b, jaccard_ppm FROM pairs""".stripMargin,
     "q49_neardup_clusters" ->
       s"""WITH RECURSIVE $lshCtes,
