@@ -108,6 +108,33 @@ object FunctionQueries {
             lit(".osc.gz")).rlike("^https?://[A-Za-z0-9./_~-]+$").as("is_valid"),
           xmlEncode(concat(lit("a&b<"), col("kind"), lit(">\"c'"))).as("xml_enc"))
     }),
+    "q103_png_header" -> ((s, dir) => {
+      // real binary-format decode with NO codec library: a PNG
+      // signature + IHDR chunk is assembled as actual bytes (unhex /
+      // big-endian packing), then parsed BACK by independent byte
+      // arithmetic (substring into the binary + hex + base-16 conv) —
+      // the image-metadata extraction a multimodal pipeline runs
+      // before any pixel decode. Synth and parse deliberately share
+      // no code; the closed-form oracle catches either side lying.
+      // Pure narrow codegen plan, no shuffle.
+      val w = lit(16L) + col("doc_id") % 2048
+      val h = lit(16L) + (col("doc_id") * 7) % 2048
+      def be4(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+      val header = concat(
+        unhex(lit("89504E470D0A1A0A")), // PNG signature
+        unhex(lit("0000000D")),         // IHDR length = 13
+        encode(lit("IHDR"), "UTF-8"),
+        be4(w), be4(h),
+        unhex(lit("0806000000")))       // depth 8, RGBA, std flags
+      Tables.documents(s, dir).select(col("doc_id"), header.as("png"))
+        .select(col("doc_id"),
+          conv(hex(substring(col("png"), 17, 4)), 16, 10).cast("long").as("width"),
+          conv(hex(substring(col("png"), 21, 4)), 16, 10).cast("long").as("height"),
+          conv(hex(substring(col("png"), 25, 1)), 16, 10).cast("long").as("bit_depth"),
+          (hex(substring(col("png"), 1, 8)) === "89504E470D0A1A0A")
+            .cast("long").as("is_png"),
+          length(col("png")).cast("long").as("n_bytes"))
+    }),
     "q41_binary_meta" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir).select(
@@ -179,6 +206,14 @@ object FunctionQueries {
          |    'a&b<' || kind || '>"c''',
          |    '&','&amp;'), '<','&lt;'), '>','&gt;'), '"','&quot;'), '''','&apos;') AS xml_enc
          |FROM g""".stripMargin,
+    "q103_png_header" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 2048 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 7) % 2048 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(1 AS BIGINT) AS is_png,
+        |  CAST(29 AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
     "q41_binary_meta" ->
       """SELECT 'doc:' || doc_id AS url,
         |  octet_length(encode(text)) AS n_bytes,

@@ -117,6 +117,29 @@ object RelationalQueries {
         .select(col("o_custkey"), col("rank"), col("o_orderkey"),
           cents(col("o_totalprice")).as("price_cents"))
     }),
+    "q102_resample_gapfill" -> ((s, dir) => {
+      // time-series resample + gap-fill: per-user DAILY activity with
+      // explicit zero rows for silent days inside the user's active
+      // span — the regularization step before any windowed model
+      // input. One shuffle builds the daily rollup; the per-user grid
+      // is sequence+explode over (first, last) day (O(span), no
+      // calendar table scan); the fill join is user+day equi — at
+      // corpus scale both sides are already hash-distributed by user.
+      // Day is emitted as an ISO string so both engines hash alike.
+      val daily = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          Tables.bp(col("value")).as("vb"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("vb")).as("v"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+      grid.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d").cast("string").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("v"), lit(0L)).as("v_bp"))
+    }),
     "q09b_topk_agg" -> ((s, dir) => {
       // q09's per-group top-k through the BOUNDED-STATE native
       // aggregate (functions.TopKAgg) instead of the window: the
@@ -325,6 +348,19 @@ object RelationalQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
         |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders)
         |WHERE rank <= 3""".stripMargin,
+    "q102_resample_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(value*10000,0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM spans)
+        |SELECT g.user_id, CAST(g.d AS VARCHAR) AS day,
+        |  COALESCE(daily.n, 0) AS n_events,
+        |  CAST(COALESCE(daily.v, 0) AS BIGINT) AS v_bp
+        |FROM grid g LEFT JOIN daily USING (user_id, d)""".stripMargin,
     "q09b_topk_agg" ->
       """SELECT o_custkey, rank, o_orderkey, price_cents
         |FROM (SELECT o_custkey, o_orderkey,
