@@ -117,6 +117,30 @@ object RelationalQueries {
         .select(col("o_custkey"), col("rank"), col("o_orderkey"),
           cents(col("o_totalprice")).as("price_cents"))
     }),
+    "q67b_hist_quantile" -> ((s, dir) => {
+      // quantiles through a FIXED-WIDTH integer histogram — the
+      // bounded-state scale path next to q67's exact quantile_cont
+      // (which must sort every group's values at 100 TB). One
+      // map-side-combined shuffle builds (group, bucket) counts; the
+      // cumulative walk runs over <= ~625 bucket rows per group, so
+      // the window state is bounded by the bucket count, not the data.
+      // The estimate is the bucket UPPER bound (16 bp wide) — the
+      // deterministic, exactly-oracle-able contract a sketch needs.
+      val hist = events(s, dir)
+        .select(col("event_type"), (Tables.bp(col("value")) / 16).cast("long").as("b"))
+        .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("b"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      hist.withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n", sum(col("c")).over(wn))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("n"), (col("b") + 1) * 16))
+            .cast("long").as("p50_ub_bp"),
+          min(when(col("cum") * 10 >= col("n") * 9, (col("b") + 1) * 16))
+            .cast("long").as("p90_ub_bp"))
+    }),
     "q102_resample_gapfill" -> ((s, dir) => {
       // time-series resample + gap-fill: per-user DAILY activity with
       // explicit zero rows for silent days inside the user's active
@@ -348,6 +372,20 @@ object RelationalQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
         |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders)
         |WHERE rank <= 3""".stripMargin,
+    "q67b_hist_quantile" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(ROUND(value*10000,0) AS BIGINT) // 16 AS b FROM events),
+        |hist AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, b,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM hist)
+        |SELECT event_type,
+        |  CAST(MIN(CASE WHEN cum*2 >= n THEN (b+1)*16 END) AS BIGINT) AS p50_ub_bp,
+        |  CAST(MIN(CASE WHEN cum*10 >= n*9 THEN (b+1)*16 END) AS BIGINT) AS p90_ub_bp
+        |FROM cum GROUP BY 1""".stripMargin,
     "q102_resample_gapfill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n,
