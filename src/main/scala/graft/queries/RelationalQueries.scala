@@ -207,6 +207,32 @@ object RelationalQueries {
           sum(round(col("value") * 10000, 0).cast("long")).as("v_bp"))
         .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
           coalesce(col("ub"), lit(-1L)).as("ub"), col("n"), col("v_bp"))),
+    "q104_kv_explode" -> ((s, dir) => {
+      // semi-structured key=value payload parsing: a query-string-like
+      // attribute blob per event parses through str_to_map, the map
+      // explodes to (key, value) rows, and values tally per key — the
+      // log-ingestion shape (parse -> normalize -> profile) done as a
+      // pure narrow parse + ONE aggregation shuffle.
+      val kv = concat(lit("type="), col("event_type"),
+        lit("&u="), col("user_id") % 100,
+        lit("&geo=r"), col("event_id") % 5)
+      events(s, dir).select(kv.as("kv"))
+        .select(explode(expr("str_to_map(kv, '&', '=')")))
+        .groupBy(col("key"), col("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("key").as("k"), col("value").as("v"), col("n"))
+    }),
+    "q69b_cube" -> ((s, dir) =>
+      // full CUBE (all 2^k grouping sets) in one Expand pass — the
+      // remaining grouping-set shape next to q69's ROLLUP; same
+      // null-sentinel contract for cross-engine hashing
+      events(s, dir)
+        .withColumn("ub", col("user_id") % 10)
+        .cube(col("event_type"), col("ub"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 10000, 0).cast("long")).as("v_bp"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("ub"), lit(-1L)).as("ub"), col("n"), col("v_bp"))),
     "q65_range_join" -> ((s, dir) => {
       // numeric range join through the 1-D bucket prefilter — a naive
       // BETWEEN join plans as a nested loop; this shuffles once on the
@@ -430,6 +456,22 @@ object RelationalQueries {
         |  CAST(SUM(CAST(ROUND(value*10000, 0) AS BIGINT)) AS BIGINT) AS v_bp
         |FROM (SELECT event_type, user_id % 10 AS ub, value FROM events)
         |GROUP BY ROLLUP(event_type, ub)""".stripMargin,
+    "q104_kv_explode" ->
+      """WITH kvs AS (
+        |  SELECT unnest(string_split(
+        |    'type=' || event_type || '&u=' || (user_id % 100)
+        |      || '&geo=r' || (event_id % 5), '&')) AS kv
+        |  FROM events)
+        |SELECT string_split(kv, '=')[1] AS k,
+        |  string_split(kv, '=')[2] AS v, COUNT(*) AS n
+        |FROM kvs GROUP BY 1, 2""".stripMargin,
+    "q69b_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(ub, -1) AS ub,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*10000, 0) AS BIGINT)) AS BIGINT) AS v_bp
+        |FROM (SELECT event_type, user_id % 10 AS ub, value FROM events)
+        |GROUP BY CUBE(event_type, ub)""".stripMargin,
     "q65_range_join" ->
       """WITH intervals AS (
         |  SELECT o_orderkey, o_totalprice % 450.0 AS lo,
