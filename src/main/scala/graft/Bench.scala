@@ -53,7 +53,8 @@ object Bench {
     "q96_jsonl_roundtrip", "q97_rank_suite",
     "q98_dup_spans", "q99_url_canonical", "q100_budget_select",
     "q101_incremental_minhash", "q102_resample_gapfill", "q103_png_header",
-    "q67b_hist_quantile", "q69b_cube", "q104_kv_explode")
+    "q67b_hist_quantile", "q69b_cube", "q104_kv_explode",
+    "q105_group_ols", "q106_mode")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

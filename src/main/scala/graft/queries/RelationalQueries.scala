@@ -207,6 +207,43 @@ object RelationalQueries {
           sum(round(col("value") * 10000, 0).cast("long")).as("v_bp"))
         .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
           coalesce(col("ub"), lit(-1L)).as("ub"), col("n"), col("v_bp"))),
+    "q105_group_ols" -> ((s, dir) => {
+      // per-group least-squares trend (is this event type's value
+      // drifting?) in ONE aggregation pass: the five OLS sums are
+      // exact integers (minutes since 2024-01-01 x basis points), so
+      // both engines reach bit-identical sums regardless of schedule;
+      // the single IEEE division at the end is identical too. At far
+      // larger groups the integer products need decimal/Welford —
+      // noted, not needed at these magnitudes (<~1e17).
+      // ts is TIMESTAMP_NTZ; the UTC session TZ makes the TIMESTAMP hop
+      // equal DuckDB's naive epoch_us
+      val x = (expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 60") - 28401120L).as("x")
+      val y = Tables.bp(col("value")).as("y")
+      events(s, dir).select(col("event_type"), x, y)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n"),
+          round(lit(1000000000.0) *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+             (col("n") * col("sxx") - col("sx") * col("sx"))), 0)
+            .cast("long").as("slope_nano"))
+    }),
+    "q106_mode" -> ((s, dir) => {
+      // deterministic per-user mode (most frequent event type, ties to
+      // the lexicographically smallest) — two map-side-combined
+      // aggregations, the argmax via struct-ordering min((-n, type)),
+      // no window, no sort of the group's rows.
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(min(struct((-col("n")).as("negn"),
+          col("event_type").as("t"))).as("m"))
+        .select(col("user_id"), col("m.t").as("mode_type"),
+          (-col("m.negn")).as("n"))
+    }),
     "q104_kv_explode" -> ((s, dir) => {
       // semi-structured key=value payload parsing: a query-string-like
       // attribute blob per event parses through str_to_map, the map
@@ -456,6 +493,28 @@ object RelationalQueries {
         |  CAST(SUM(CAST(ROUND(value*10000, 0) AS BIGINT)) AS BIGINT) AS v_bp
         |FROM (SELECT event_type, user_id % 10 AS ub, value FROM events)
         |GROUP BY ROLLUP(event_type, ub)""".stripMargin,
+    "q105_group_ols" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 1000000 // 60 - 28401120 AS x,
+        |    CAST(ROUND(value*10000, 0) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(ROUND(1000000000.0 *
+        |    ((n*sxy - sx*sy) / (n*sxx - sx*sx)), 0) AS BIGINT) AS slope_nano
+        |FROM a""".stripMargin,
+    "q106_mode" ->
+      """SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT user_id, event_type, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rn = 1""".stripMargin,
     "q104_kv_explode" ->
       """WITH kvs AS (
         |  SELECT unnest(string_split(
