@@ -42,6 +42,27 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_triangles" -> ((s, dir) => {
+      // triangle count — the textbook distributed formulation: orient
+      // every undirected edge low->high id, build wedges by ONE
+      // equi-join on the middle vertex (u<v<w by construction, each
+      // triangle materializes exactly once), then close them with a
+      // semi-join back to the edge set. Two shuffles total; at crawl
+      // scale orient by DEGREE (low->high) instead of id so hub
+      // vertices never fan wedges quadratically.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = links(docs, n).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      // keep the middle vertex through the closure join — two wedges
+      // u-v1-w and u-v2-w are two DISTINCT triangles over the same
+      // closing edge (u,w)
+      val wedges = e.join(e.toDF("v", "w"), "v").select(col("u"), col("v"), col("w"))
+      wedges.join(e.toDF("u", "w"), Seq("u", "w"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
     "q90_pagerank" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val n = docs.count()
@@ -53,6 +74,17 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q107_triangles" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |links AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |      FROM links WHERE src <> dst),
+        |w AS (SELECT e1.u AS u, e2.v AS w
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u)
+        |SELECT COUNT(*) AS n_triangles FROM w
+        |WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.w)""".stripMargin,
     "q90_pagerank" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM documents),
         |links AS (
