@@ -207,6 +207,30 @@ object RelationalQueries {
           sum(round(col("value") * 10000, 0).cast("long")).as("v_bp"))
         .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
           coalesce(col("ub"), lit(-1L)).as("ub"), col("n"), col("v_bp"))),
+    "q108_moving_avg" -> ((s, dir) => {
+      // 7-day trailing moving average over the gap-filled daily series
+      // (the q102 grid) — the sliding ROWS frame surface. The average
+      // is exact integer milli (sum*1000 DIV frame rows: the first 6
+      // days of a user's span average over the shorter prefix, exactly
+      // like both engines' COUNT over the same frame). Same single
+      // user_id shuffle as q102; the frame sort is per-user days only.
+      val daily = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(count(lit(1)).as("n"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+      val filled = grid.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d")).rowsBetween(-6, 0)
+      filled.select(col("user_id"), col("d").cast("string").as("day"),
+        col("n").as("n_events"),
+        (sum(col("n")).over(w) * 1000 / count(lit(1)).over(w))
+          .cast("long").as("ma7_milli"))
+    }),
     "q105_group_ols" -> ((s, dir) => {
       // per-group least-squares trend (is this event type's value
       // drifting?) in ONE aggregation pass: the five OLS sums are
@@ -493,6 +517,22 @@ object RelationalQueries {
         |  CAST(SUM(CAST(ROUND(value*10000, 0) AS BIGINT)) AS BIGINT) AS v_bp
         |FROM (SELECT event_type, user_id % 10 AS ub, value FROM events)
         |GROUP BY ROLLUP(event_type, ub)""".stripMargin,
+    "q108_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM spans),
+        |filled AS (
+        |  SELECT g.user_id, g.d, COALESCE(daily.n, 0) AS n
+        |  FROM grid g LEFT JOIN daily USING (user_id, d))
+        |SELECT user_id, CAST(d AS VARCHAR) AS day, n AS n_events,
+        |  CAST(SUM(n) OVER w * 1000 // COUNT(*) OVER w AS BIGINT) AS ma7_milli
+        |FROM filled
+        |WINDOW w AS (PARTITION BY user_id ORDER BY d
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q105_group_ols" ->
       """WITH e AS (
         |  SELECT event_type,
