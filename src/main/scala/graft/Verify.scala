@@ -21,7 +21,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // query-internal caches must not leak across the 76-query session
+      // query-internal caches must not leak across the 100+-query session
       Bench.clearState(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
