@@ -110,6 +110,28 @@ class PlanSpec extends SparkTestBase {
     assert("partial_count".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("late-round joins never degenerate to cross products") {
+    // q98 (span-hash semi-join), q101 (band-bucket IVM probes),
+    // q107 (wedge join + closure), q102 (grid fill join): every one is
+    // an equi-join family; a CartesianProduct here means a key was
+    // lost in a rename and the plan would melt at corpus scale
+    for (q <- Seq("q98_dup_spans", "q101_incremental_minhash",
+        "q107_triangles", "q102_resample_gapfill")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+  }
+
+  test("q09b top-k carries at most k rows per group through the exchange") {
+    // the partial aggregate must run BEFORE the shuffle (that is the
+    // entire point vs the window formulation)
+    val plan = formatted(SparkEntry.queries("q09b_topk_agg")(spark, sfSmoke))
+    val partialIdx = plan.indexOf("partial_top_k")
+    assert(partialIdx >= 0, "no map-side partial top_k in plan")
+    assert(!plan.contains("Window"), "q09b must not fall back to a window")
+  }
+
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cell_at",
