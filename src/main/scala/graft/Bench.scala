@@ -54,7 +54,8 @@ object Bench {
     "q98_dup_spans", "q99_url_canonical", "q100_budget_select",
     "q101_incremental_minhash", "q102_resample_gapfill", "q103_png_header",
     "q67b_hist_quantile", "q69b_cube", "q104_kv_explode",
-    "q105_group_ols", "q106_mode", "q107_triangles", "q108_moving_avg")
+    "q105_group_ols", "q106_mode", "q107_triangles", "q108_moving_avg",
+    "q109_dist_drift")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

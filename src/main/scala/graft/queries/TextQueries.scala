@@ -343,6 +343,38 @@ object TextQueries {
           .withColumn("cum", sum(col("toks")).over(w))
           .filter(col("cum") <= rem).drop("cum"))
     }),
+    "q109_dist_drift" -> ((s, dir) => {
+      // corpus drift monitor: per source, the total-variation distance
+      // (exact integer ppm) between the doc-length distributions of
+      // the base corpus and the post-change corpus (q95's change
+      // batch: id%7=3 gains tokens, id%13=5 deleted). TV over
+      // 50-token buckets = sum |n1*T2 - n2*T1| * 1e6 / (2*T1*T2) —
+      // all-integer, schedule-independent. Shape: two bucket
+      // histograms (map-side combined), a full-outer align on
+      // (source, bucket), and the tiny per-source totals broadcast
+      // back. At T1*T2 near 2^63 the products need decimal — noted.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val changed = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val fin = docs.filter(col("doc_id") % 13 =!= 5)
+        .join(changed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(changed.filter(col("doc_id") % 13 =!= 5))
+      def hist(d: DataFrame, n: String): DataFrame = d
+        .select(col("source"),
+          (size(tokens(col("text"))).cast("long") / 50).cast("long").as("b"))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as(n))
+      val h = hist(docs, "n1").join(hist(fin, "n2"), Seq("source", "b"), "full_outer")
+        .select(col("source"), coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"))
+      h.groupBy(col("source"))
+        .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
+          collect_list(struct(col("n1"), col("n2"))).as("bs"))
+        .select(col("source"), col("t1"), col("t2"),
+          (aggregate(col("bs"), lit(0L), (acc, x) =>
+            acc + abs(x.getField("n1") * col("t2") - x.getField("n2") * col("t1")))
+            * 1000000L / (col("t1") * col("t2") * 2)).cast("long").as("drift_ppm"))
+    }),
     "q98_dup_spans" -> ((s, dir) => {
       // ExactSubstr-style duplicated-span detection (the published
       // "dedup training data" signal at character granularity): every
@@ -640,6 +672,36 @@ object TextQueries {
         |  SUM(toks) OVER (ORDER BY score DESC, doc_id ASC
         |    ROWS UNBOUNDED PRECEDING) AS cum FROM q)
         |SELECT doc_id, score, toks FROM c, tot WHERE cum <= b""".stripMargin,
+    "q109_dist_drift" ->
+      """WITH changed AS (
+        |  SELECT doc_id, source, text || ' merge stream merge' AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |fin AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 13 <> 5 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, source, text FROM changed WHERE doc_id % 13 <> 5),
+        |h1 AS (
+        |  SELECT source, len(string_split_regex(lower(text), '\s+')) // 50 AS b,
+        |    COUNT(*) AS n1
+        |  FROM documents GROUP BY 1, 2),
+        |h2 AS (
+        |  SELECT source, len(string_split_regex(lower(text), '\s+')) // 50 AS b,
+        |    COUNT(*) AS n2
+        |  FROM fin GROUP BY 1, 2),
+        |h AS (
+        |  SELECT COALESCE(h1.source, h2.source) AS source,
+        |    COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+        |  FROM h1 FULL OUTER JOIN h2 ON h1.source = h2.source AND h1.b = h2.b),
+        |t AS (
+        |  SELECT source, n1, n2,
+        |    SUM(n1) OVER (PARTITION BY source) AS t1,
+        |    SUM(n2) OVER (PARTITION BY source) AS t2
+        |  FROM h)
+        |SELECT source, CAST(MAX(t1) AS BIGINT) AS t1, CAST(MAX(t2) AS BIGINT) AS t2,
+        |  CAST(CAST(SUM(ABS(n1*t2 - n2*t1)) AS BIGINT) * 1000000
+        |    // (MAX(t1) * MAX(t2) * 2) AS BIGINT) AS drift_ppm
+        |FROM t GROUP BY source""".stripMargin,
     "q98_dup_spans" ->
       """WITH w AS (
         |  SELECT doc_id,
