@@ -273,17 +273,37 @@ object Bench {
     clearState(spark)
     if (!skipE2e) { e2ePipeline(spark, sfDir, storeRoot); clearState(spark) }
 
+    // Host phase calibration BEFORE the timed loop: the repeat cutoff
+    // below is normalized by it so a degraded-bandwidth phase (r3: MT
+    // probe 3.31s vs 0.11s nominal, ~30x) can never lock in single
+    // cold reps the way BENCH_r03's flat 30s rule did.
+    val probeBefore = math.min(hostProbeMt(), hostProbeMt())
+    val probeNominal = 0.11 // good-phase MT probe on this host class
+    val repCutoffSec = 30.0 * math.max(1.0, probeBefore / probeNominal)
+    System.err.println(
+      f"[bench] host_probe_mt before=$probeBefore%.3f s, repeat cutoff=$repCutoffSec%.1f s")
+
+    // The OsmChange merge family rebuilds full layers in-query (oracle
+    // scaffolding) — exactly the queries a degraded phase distorts
+    // most, so they ALWAYS get best-of-3 regardless of the cutoff.
+    val alwaysRepeat = Set("q34_changes_dedup", "q38_delete_set",
+      "q40_nodes_after_merge", "q52_ways_after_merge",
+      "q53_rels_after_merge", "q70_triples_after_merge")
+
     // best-of-3 per query, each rep cache-cold (clearState) but
     // JIT-warm: single-shot timings on this box swing 2-4x with JIT/GC
     // phase; the min is the stable, comparable statistic. Only
-    // pathological >30s queries skip the repeats.
+    // pathological queries beyond the host-normalized cutoff skip the
+    // repeats.
     val results = headline2.map { name =>
       def once = {
         clearState(spark)
         time(SparkEntry.queries(name)(spark, sfDir).count())._1
       }
       val first = once
-      val sec = if (first > 30) first else (Seq(first) ++ (1 to 2).map(_ => once)).min
+      val sec =
+        if (first > repCutoffSec && !alwaysRepeat(name)) first
+        else (Seq(first) ++ (1 to 2).map(_ => once)).min
       name -> sec
     }
     val docs = Tables.documents(spark, sfDir).count() * E2eFactor
@@ -327,13 +347,23 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + e2eSec + e2eJoinSec
     val probe = math.min(hostProbe(), hostProbe()) // best-of-2, untimed
-    val probeMt = math.min(hostProbeMt(), hostProbeMt())
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec,"host_probe_sec":$probe,"host_probe_mt_sec":$probeMt}"""
-    println(line)
-    // sbt prefixes stdout with "[info] ", defeating the driver's JSON
-    // parse — the bare line also lands in BENCH/last.json
+    val probeAfter = math.min(hostProbeMt(), hostProbeMt())
+    // Degraded-host flag: if the MT (bandwidth) probe moved >2x across
+    // the run, the record straddled a host phase change — treat the
+    // slower queries with suspicion and prefer a re-run.
+    val degraded =
+      math.max(probeBefore, probeAfter) / math.min(probeBefore, probeAfter) > 2.0 ||
+        math.max(probeBefore, probeAfter) > 4 * probeNominal
+    val probeMt = math.min(probeBefore, probeAfter)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec,"host_probe_sec":$probe,"host_probe_mt_sec":$probeMt,"host_probe_mt_before":$probeBefore,"host_probe_mt_after":$probeAfter,"host_degraded":$degraded}"""
+    // the bare line also lands in BENCH/last.json for post-hoc audits
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last.json"), line + "\n")
     spark.stop()
+    // print LAST, after spark.stop(), so the JSON line is the final
+    // stdout line (build.sbt: StdoutOutput + showSuccess := false keep
+    // sbt from prefixing it or appending "[success] ..." after it)
+    println(line)
+    System.out.flush()
   }
 }
