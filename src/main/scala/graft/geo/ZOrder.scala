@@ -155,7 +155,13 @@ object ZOrder {
   def bboxRead(spark: SparkSession, path: String, lonCol: String,
       latCol: String, bits: Int,
       minLon: Double, maxLon: Double, minLat: Double, maxLat: Double): DataFrame = {
+    require(minLon <= maxLon && minLat <= maxLat,
+      s"degenerate bbox [$minLon,$maxLon]x[$minLat,$maxLat]: min must not " +
+        "exceed max (an antimeridian-crossing box must be split into two " +
+        "boxes at +-180 by the caller)")
     val ivs = zIntervals(minLon, maxLon, minLat, maxLat, bits)
+    if (ivs.isEmpty) // fully outside the quantized domain
+      return spark.read.parquet(path).filter(lit(false))
     val shift = bucketShift(bits)
     val zPred = ivs.map { case (lo, hi) =>
       col("zval") >= lo && col("zval") <= hi

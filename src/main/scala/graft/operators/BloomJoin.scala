@@ -17,16 +17,26 @@ object BloomJoin {
 
   /** Bloom membership predicate for `key` against the build side's
     * `key` values (two Spark jobs: build-aggregate, then the caller's
-    * action). Exposed for composing into arbitrary plans. */
+    * action). Exposed for composing into arbitrary plans.
+    *
+    * Both sides feed the filter through `xxhash64(key)` — NOT a
+    * `cast("long")` — so the prefilter stays sound for ANY key type:
+    * a string key cast to long is null, which would silently drop
+    * probe rows the exact semi-join matches. The hash is type-tagged
+    * per Spark's hash semantics and identical on both sides, so no
+    * true match is ever filtered (only the usual false-positive
+    * trickle passes, removed by the trailing exact join). Null keys
+    * never match a semi-join, so the predicate rejects them outright
+    * rather than letting them hash to the seed. */
   def probePredicate(build: DataFrame, key: String,
       numBits: Int = 1 << 22, numHashes: Int = 4): Column = {
     val bytes = build
       .select(GraftSqlShim.column(
-        BloomBuildAgg(GraftSqlShim.expression(col(key).cast("long")),
+        BloomBuildAgg(GraftSqlShim.expression(xxhash64(col(key))),
           numBits, numHashes).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    GraftSqlShim.column(BloomMightContain(bytes, numHashes,
-      GraftSqlShim.expression(col(key).cast("long"))))
+    col(key).isNotNull && GraftSqlShim.column(BloomMightContain(bytes, numHashes,
+      GraftSqlShim.expression(xxhash64(col(key)))))
   }
 
   /** `probe LEFT SEMI JOIN build USING (key)`, bloom-prefiltered. */

@@ -24,34 +24,43 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Items of `keyCol` whose count exceeds total/phiDen.
+  /** Items of `keyCol` whose count exceeds total/phiDen. The output
+    * key column keeps the INPUT's type (the Misra-Gries sketch runs on
+    * a string rendering internally, but candidates re-join the typed
+    * column, so long keys come back long). Null keys are excluded
+    * entirely — from the total as well as the candidates — matching
+    * SQL join semantics where a null key can never be a hitter.
     * Requires m + 1 >= phiDen for the soundness argument above. */
   def topFraction(items: DataFrame, keyCol: String, phiDen: Int,
       m: Int = 200): DataFrame = {
     require(m + 1 >= phiDen, s"need m+1 >= phiDen for exactness (m=$m, phiDen=$phiDen)")
     val spark = items.sparkSession
     import spark.implicits._
-    val keys = items.select(col(keyCol).cast("string"))
-    val cands = keys.as[String].mapPartitions { it =>
-      val counts = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { t =>
-        if (counts.contains(t)) counts(t) += 1
-        else if (counts.size < m) counts(t) = 1L
-        else {
-          // decrement-all, drop zeros; the new item is absorbed by the
-          // decrement (classic Misra-Gries step)
-          val dead = List.newBuilder[String]
-          counts.keysIterator.foreach { k =>
-            val v = counts(k) - 1
-            if (v == 0) dead += k else counts(k) = v
+    val keys = items.select(col(keyCol)).filter(col(keyCol).isNotNull)
+    val cands = keys.select(col(keyCol).cast("string"))
+      .as[String].mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (counts.contains(t)) counts(t) += 1
+          else if (counts.size < m) counts(t) = 1L
+          else {
+            // decrement-all, drop zeros; the new item is absorbed by the
+            // decrement (classic Misra-Gries step)
+            val dead = List.newBuilder[String]
+            counts.keysIterator.foreach { k =>
+              val v = counts(k) - 1
+              if (v == 0) dead += k else counts(k) = v
+            }
+            dead.result().foreach(counts.remove)
           }
-          dead.result().foreach(counts.remove)
         }
-      }
-      counts.keysIterator
-    }.toDF(keyCol).distinct()
+        counts.keysIterator
+      }.toDF("__cand").distinct()
     val total = keys.groupBy().agg(count(lit(1)).as("__total"))
-    keys.join(broadcast(cands), Seq(keyCol), "left_semi")
+    // candidate semi-join compares on the same string rendering the
+    // sketch saw, but the grouped output column is the raw typed key
+    keys.join(broadcast(cands),
+        col(keyCol).cast("string") === col("__cand"), "left_semi")
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
       .filter(col("cnt") * phiDen > col("__total"))

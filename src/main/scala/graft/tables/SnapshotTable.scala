@@ -169,16 +169,32 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     * as ONE full outer join on the key — at scale both sides are
     * bucket-clustered scans of the same layout, and keys untouched
     * between the snapshots drop out with no per-key state kept. Works
-    * across delta chains (either side resolves through [[readAt]]). */
+    * across delta chains (either side resolves through [[readAt]]).
+    *
+    * PRECONDITION: at most one row per key on each side. A
+    * multi-row-per-key table (e.g. the owner-keyed triple store, whose
+    * MERGE replaces whole row families) would pair rows many-to-many
+    * here — the plan groups each side per key and raises a clear
+    * runtime error on the first key with >1 row instead of emitting
+    * arbitrary duplicate "update" rows. Family-keyed tables should
+    * diff via an aggregated view (collect the family per key first). */
   def changesBetween(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
     val payload = (df: DataFrame) =>
       struct(df.columns.filterNot(keyCols.contains).map(col).toSeq: _*)
-    val a = readAt(from)
-    val b = readAt(to)
-    val av = a.select(keyCols.map(col) :+ payload(a).as("__pa") :+
-      lit(true).as("__ina"): _*)
-    val bv = b.select(keyCols.map(col) :+ payload(b).as("__pb") :+
-      lit(true).as("__inb"): _*)
+    // groupBy on the join key adds no exchange beyond the join's own
+    // (the aggregate's hash partitioning is reused by the join)
+    def oneRowPerKey(df: DataFrame, pCol: String, flag: String): DataFrame =
+      df.groupBy(keyCols.map(col): _*)
+        .agg(collect_list(payload(df)).as("__fam"))
+        .select(keyCols.map(col) :+
+          when(size(col("__fam")) > lit(1), raise_error(concat(
+            lit(s"changesBetween at $root requires unique keys; key ("),
+            concat_ws(",", keyCols.map(k => col(k).cast("string")): _*),
+            lit(s") has multiple rows — diff an aggregated family view instead"))))
+            .otherwise(element_at(col("__fam"), 1)).as(pCol) :+
+          lit(true).as(flag): _*)
+    val av = oneRowPerKey(readAt(from), "__pa", "__ina")
+    val bv = oneRowPerKey(readAt(to), "__pb", "__inb")
     av.join(bv, keyCols, "full_outer")
       .withColumn("change_type",
         when(col("__ina").isNull, "insert")
@@ -363,8 +379,14 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     // anti-join degrades to a sort-merge join that SORTS the whole
     // kept base — measured as the dominant cost of wide-table merges
     val keyDistinct = upd.select(keyCols.map(col): _*).distinct()
+    // byte-aware broadcast gate: 5M rows of a wide string key is
+    // hundreds of MB — too big to ship to every task even though the
+    // row count alone looks broadcastable. defaultSize is Catalyst's
+    // own per-type estimate (8 for longs, 20 for strings).
+    val keyWidth = keyDistinct.schema.map(_.dataType.defaultSize).sum.toLong
     val keyOnly =
-      if (updateRows <= 5000000L) broadcast(keyDistinct)
+      if (updateRows <= 5000000L && updateRows * keyWidth <= (256L << 20))
+        broadcast(keyDistinct)
       else keyDistinct.hint("shuffle_hash")
     val keep =
       if (touchedDirs.isEmpty) None
