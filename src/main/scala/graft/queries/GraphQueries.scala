@@ -63,6 +63,21 @@ object GraphQueries {
       wedges.join(e.toDF("u", "w"), Seq("u", "w"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
     }),
+    "q107b_triangles_degree" -> ((s, dir) => {
+      // the SAME count via DEGREE-ordered orientation
+      // (graft.operators.Triangles) — the shape that survives a
+      // power-law hub: every wedge pivots on its lowest-degree vertex,
+      // so out-degrees (and wedge fan-out) stay O(sqrt(m)) instead of
+      // O(hub degree). TrianglesSpec plants a hub and asserts the
+      // wedge-row bound.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = links(docs, n).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      graft.operators.Triangles.count(e)
+    }),
     "q90_pagerank" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val n = docs.count()
@@ -75,6 +90,18 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q107_triangles" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |links AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |      FROM links WHERE src <> dst),
+        |w AS (SELECT e1.u AS u, e2.v AS w
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u)
+        |SELECT COUNT(*) AS n_triangles FROM w
+        |WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.w)""".stripMargin,
+    // orientation changes the plan, not the answer — same oracle count
+    "q107b_triangles_degree" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM documents),
         |links AS (
         |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
