@@ -320,28 +320,54 @@ object TextQueries {
       // driver-safe collect, same contract as the IVF centroid row);
       // (2) the threshold + boundary-score remainder come from a
       // driver-side cumulative walk of that tiny array; (3) full
-      // strata pass a codegen filter (NO sort anywhere); (4) only the
-      // ONE boundary stratum runs an ordered prefix window. Ties at
-      // the boundary are bounded by the score granularity, the only
-      // place a real deployment would widen the key.
+      // strata pass a codegen filter (NO sort anywhere); (4) the ONE
+      // boundary stratum's doc_id-ordered prefix sum decomposes into
+      // B independent range-bucket windows plus driver-computed
+      // exclusive bucket offsets (cum = offset(bkt) + within-bucket
+      // cum) — NO single-partition window anywhere, so even a
+      // boundary stratum holding 1% of a 100 TB corpus sorts in
+      // parallel slices.
       val base = Tables.documents(s, dir)
         .withColumn("ts", tokens(col("text")))
         .select(col("doc_id"), qualityMilli(col("ts")).as("score"),
           size(col("ts")).cast("long").as("toks"))
         .cache()
-      val hist = base.groupBy(col("score")).agg(sum(col("toks")).as("t"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+      val hist = base.groupBy(col("score"))
+        .agg(sum(col("toks")).as("t"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(-_._1)
       val budget = hist.map(_._2).sum * 6 / 10
-      var cum = 0L; var boundary = Long.MinValue; var rem = 0L
-      for ((sc, t) <- hist if boundary == Long.MinValue)
-        if (cum + t <= budget) cum += t else { boundary = sc; rem = budget - cum }
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      base.filter(col("score") > boundary).unionByName(
-        base.filter(col("score") === boundary)
-          .withColumn("cum", sum(col("toks")).over(w))
-          .filter(col("cum") <= rem).drop("cum"))
+      var cum = 0L; var boundary = Long.MinValue
+      var rem = 0L; var idLo = 0L; var idHi = 0L
+      for ((sc, t, lo, hi) <- hist if boundary == Long.MinValue)
+        if (cum + t <= budget) cum += t
+        else { boundary = sc; rem = budget - cum; idLo = lo; idHi = hi }
+      val keep = base.filter(col("score") > boundary)
+      if (boundary == Long.MinValue) keep
+      else {
+        val nBuckets = 32L
+        val width = math.max(1L, (idHi - idLo) / nBuckets + 1)
+        val stratum = base.filter(col("score") === boundary)
+          .withColumn("bkt", ((col("doc_id") - idLo) / width).cast("long"))
+        // per-bucket token totals (<= nBuckets rows, driver-safe) ->
+        // exclusive prefix offsets in doc_id-range order
+        val totals = stratum.groupBy(col("bkt")).agg(sum(col("toks")).as("t"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var off = 0L
+        val offsets = totals.map { case (b, t) => val o = off; off += t; (b, o) }
+        import s.implicits._
+        val offDf = offsets.toSeq.toDF("bkt", "off")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        keep.unionByName(
+          stratum.join(broadcast(offDf), Seq("bkt"))
+            .withColumn("cum", col("off") + sum(col("toks")).over(w))
+            .filter(col("cum") <= rem)
+            .select(col("doc_id"), col("score"), col("toks")))
+      }
     }),
     "q109_dist_drift" -> ((s, dir) => {
       // corpus drift monitor: per source, the total-variation distance

@@ -132,6 +132,19 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window"), "q09b must not fall back to a window")
   }
 
+  test("q100 boundary-stratum window is bucket-partitioned (no global window)") {
+    // the one place the engine ever sorts by prefix: must decompose
+    // into per-range-bucket windows, never a partitionBy-less window
+    // (a single-partition sort at corpus scale)
+    val df = SparkEntry.queries("q100_budget_select")(spark, sfSmall)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the boundary-stratum prefix window in the plan")
+    wins.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, "q100 plans an unpartitioned (global) window"))
+  }
+
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cell_at",
