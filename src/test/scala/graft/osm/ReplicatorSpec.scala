@@ -248,6 +248,147 @@ class ReplicatorSpec extends SparkTestBase {
     assert(nOn === nOff + 1)  // the parent relation re-applies ONLY under the flag
   }
 
+  test("multi-batch soak: 7 batches across MOR compaction, kill/restart + lost-checkpoint resume") {
+    // the reference's real workload is hundreds of sequential diffs
+    // (/root/reference/src/osm/OsmUpdater.cpp:136-168 loops over the
+    // replication directory) — drive 7 batches with
+    // triplesCompactEvery=2 so the triple store's delta chain compacts
+    // mid-soak, simulate a process kill after batch 3 (fresh
+    // Replicator resumes from the seq checkpoint) and a kill BETWEEN
+    // merge and checkpoint write after batch 5 (checkpoint deleted ->
+    // the idempotent MERGEs re-apply batches 1..5 merged with 6), and
+    // assert the end state equals a one-shot application of all 7
+    // files AND a full re-derivation of the triple store.
+    import spark.implicits._
+    import graft.rdf.TripleDerive._
+    import org.apache.spark.sql.functions.{lit, map, to_timestamp}
+
+    def nodeTagged(id: Long, v: Int, day: Int, lon: Double, lat: Double,
+        tag: (String, String)): String =
+      s"""<node id="$id" version="$v" timestamp="2024-02-%02dT00:00:00Z" lat="$lat" lon="$lon">"""
+        .format(day) + s"""<tag k="${tag._1}" v="${tag._2}"/></node>"""
+    def delNode(id: Long, day: Int): String =
+      s"""<node id="$id" version="9" timestamp="2024-02-%02dT00:00:00Z" visible="false"/>""".format(day)
+    def delWay(id: Long, day: Int): String =
+      s"""<way id="$id" version="9" timestamp="2024-02-%02dT00:00:00Z" visible="false"/>""".format(day)
+    def delRel(id: Long, day: Int): String =
+      s"""<relation id="$id" version="9" timestamp="2024-02-%02dT00:00:00Z" visible="false"/>""".format(day)
+
+    // batch i: move node ((i-1)%6)+1 (stales way 10 or 11 -> rel 100),
+    // create node 50+i, delete node 50+i-2 (i>=3), create way 21 (i=1,
+    // kept) / way 20+i (i%3==0, deleted at i+1), rel 200 created at 3,
+    // deleted at 6
+    def batchXml(i: Int): String = {
+      val m = ((i - 1) % 6) + 1
+      val mods = nodeTagged(m, if (i > 6) 3 else 2, i, i + 0.5, i + 0.25, ("name", s"b$i"))
+      val creates = new StringBuilder(nodeTagged(50 + i, 1, i, i * 0.1, i * 0.2, ("n", s"c$i")))
+      if (i == 1) creates ++= wayXml(21, 1, Seq(4, 5))
+      if (i % 3 == 0) creates ++= wayXml(20 + i, 1, Seq(1, 2))
+      if (i == 3) creates ++= relXml(200, 1, Seq(("way", 10L, "x")))
+      val dels = new StringBuilder
+      if (i >= 3) dels ++= delNode(50 + i - 2, i)
+      if (i % 3 == 1 && i >= 4) dels ++= delWay(20 + i - 1, i)
+      if (i == 6) dels ++= delRel(200, i)
+      osc(s"<modify>$mods</modify><create>$creates</create>" +
+        (if (dels.nonEmpty) s"<delete>$dels</delete>" else ""))
+    }
+
+    def mkBase(root: String): Unit = {
+      val bn = Seq((1L, 0.0, 0.0), (2L, 5.0, 5.0), (3L, 7.0, 7.0),
+        (4L, 1.0, 1.0), (5L, 2.0, 2.0), (6L, 3.0, 3.0)).toDF("node_id", "lon", "lat")
+        .withColumn("ts", to_timestamp(lit("2023-12-01 00:00:00")))
+        .withColumn("tags", map(lit("amenity"), lit("bench")))
+      val bw = Seq(
+        (10L, "1;2;3",
+          "LINESTRING(0.0000000 0.0000000, 5.0000000 5.0000000, 7.0000000 7.0000000)"),
+        (11L, "4;5;6",
+          "LINESTRING(1.0000000 1.0000000, 2.0000000 2.0000000, 3.0000000 3.0000000)"))
+        .toDF("way_id", "members", "wkt")
+        .withColumn("ts", to_timestamp(lit("2023-12-02 00:00:00")))
+        .withColumn("tags", map(lit("highway"), lit("residential")))
+      val br = Seq((100L, "way/10/outer")).toDF("rel_id", "members")
+        .withColumn("ts", to_timestamp(lit("2023-12-03 00:00:00")))
+        .withColumn("tags", lit(null).cast("map<string,string>"))
+      SnapshotTable.create(spark, s"$root/nodes", bn, Seq("node_id"))
+      SnapshotTable.create(spark, s"$root/ways", bw, Seq("way_id"))
+      SnapshotTable.create(spark, s"$root/rels", br, Seq("rel_id"))
+      SnapshotTable.create(spark, s"$root/triples",
+        ownedNodeTriplesFull(bn).unionByName(ownedWayTriplesFull(bw))
+          .unionByName(ownedRelTriplesFull(br))
+          .select(col("subj_key"), col("s"), col("p"), col("o")),
+        Seq("subj_key"))
+    }
+
+    def tripleRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("subj_key"), col("s"), col("p"), col("o"))
+      .as[(String, String, String, String)].collect().toSet
+
+    spark.conf.set("spark.graft.triplesCompactEvery", "2")
+    try {
+      // ---- incremental soak with kills ----
+      val rootA = fresh("soak-inc"); mkBase(rootA)
+      val dirA = fresh("soak-inc-changes")
+      var repl = new Replicator(spark, rootA)
+      for (i <- 1 to 7) {
+        Files.write(Paths.get(dirA, f"00000000$i%02d.osc.gz"), gz(batchXml(i)))
+        assert(repl.catchUp(dirA) > 0, s"batch $i applied nothing")
+        assert(repl.appliedSeq === Some(i))
+        if (i == 3) repl = new Replicator(spark, rootA) // process restart
+        if (i == 5) { // kill between merge and checkpoint write
+          Files.delete(Paths.get(rootA, "applied_seq"))
+          repl = new Replicator(spark, rootA)
+          assert(repl.appliedSeq === None)
+        }
+      }
+      assert(repl.appliedSeq === Some(7))
+
+      // ---- one-shot: all 7 files present from the start ----
+      val rootB = fresh("soak-oneshot"); mkBase(rootB)
+      val dirB = fresh("soak-oneshot-changes")
+      for (i <- 1 to 7)
+        Files.write(Paths.get(dirB, f"00000000$i%02d.osc.gz"), gz(batchXml(i)))
+      val replB = new Replicator(spark, rootB)
+      assert(replB.catchUp(dirB) > 0)
+      assert(replB.appliedSeq === Some(7))
+
+      // every layer row-identical between soak and one-shot
+      def nodesOf(r: Replicator) = r.nodes.read()
+        .as[(Long, Double, Double, java.sql.Timestamp, Map[String, String])]
+        .collect().toSet
+      def waysOf(r: Replicator) = r.ways.read()
+        .as[(Long, String, String, java.sql.Timestamp, Map[String, String])]
+        .collect().toSet
+      def relsOf(r: Replicator) = r.rels.read()
+        .as[(Long, String, java.sql.Timestamp, Map[String, String])]
+        .collect().toSet
+      assert(nodesOf(repl) === nodesOf(replB))
+      assert(waysOf(repl) === waysOf(replB))
+      assert(relsOf(repl) === relsOf(replB))
+      // surviving objects are the expected ones
+      assert(nodesOf(repl).map(_._1) === Set(1L, 2L, 3L, 4L, 5L, 6L, 56L, 57L))
+      assert(waysOf(repl).map(_._1) === Set(10L, 11L, 21L))
+      assert(relsOf(repl).map(_._1) === Set(100L))
+
+      // triple store: soak == one-shot == full re-derivation (q70 shape)
+      val gotA = tripleRows(repl.triples.read())
+      assert(gotA === tripleRows(replB.triples.read()))
+      assert(gotA === tripleRows(
+        ownedNodeTriplesFull(repl.nodes.read())
+          .unionByName(ownedWayTriplesFull(repl.ways.read()))
+          .unionByName(ownedRelTriplesFull(repl.rels.read()))))
+
+      // MOR compaction really fired mid-soak: the triple table's
+      // history holds delta commits AND a compact commit above them
+      val metaA = SnapshotTable.load(spark, s"$rootA/triples").snapshotsMeta
+        .as[(Long, String, Long, Long, Long, Option[Long], Boolean)].collect()
+      val deltaIds = metaA.filter(_._7).map(_._1)
+      val compactIds = metaA.filter(_._2 == "compact").map(_._1)
+      assert(deltaIds.nonEmpty, "no delta commits recorded")
+      assert(compactIds.exists(c => deltaIds.exists(_ < c)),
+        s"no compaction above a delta commit: ${metaA.map(m => (m._1, m._2, m._7)).toSeq}")
+    } finally spark.conf.unset("spark.graft.triplesCompactEvery")
+  }
+
   test("ST1 start-offset resolution: user seq > user ts as-of > checkpoint") {
     val root = fresh("offset")
     val repl = new Replicator(spark, root)
