@@ -55,7 +55,7 @@ object Bench {
     "q101_incremental_minhash", "q102_resample_gapfill", "q103_png_header",
     "q67b_hist_quantile", "q69b_cube", "q104_kv_explode",
     "q105_group_ols", "q106_mode", "q107_triangles", "q108_moving_avg",
-    "q109_dist_drift")
+    "q109_dist_drift", "q107b_triangles_degree", "q110_incremental_simhash")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -189,21 +189,83 @@ object DedupQueries {
           s"q49 label propagation did not converge within $maxIter iterations")
       lbl.select(col("doc_id"), col("lbl").as("cluster_id"))
     }),
-    "q14_simhash" -> ((s, dir) => {
-      // 60-bit SimHash over distinct tokens: one explode + one groupBy
-      // with 60 conditional sums (all codegen; no per-bit row blowup).
-      val th = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-        .withColumn("h", hash60(col("tok")))
-      val bitSums = (0 until 60).map(b =>
-        sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b"))
-      val agg = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until 60).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      agg.select(col("doc_id"), simhash.as("simhash"))
+    "q14_simhash" -> ((s, dir) =>
+      simhashOf(Tables.documents(s, dir))),
+    "q110_incremental_simhash" -> ((s, dir) => {
+      // IVM of the SimHash near-dup pair set under the standard change
+      // batch (id%7=3 update, id%13=5 delete) — completes the IVM
+      // family on the second dedup axis (pairs with q101's MinHash
+      // side). Stored fingerprints + pairs are invalidated only where
+      // touched; new pairs come from 15-bit band-bucket probes of the
+      // updated docs' fingerprints against the final fingerprint set
+      // (O(affected x bucket), never all-pairs), verified by hamming
+      // distance. The oracle recomputes every pair from the
+      // post-change corpus.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val baseFp = simhashOf(docs).cache()
+      val basePairs = simhashPairs(baseFp, baseFp)
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"))
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      val affected = updated.select(col("doc_id")).union(deletedIds).distinct()
+      val keep = basePairs
+        .join(affected.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+        .join(affected.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
+      val updFp = simhashOf(updatedLive)
+      val finalFp = baseFp.join(affected, Seq("doc_id"), "left_anti")
+        .unionByName(updFp)
+      keep.unionByName(simhashPairs(updFp, finalFp))
     }),
   )
+
+  /** 60-bit SimHash fingerprints (doc_id, simhash) over distinct
+    * tokens: one explode + one groupBy with 60 conditional sums (all
+    * codegen; no per-bit row blowup) — the q14 body, parameterized by
+    * corpus so the IVM variant can fingerprint a change batch. */
+  private def simhashOf(d: DataFrame): DataFrame = {
+    val th = d
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b"))
+    val agg = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs between a probe fingerprint set and a
+    * corpus fingerprint set: 4x15-bit band equi-join prefilter (two
+    * docs within hamming 3 of each other share a band by pigeonhole;
+    * wider radii trade recall exactly like MinHash banding), hamming
+    * verify <= [[SimhashMaxHamming]] on the candidates only. */
+  val SimhashMaxHamming = 8
+  private def simhashBandsOf(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("simhash"), 15 * b) % 32768).as("bkey"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  private def simhashPairs(probeFp: DataFrame, corpusFp: DataFrame): DataFrame = {
+    val pb = simhashBandsOf(probeFp)
+    val cb = simhashBandsOf(corpusFp)
+    val cand = pb.as("x").join(cb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+      .distinct()
+    cand
+      .join(corpusFp.select(col("doc_id").as("id_a"), col("simhash").as("fa")), "id_a")
+      .join(corpusFp.select(col("doc_id").as("id_b"), col("simhash").as("fb")), "id_b")
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 
   /** q13 body (LSH candidates → exact verify), shared with q49. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
@@ -305,6 +367,37 @@ object DedupQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
          |)
          |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
+    "q110_incremental_simhash" ->
+      s"""WITH final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 5
+         |), th AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(t),1,15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS t
+         |        FROM final)
+         |), bits AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, range(0,60) t(b) GROUP BY doc_id, b
+         |), fp AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, b, (simhash >> (15*b)) % 32768 AS bkey
+         |  FROM fp, range(0,4) t(b)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM cand JOIN fp x ON cand.id_a = x.doc_id
+         |          JOIN fp y ON cand.id_b = y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashMaxHamming""".stripMargin,
     "q14_simhash" ->
       """WITH th AS (
         |  SELECT doc_id, CAST('0x' || substr(md5(t),1,15) AS BIGINT) AS h
