@@ -268,6 +268,32 @@ object RelationalQueries {
         .select(col("user_id"), col("m.t").as("mode_type"),
           (-col("m.negn")).as("n"))
     }),
+    "q111_intersect" -> ((s, dir) => {
+      // SO-family completion: INTERSECT (distinct) of two id sets —
+      // plans as a left-semi join after dedup, one shuffle per side.
+      val a = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("id"))
+      val b = customer(s, dir).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("id"))
+      a.intersect(b)
+    }),
+    "q111b_intersect_all" -> ((s, dir) => {
+      // INTERSECT ALL — multiset semantics (min multiplicity per id);
+      // both sides are genuine multisets so the ALL matters.
+      val a = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("id"))
+      val b = orders(s, dir).filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("id"))
+      a.intersectAll(b)
+    }),
+    "q112_except_all" -> ((s, dir) => {
+      // EXCEPT ALL — multiset difference: each id keeps
+      // count(all orders) - count(F orders) copies.
+      val a = orders(s, dir).select(col("o_custkey").as("id"))
+      val b = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("id"))
+      a.exceptAll(b)
+    }),
     "q104_kv_explode" -> ((s, dir) => {
       // semi-structured key=value payload parsing: a query-string-like
       // attribute blob per event parses through str_to_map, the map
@@ -555,6 +581,18 @@ object RelationalQueries {
         |      ORDER BY COUNT(*) DESC, event_type ASC) AS rn
         |  FROM events GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+    "q111_intersect" ->
+      """SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT c_custkey AS id FROM customer WHERE c_acctbal < 0""".stripMargin,
+    "q111b_intersect_all" ->
+      """SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey AS id FROM orders WHERE o_totalprice > 100000""".stripMargin,
+    "q112_except_all" ->
+      """SELECT o_custkey AS id FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "q104_kv_explode" ->
       """WITH kvs AS (
         |  SELECT unnest(string_split(
