@@ -339,11 +339,16 @@ object SpatialQueries {
       // the file-count drop). The oracle both proves the pruned read
       // returns exactly the bbox rows AND pins the Morton encoding
       // itself cross-engine (zval is part of the hashed output).
+      // goes through the TABLE layer (SnapshotTable z-clustered mode):
+      // the bucket manifest prunes whole dirs from the z-interval
+      // decomposition before any file is listed, then parquet min/max
+      // skipping applies inside the survivors
       val root = "target/q82_zcluster_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      graft.geo.ZOrder.cluster(SynthUniverse.points(s, dir),
-        "lon", "lat", ZBits, root, numFiles = 16)
-      graft.geo.ZOrder.bboxRead(s, root, "lon", "lat", ZBits,
-          Q82Box._1, Q82Box._2, Q82Box._3, Q82Box._4)
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(root))
+      graft.tables.SnapshotTable
+        .createZOrdered(s, root, SynthUniverse.points(s, dir),
+          "lon", "lat", ZBits, numBuckets = 32)
+        .readBbox(Q82Box._1, Q82Box._2, Q82Box._3, Q82Box._4)
         .select(col("doc_id"), col("entity"), col("zval"))
     }),
     "q86_bbox_overlap" -> ((s, dir) => {

@@ -241,9 +241,15 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     m.toSeq.sortBy(_._1).map { case (b, v) => s"$b:$v" }.mkString(";")
 
   /** Full-replace commit. Preserves the bucketed layout (re-bucketing on
-    * the stored keys) when the current snapshot is bucketed. */
+    * the stored keys) when the current snapshot is bucketed, and the
+    * z-clustered layout when it is z-ordered. */
   def commit(df: DataFrame, operation: String): Long = {
     val keyInfo = currentSnapshot.map(snapshotInfo).getOrElse(Map.empty)
+    keyInfo.get("zorder").filter(_.nonEmpty).foreach { zc =>
+      val Array(lonCol, latCol) = zc.split(",")
+      return commitZOrdered(df, operation, lonCol, latCol,
+        keyInfo("zbits").toInt, keyInfo("numBuckets").toInt)
+    }
     (keyInfo.get("keyCols").filter(_.nonEmpty), keyInfo.get("numBuckets")) match {
       case (Some(keys), Some(b)) =>
         commitBucketed(df, operation, keys.split(",").toSeq, b.toInt)
@@ -318,6 +324,79 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
       "bucketBytes" -> serBuckets(bytes)))
   }
 
+  /** Write `df` z-clustered: `__b` bucket dirs are TOP Z-PREFIX ranges
+    * (not key hashes), rows range-sorted by the persisted `zval` column
+    * inside each bucket so parquet row-group min/max stats on
+    * zval/lon/lat stay tight. The bucket id encodes its z-range, so
+    * [[readBbox]] prunes whole directories from the manifest alone —
+    * the interval decomposition never lists files it skips. This is the
+    * read-optimized mode for spatial layers scanned by bbox (Delta
+    * OPTIMIZE ZORDER BY / Iceberg spatial-partition-transform analogue);
+    * it is full-replace only (see the merge guards). */
+  private def commitZOrdered(df: DataFrame, operation: String,
+      lonCol: String, latCol: String, zBits: Int, numBuckets: Int): Long = {
+    require(Integer.bitCount(numBuckets) == 1 && numBuckets > 1,
+      s"numBuckets must be a power of two, got $numBuckets")
+    val shift = 2 * zBits - Integer.numberOfTrailingZeros(numBuckets)
+    require(shift > 0, s"numBuckets $numBuckets too fine for zBits $zBits")
+    val id = currentSnapshot.getOrElse(0L) + 1
+    val dir = dataDir(id)
+    val withZ = df.drop("zval")
+      .withColumn("zval", graft.geo.ZOrder.zValue(col(lonCol), col(latCol), zBits))
+      .withColumn("__b", shiftright(col("zval"), shift).cast("int"))
+    val counts = writeCounted(
+      withZ.repartition(numBuckets, col("__b"))
+        .sortWithinPartitions(col("__b"), col("zval")), dir, numBuckets)
+    val src = counts.keys.map(_ -> id).toMap
+    val bytes = writtenBucketBytes(dir)
+    writeMeta(id, operation, counts.values.sum, bytes.values.sum, Map(
+      "zorder" -> s"$lonCol,$latCol", "zbits" -> zBits.toString,
+      "numBuckets" -> numBuckets.toString,
+      "schema" -> withZ.drop("__b").schema.toDDL,
+      "bucketSrc" -> serBuckets(src),
+      "bucketRows" -> serBuckets(counts),
+      "bucketBytes" -> serBuckets(bytes)))
+  }
+
+  /** Bbox scan of a z-ordered table with manifest-level pruning: the
+    * box decomposes into exact-cover z-intervals
+    * ([[graft.geo.ZOrder.zIntervals]]), bucket dirs whose z-prefix
+    * range misses every interval are never read (or even listed), the
+    * literal zval intervals push down to parquet row-group min/max
+    * skipping inside the surviving files, and the trailing exact
+    * lon/lat predicate removes the curve's jumps. */
+  def readBbox(minLon: Double, maxLon: Double,
+      minLat: Double, maxLat: Double): DataFrame = {
+    require(minLon <= maxLon && minLat <= maxLat,
+      s"degenerate bbox [$minLon,$maxLon]x[$minLat,$maxLat]: min must not " +
+        "exceed max (split antimeridian-crossing boxes at +-180)")
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no current snapshot at $root"))
+    val info = snapshotInfo(cur)
+    val zc = info.getOrElse("zorder", throw new IllegalStateException(
+      s"table at $root is not z-ordered; write it with createZOrdered"))
+    val Array(lonCol, latCol) = zc.split(",")
+    val bits = info("zbits").toInt
+    val shift = 2 * bits - Integer.numberOfTrailingZeros(info("numBuckets").toInt)
+    def empty: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(info("schema")))
+    val ivs = graft.geo.ZOrder.zIntervals(minLon, maxLon, minLat, maxLat, bits)
+    val all = bucketPaths(cur)
+    if (ivs.isEmpty || all.isEmpty) return empty
+    val keep = all.filter { case (b, _) =>
+      val bLo = b.toLong << shift; val bHi = ((b.toLong + 1) << shift) - 1
+      ivs.exists { case (lo, hi) => bLo <= hi && bHi >= lo }
+    }
+    if (keep.isEmpty) return empty
+    val zPred = ivs.map { case (lo, hi) =>
+      col("zval") >= lo && col("zval") <= hi }.reduce(_ || _)
+    spark.read.parquet(keep.values.map(_.toString).toSeq.sorted: _*)
+      .filter(zPred &&
+        col(lonCol) >= minLon && col(lonCol) <= maxLon &&
+        col(latCol) >= minLat && col(latCol) <= maxLat)
+  }
+
   /** MERGE INTO: upsert by key — rows in `updates` replace same-key
     * rows, others are kept; `deleteMarker` rows (when the column is
     * true) delete instead of upsert. Idempotent: merging the same
@@ -334,6 +413,10 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     val cur = currentSnapshot.getOrElse(
       throw new IllegalStateException(s"no current snapshot at $root"))
     val info = snapshotInfo(cur)
+    require(!info.contains("zorder"),
+      s"table at $root is z-ordered (read-optimized): a row's bucket is a " +
+        "function of its coordinates, so a key-merge cannot locate a moved " +
+        "row's old copy without a table scan — rewrite via commit()")
     info.get("keyCols").filter(_.nonEmpty) match {
       case Some(keys) =>
         require(keys.split(",").toSeq == keyCols,
@@ -446,6 +529,8 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     val cur = currentSnapshot.getOrElse(
       throw new IllegalStateException(s"no current snapshot at $root"))
     val info = snapshotInfo(cur)
+    require(!info.contains("zorder"),
+      s"table at $root is z-ordered (read-optimized, full-replace only)")
     val keys = info.get("keyCols").filter(_.nonEmpty).getOrElse(
       throw new IllegalStateException("delta merge requires a bucketed table"))
     require(keys.split(",").toSeq == keyCols,
@@ -617,4 +702,18 @@ object SnapshotTable {
 
   def load(spark: SparkSession, root: String): SnapshotTable =
     new SnapshotTable(spark, root)
+
+  /** Create a z-ordered (read-optimized) table: bucket dirs are top
+    * z-prefix ranges, rows z-sorted inside each bucket, `zval`
+    * persisted. Scan it with [[SnapshotTable.readBbox]]; rewrite with
+    * commit() (the layout is preserved). `numBuckets` must be a power
+    * of two (the bucket id IS the z-prefix). */
+  def createZOrdered(spark: SparkSession, root: String, df: DataFrame,
+      lonCol: String, latCol: String, zBits: Int,
+      numBuckets: Int = 32): SnapshotTable = {
+    val t = new SnapshotTable(spark, root)
+    require(t.currentSnapshot.isEmpty, s"table already exists at $root")
+    t.commitZOrdered(df, "create", lonCol, latCol, zBits, numBuckets)
+    t
+  }
 }

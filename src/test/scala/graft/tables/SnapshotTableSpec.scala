@@ -188,6 +188,44 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read().as[(Long, String)].collect().toSet === Set((1L, "a2"), (2L, "b2")))
     assert(t.snapshotInfo(t.currentSnapshot.get)("operation") === "compact")
   }
+
+  test("z-ordered table: bbox read prunes bucket dirs AND files, result exact") {
+    val root = freshRoot("zorder")
+    // deterministic spread across the whole lon/lat domain: 4096 points
+    // on a grid, plus the query box's own cluster
+    val pts = (0 until 4096).map { i =>
+      val lon = -180.0 + (i % 64) * 5.625 + 0.1
+      val lat = -90.0 + (i / 64) * 2.8125 + 0.1
+      (i.toLong, lon, lat)
+    }.toDF("id", "lon", "lat")
+    val t = SnapshotTable.createZOrdered(spark, root, pts,
+      "lon", "lat", zBits = 12, numBuckets = 32)
+    val (minLon, maxLon, minLat, maxLat) = (10.0, 40.0, 20.0, 45.0)
+    val got = t.readBbox(minLon, maxLon, minLat, maxLat)
+    // exact: equals the brute filter over the full table
+    val want = pts.filter(col("lon") >= minLon && col("lon") <= maxLon &&
+        col("lat") >= minLat && col("lat") <= maxLat)
+      .as[(Long, Double, Double)].collect().toSet
+    assert(got.select(col("id"), col("lon"), col("lat"))
+      .as[(Long, Double, Double)].collect().toSet === want)
+    assert(want.nonEmpty)
+    // pruned: the bbox scan reads strictly fewer files than a full read
+    val allFiles = t.read().inputFiles.length
+    val bboxFiles = got.inputFiles.length
+    assert(bboxFiles < allFiles,
+      s"no pruning: bbox read lists $bboxFiles of $allFiles files")
+    // empty box outside the domain -> empty frame, same schema, no scan
+    assert(t.readBbox(170.0, 171.0, 80.0, 81.0).count() === 0)
+    // layout survives a full-replace commit (still z-ordered + pruned)
+    t.commit(pts.filter(col("id") < 2048), "overwrite")
+    assert(t.readBbox(minLon, maxLon, minLat, maxLat).inputFiles.length <
+      t.read().inputFiles.length)
+    // merges are refused with a clear message (read-optimized layout)
+    val ex = intercept[IllegalArgumentException] {
+      t.mergeInto(Seq((1L, 0.0, 0.0)).toDF("id", "lon", "lat"), Seq("id"))
+    }
+    assert(ex.getMessage.contains("z-ordered"))
+  }
 }
 
 class LineageSpec extends SparkTestBase {
