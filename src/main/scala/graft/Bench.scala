@@ -55,7 +55,9 @@ object Bench {
     "q101_incremental_minhash", "q102_resample_gapfill", "q103_png_header",
     "q67b_hist_quantile", "q69b_cube", "q104_kv_explode",
     "q105_group_ols", "q106_mode", "q107_triangles", "q108_moving_avg",
-    "q109_dist_drift", "q107b_triangles_degree", "q110_incremental_simhash")
+    "q109_dist_drift", "q107b_triangles_degree", "q110_incremental_simhash",
+    "q113_segment_box_join", "q114_decimate_track", "q115_cooccurrence",
+    "q116_tile_terms")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e
@@ -126,6 +128,42 @@ object Bench {
         (col("lon") + (col("rep") % 16 - 8) * 2.37).as("lon"),
         (col("lat") + (col("rep") % 8 - 4) * 1.93).as("lat"))
 
+  /** Salt parameters for the e2e PIP join, derived from the replica
+    * stream's size instead of frozen constants (a different sf or
+    * factor would otherwise silently stop salting): a cell is hot when
+    * it holds more than 1/4096 of the whole point stream, so a ×salt
+    * split caps any shard at ~0.02% of the stream. Deliberately
+    * CORE-COUNT-INDEPENDENT — the scaling protocol compares the same
+    * plan at 2/8/32 cores, and a per-core threshold would change the
+    * salting (and the work) between levels. At the protocol's
+    * sf0.1×6400 this lands at the empirically validated ~50k (r3's
+    * frozen constant); at factor 100 it keeps firing where the frozen
+    * constant silently stopped. Memoized per dir — the first (untimed
+    * warm-up) call pays the base-table count. Env overrides keep the
+    * knobs. */
+  private val saltCache = scala.collection.mutable.Map[String, (Int, Long)]()
+  def e2eSaltParams(s: SparkSession, dir: String): (Int, Long) =
+    saltCache.getOrElseUpdate(dir, {
+      val salt = sys.env.get("SPARK_GRAFT_E2E_SALT").map(_.toInt).getOrElse(16)
+      val hot = sys.env.get("SPARK_GRAFT_E2E_HOT").map(_.toLong).getOrElse {
+        val n = SynthUniverse.points(s, dir).count() * E2eFactor
+        math.max(1000L, n / 4096L)
+      }
+      (salt, hot)
+    })
+
+  /** Ring-payload strategy of the e2e PIP join (see
+    * [[graft.spatial.SpatialJoin.pipJoin]]'s ringDict contract).
+    * Default "inline": measured fastest here at every core count (the
+    * synthetic rings are 5-point rectangles, so the dictionary's extra
+    * probe is pure CPU overhead with no byte savings to repay it —
+    * q30 inline 1.65 s vs broadcast 2.07 s at sf0.1; the factor-6400
+    * scaling run regressed ~20-30% at ALL of local[2/8/32] under
+    * broadcast). The dictionary's win regime is real polygon layers
+    * whose rings are hundreds of points, where inline drags ~10× more
+    * bytes per candidate through the cover shuffle. */
+  val E2eRingDict: String = sys.env.getOrElse("SPARK_GRAFT_RING_DICT", "inline")
+
   /** The full north-rule pipeline as ONE job: extract geo-entities →
     * partitioned+salted PIP join → raster tiles, PLUS the REAL
     * replication contract — the W1-deduped change batch applied by
@@ -136,8 +174,10 @@ object Bench {
     val pts = replicatedPoints(s, dir)
     val polys = SpatialJoin.polygons(
       SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+    val (salt, hot) = e2eSaltParams(s, dir)
     val pip = SpatialJoin.pipJoin(pts, polys, res = PipRes,
-      mode = "partitioned", salt = 16, hotThreshold = 50000L)
+      mode = "partitioned", salt = salt, hotThreshold = hot,
+      ringDict = E2eRingDict)
     val tiles = pip
       .withColumn("tile", graft.geo.GeoFunctions.cellAt(col("lon"), col("lat"), 5))
       .groupBy(col("tile")).agg(count(lit(1)).as("n"))
@@ -154,8 +194,10 @@ object Bench {
     val pts = replicatedPoints(s, dir)
     val polys = SpatialJoin.polygons(
       SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+    val (salt, hot) = e2eSaltParams(s, dir)
     val pip = SpatialJoin.pipJoin(pts, polys, res = PipRes,
-      mode = "partitioned", salt = 16, hotThreshold = 50000L)
+      mode = "partitioned", salt = salt, hotThreshold = hot,
+      ringDict = E2eRingDict)
     val tiles = pip
       .withColumn("tile", graft.geo.GeoFunctions.cellAt(col("lon"), col("lat"), 5))
       .groupBy(col("tile")).agg(count(lit(1)).as("n"))
@@ -171,8 +213,10 @@ object Bench {
     val pts = replicatedPoints(s, dir)
     val polys = SpatialJoin.polygons(
       SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+    val (salt, hot) = e2eSaltParams(s, dir)
     val pip = SpatialJoin.pipJoin(pts, polys, res = PipRes,
-      mode = "partitioned", salt = 16, hotThreshold = 50000L)
+      mode = "partitioned", salt = salt, hotThreshold = hot,
+      ringDict = E2eRingDict)
     val tiles = pip
       .withColumn("tile", graft.geo.GeoFunctions.cellAt(col("lon"), col("lat"), 5))
       .groupBy(col("tile")).agg(count(lit(1)).as("n"))

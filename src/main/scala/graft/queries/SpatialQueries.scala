@@ -58,7 +58,8 @@ object SpatialQueries {
         round(col("lon") * 1e7, 0).cast("long").as("lon_e7"),
         round(col("lat") * 1e7, 0).cast("long").as("lat_e7"))),
     "q30_pip_join" -> ((s, dir) =>
-      SpatialJoin.pipJoin(SynthUniverse.points(s, dir), polys(s, dir), PipRes)
+      SpatialJoin.pipJoin(SynthUniverse.points(s, dir), polys(s, dir), PipRes,
+          ringDict = "broadcast")
         .select(col("doc_id"), col("entity"), col("way_id"))),
     "q30b_pip_join_salted" -> ((s, dir) =>
       // identical output over the partitioned+salted path (north rule:
@@ -67,7 +68,8 @@ object SpatialQueries {
       // gazetteer hot cells here — the oracle then PROVES the salted
       // plan's output is exactly the unsalted join's output
       SpatialJoin.pipJoin(SynthUniverse.points(s, dir), polys(s, dir), PipRes,
-          mode = "partitioned", salt = 8, hotThreshold = 500L)
+          mode = "partitioned", salt = 8, hotThreshold = 500L,
+          ringDict = "broadcast")
         .select(col("doc_id"), col("entity"), col("way_id"))),
     "q31_knn" -> ((s, dir) =>
       SpatialJoin.knnBroadcast(SynthUniverse.points(s, dir), knnLayer(s, dir), 3)
@@ -87,7 +89,7 @@ object SpatialQueries {
       // in >=1 outer ring AND in no inner ring of the same relation
       SpatialJoin.pipJoinMulti(SynthUniverse.points(s, dir),
           relRings(s, dir).select(col("rel_id"), col("role"), col("xs"), col("ys")),
-          PipRes)
+          PipRes, ringDict = "broadcast")
         .select(col("doc_id"), col("entity"), col("rel_id"))),
     "q56b_multipolygon_salted" -> ((s, dir) =>
       // same output over the partitioned+salted candidate join — the
@@ -95,7 +97,8 @@ object SpatialQueries {
       // oracle proves output exactness (cf. q30b)
       SpatialJoin.pipJoinMulti(SynthUniverse.points(s, dir),
           relRings(s, dir).select(col("rel_id"), col("role"), col("xs"), col("ys")),
-          PipRes, mode = "partitioned", salt = 8, hotThreshold = 500L)
+          PipRes, mode = "partitioned", salt = 8, hotThreshold = 500L,
+          ringDict = "broadcast")
         .select(col("doc_id"), col("entity"), col("rel_id"))),
     "q72_multipolygon_evenodd" -> ((s, dir) =>
       // nesting-correct containment: ODD number of containing member
@@ -104,7 +107,7 @@ object SpatialQueries {
       // rectangles per (point, relation) and keeps odd counts
       SpatialJoin.pipJoinMultiEvenOdd(SynthUniverse.points(s, dir),
           relRings(s, dir).select(col("rel_id"), col("role"), col("xs"), col("ys")),
-          PipRes)
+          PipRes, ringDict = "broadcast")
         .select(col("doc_id"), col("entity"), col("rel_id"))),
     "q57_multipolygon_wkt" -> ((s, dir) => {
       // multipolygon geometry ASSEMBLY: outer ring first, holes in member
@@ -415,7 +418,91 @@ object SpatialQueries {
         .groupBy(col("tile"))
         .agg(count(lit(1)).as("n_polys"),
           array_join(sort_array(collect_list(col("way_id"))), ";").as("poly_ids"))),
+    "q113_segment_box_join" -> ((s, dir) => {
+      // trajectory-segment × polygon-bbox CROSSING join (which map
+      // features does each GPS step touch): cell-prefiltered bbox
+      // overlap via the responsible-cell dedup (no distinct), then an
+      // EXACT separating-axis refine — a segment meets an axis-aligned
+      // box iff the bboxes overlap AND the box's 4 corners are not all
+      // strictly on one side of the segment's line. Pure sign
+      // arithmetic (identical expression trees in both engines), never
+      // all-pairs; the candidate stream re-derives the endpoints from
+      // seg_id's closed form so only (id, 4 bbox scalars) ride the
+      // cell join.
+      val segs = Tables.events(s, dir).select(
+          col("event_id").as("id"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("px"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("py"),
+          ((col("event_id") * 31 % 200).cast("double") / 100.0 - 1.0).as("dx"),
+          ((col("event_id") * 37 % 200).cast("double") / 100.0 - 1.0).as("dy"))
+        .select(col("id"),
+          least(col("px"), col("px") + col("dx")).as("minx"),
+          least(col("py"), col("py") + col("dy")).as("miny"),
+          greatest(col("px"), col("px") + col("dx")).as("maxx"),
+          greatest(col("py"), col("py") + col("dy")).as("maxy"))
+      val boxes = SynthUniverse.ways(s, dir).select(col("way_id").as("id"),
+        col("x0").as("minx"), col("y0").as("miny"),
+        (col("x0") + col("w")).as("maxx"), (col("y0") + col("h")).as("maxy"))
+      val px = (col("seg_id") * 17 % 320000).cast("double") / 1000.0 - 160.0
+      val py = (col("seg_id") * 23 % 150000).cast("double") / 1000.0 - 75.0
+      val qx = px + ((col("seg_id") * 31 % 200).cast("double") / 100.0 - 1.0)
+      val qy = py + ((col("seg_id") * 37 % 200).cast("double") / 100.0 - 1.0)
+      def side(cx: Column, cy: Column): Column =
+        (qx - px) * (cy - py) - (qy - py) * (cx - px)
+      val ss = Seq(side(col("rminx"), col("rminy")), side(col("rmaxx"), col("rminy")),
+        side(col("rmaxx"), col("rmaxy")), side(col("rminx"), col("rmaxy")))
+      SpatialJoin.bboxOverlapJoin(segs, boxes, PipRes, idCol = "id",
+          leftId = "seg_id", rightId = "way_id")
+        .filter(least(ss: _*) <= 0 && greatest(ss: _*) >= 0)
+        .select(col("seg_id"), col("way_id"))
+    }),
+    "q114_decimate_track" -> ((s, dir) => {
+      // one-pass polyline decimation (Visvalingam-style effective
+      // area): a track vertex survives iff it is an endpoint or the
+      // doubled triangle area with its neighbors clears the threshold.
+      // ONE shuffle on user_id (the lag/lead window); everything else
+      // is codegen arithmetic — at 100 TB each user's track decimates
+      // independently inside its partition.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
+        .select(col("user_id"), col("event_id"), col("lon"), col("lat"),
+          lag(col("lon"), 1).over(w).as("plon"), lag(col("lat"), 1).over(w).as("plat"),
+          lead(col("lon"), 1).over(w).as("nlon"), lead(col("lat"), 1).over(w).as("nlat"))
+        .withColumn("area2_e7",
+          round(abs((col("lon") - col("plon")) * (col("nlat") - col("plat")) -
+            (col("lat") - col("plat")) * (col("nlon") - col("plon"))) * 1e7, 0)
+            .cast("long"))
+        .filter(col("plon").isNull || col("nlon").isNull ||
+          col("area2_e7") >= DecimateT)
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("area2_e7"), lit(-1L)).as("area2_e7"))
+    }),
+    "q116_tile_terms" -> ((s, dir) => {
+      // per-tile top-k terms ("what words cluster where" — the
+      // geo×text fusion view): tile+term counts map-side combine into
+      // one shuffle, the top-k window is partitioned BY TILE (never
+      // global), ties broken deterministically by term.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tile")).orderBy(col("n").desc, col("entity").asc)
+      SynthUniverse.points(s, dir)
+        .withColumn("tile", GeoFunctions.cellAt(col("lon"), col("lat"), TileRes))
+        .groupBy(col("tile"), col("entity")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+    }),
   )
+
+  /** q114's doubled-triangle-area keep threshold (area2_e7 units,
+    * i.e. 100 deg² of doubled area). The synthetic tracks are almost
+    * perfectly collinear (consecutive positions advance by a constant
+    * modular stride), so >90% of interior vertices carry area 0 —
+    * exactly what decimation drops; survivors are the modular-wrap
+    * corners (~2.5% of vertices at sf0.01) plus both endpoints of
+    * every track. */
+  val DecimateT = 1000000000L
 
   /** One oracle for both multipolygon paths — the salted plan must
     * reproduce the auto plan's rows exactly. */
@@ -577,6 +664,59 @@ object SpatialQueries {
          |SELECT ${GeoFunctions.cellAtSql("lon", "lat", TileRes - 1)} AS tile,
          |  COUNT(*) AS n_points
          |FROM points GROUP BY 1""".stripMargin,
+    // NB: seg bbox + SAT sides must be FLAT columns (CTE projections) —
+    // LEAST/GREATEST composed inside the join condition trips a DuckDB
+    // internal "flat vector" assertion.
+    "q113_segment_box_join" ->
+      s"""WITH ${SynthSql.waysCte},
+         |boxes AS (SELECT way_id, x0 AS bx0, y0 AS by0,
+         |  x0 + w AS bx1, y0 + h AS by1 FROM ways),
+         |seg0 AS (SELECT event_id AS seg_id,
+         |  CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS px,
+         |  CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS py
+         |  FROM events),
+         |seg1 AS (SELECT seg_id, px, py,
+         |  px + (CAST(seg_id*31 % 200 AS DOUBLE) / 100.0 - 1.0) AS qx,
+         |  py + (CAST(seg_id*37 % 200 AS DOUBLE) / 100.0 - 1.0) AS qy
+         |  FROM seg0),
+         |seg AS (SELECT seg_id, px, py, qx, qy,
+         |  LEAST(px, qx) AS sminx, GREATEST(px, qx) AS smaxx,
+         |  LEAST(py, qy) AS sminy, GREATEST(py, qy) AS smaxy FROM seg1),
+         |cand AS (
+         |  SELECT seg_id, way_id,
+         |    (s.qx - s.px)*(b.by0 - s.py) - (s.qy - s.py)*(b.bx0 - s.px) AS s1,
+         |    (s.qx - s.px)*(b.by0 - s.py) - (s.qy - s.py)*(b.bx1 - s.px) AS s2,
+         |    (s.qx - s.px)*(b.by1 - s.py) - (s.qy - s.py)*(b.bx1 - s.px) AS s3,
+         |    (s.qx - s.px)*(b.by1 - s.py) - (s.qy - s.py)*(b.bx0 - s.px) AS s4
+         |  FROM seg s JOIN boxes b
+         |    ON s.sminx <= b.bx1 AND b.bx0 <= s.smaxx
+         |   AND s.sminy <= b.by1 AND b.by0 <= s.smaxy)
+         |SELECT seg_id, way_id FROM cand
+         |WHERE LEAST(s1, s2, s3, s4) <= 0 AND GREATEST(s1, s2, s3, s4) >= 0""".stripMargin,
+    "q114_decimate_track" ->
+      s"""WITH pos AS (SELECT event_id, ts, user_id,
+         |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
+         |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
+         |  FROM events),
+         |n AS (SELECT user_id, event_id, lon, lat,
+         |    LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat,
+         |    LEAD(lon) OVER w AS nlon, LEAD(lat) OVER w AS nlat
+         |  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |a AS (SELECT user_id, event_id, plon, nlon,
+         |    CAST(ROUND(ABS((lon - plon)*(nlat - plat) - (lat - plat)*(nlon - plon))
+         |      * 10000000.0, 0) AS BIGINT) AS area2_e7 FROM n)
+         |SELECT user_id, event_id, COALESCE(area2_e7, -1) AS area2_e7
+         |FROM a WHERE plon IS NULL OR nlon IS NULL OR area2_e7 >= $DecimateT""".stripMargin,
+    "q116_tile_terms" ->
+      s"""WITH ${SynthSql.pointsCte},
+         |t AS (SELECT ${GeoFunctions.cellAtSql("lon", "lat", TileRes)} AS tile,
+         |    entity, COUNT(*) AS n
+         |  FROM points GROUP BY 1, 2)
+         |SELECT tile, entity, n, rank FROM (
+         |  SELECT tile, entity, n, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY tile ORDER BY n DESC, entity ASC) AS INT) AS rank
+         |  FROM t)
+         |WHERE rank <= 3""".stripMargin,
   ) ++ tileOracles
 
   /** One oracle for both kNN paths — the ring path must reproduce the

@@ -534,6 +534,29 @@ object TextQueries {
         .select(col("source"), col("doc_id"), col("h60"),
           col("rn").cast("long").as("rn"))
     }),
+    "q115_cooccurrence" -> ((s, dir) => {
+      // sliding-window token co-occurrence counts (the corpus
+      // statistic behind PMI tables / embedding training pairs): each
+      // position pairs with the next W tokens. Pair generation is a
+      // NARROW double-explode — no doc_id self-join, which would
+      // shuffle the token stream twice and go quadratic on long docs —
+      // and the only shuffle is the map-side-combined groupBy on the
+      // unordered (w1, w2) pair. The bounded vocabulary keeps the
+      // output small; at corpus scale a df cutoff drops stopword-grade
+      // pairs before the shuffle (q89's skew note applies verbatim).
+      val W = 3
+      Tables.documents(s, dir)
+        .select(tokens(col("text")).as("ts"))
+        .select(col("ts"), posexplode(col("ts")).as(Seq("p", "t1")))
+        .select(col("ts"), col("p"), col("t1"),
+          explode(sequence(lit(1), lit(W))).as("k"))
+        .filter(col("p") + col("k") + 1 <= size(col("ts")))
+        .select(col("t1"),
+          element_at(col("ts"), (col("p") + col("k") + 1).cast("int")).as("t2"))
+        .select(least(col("t1"), col("t2")).as("w1"),
+          greatest(col("t1"), col("t2")).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pairs"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -795,6 +818,16 @@ object TextQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
         |    ORDER BY h60, doc_id) AS rn FROM h)
         |WHERE rn <= 5""".stripMargin,
+    "q115_cooccurrence" ->
+      """WITH d AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS ts FROM documents),
+        |pr AS (
+        |  SELECT LEAST(ts[p], ts[p+k]) AS w1, GREATEST(ts[p], ts[p+k]) AS w2
+        |  FROM d,
+        |    LATERAL unnest(generate_series(1, len(ts))) AS tp(p),
+        |    LATERAL unnest(generate_series(1, 3)) AS tk(k)
+        |  WHERE p + k <= len(ts))
+        |SELECT w1, w2, COUNT(*) AS n_pairs FROM pr GROUP BY 1, 2""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =

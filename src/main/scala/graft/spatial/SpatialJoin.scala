@@ -155,21 +155,66 @@ object SpatialJoin {
     }
   }
 
+  /** Join the bbox-surviving candidate stream to a ring dictionary and
+    * run the native refine. The dictionary holds each ring ONCE — the
+    * candidate stream never carries ring arrays (see [[pipJoin]]'s
+    * ringDict contract). */
+  private def refineViaDict(cand: DataFrame, dict: DataFrame,
+      dictKey: Seq[String], ringDict: String): DataFrame = {
+    val dictSide = if (ringDict == "broadcast") broadcast(dict)
+      else dict.hint("shuffle_hash")
+    cand.join(dictSide, dictKey)
+      .filter(PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
+      .drop("cell", "xs", "ys", "minx", "maxx", "miny", "maxy", "__rk")
+  }
+
+  /** Valid `ringDict` strategies of [[pipJoin]] / [[pipJoinMulti]] /
+    * [[pipJoinMultiEvenOdd]]:
+    *
+    *  - "inline": the classic single join — ring arrays ride the
+    *    exploded cover (one copy per covering cell) and the refine runs
+    *    inside the cell join's stage. No second join; the right default
+    *    when the polygon layer's size is unknown.
+    *  - "broadcast": the cell join is SLIM — only (cell, id, 4 bbox
+    *    scalars) enter its build side, so every candidate probe reads a
+    *    ~1-cache-line row instead of one dragging ring arrays; bbox
+    *    survivors (typically a third of candidates) then probe a
+    *    BROADCAST (id -> ring) dictionary holding each ring exactly
+    *    once, and the refine fuses into the same stage — ZERO extra
+    *    exchange. The choice for layers that fit executor memory
+    *    (every layer in this repo's bench; a planet-scale OSM polygon
+    *    layer at ~10^7 rings x ~200 B still fits).
+    *  - "shuffle": slim cell join + SHUFFLED dictionary join — for
+    *    layers past broadcast size. Pays one extra exchange of the
+    *    bbox-surviving candidates (slim rows), in return for never
+    *    replicating ring arrays per covering cell through the cover
+    *    shuffle.
+    */
+  private val RingDictModes = Set("inline", "broadcast", "shuffle")
+
   def pipJoin(points: DataFrame, polys: DataFrame, res: Int,
       mode: String = "auto", salt: Int = 1,
-      hotThreshold: Long = 2000000L): DataFrame = {
-    // bbox columns ride along as 4 scalars: the refine first rejects on
-    // them (fixed-width reads only) and dereferences the ring arrays'
-    // variable-length bytes ONLY for bbox-passing candidates — at ~80
-    // candidates vs ~27 matches per point the array bytes dominate the
-    // join's memory traffic, which is the single-box scaling ceiling.
-    val cover = coverWithBbox(polys, res)
+      hotThreshold: Long = 2000000L, ringDict: String = "inline"): DataFrame = {
+    require(RingDictModes(ringDict), s"ringDict must be inline|broadcast|shuffle, got '$ringDict'")
     val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
-    cellJoin(pts, cover, mode, salt, hotThreshold)
-      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
-        col("lat") >= col("miny") && col("lat") <= col("maxy") &&
-        PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
-      .drop("cell", "xs", "ys", "minx", "maxx", "miny", "maxy")
+    if (ringDict == "inline") {
+      // bbox columns ride along as 4 scalars: the refine first rejects
+      // on them (fixed-width reads only) and dereferences the ring
+      // arrays' variable-length bytes ONLY for bbox-passing candidates.
+      val cover = coverWithBbox(polys, res)
+      cellJoin(pts, cover, mode, salt, hotThreshold)
+        .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy") &&
+          PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
+        .drop("cell", "xs", "ys", "minx", "maxx", "miny", "maxy")
+    } else {
+      val cover = coverWithBbox(polys, res).drop("xs", "ys")
+      val cand = cellJoin(pts, cover, mode, salt, hotThreshold)
+        .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      refineViaDict(cand, polys.select(col("way_id"), col("xs"), col("ys")),
+        Seq("way_id"), ringDict)
+    }
   }
 
   /** Multipolygon (holes-aware) PIP join — the area semantics the
@@ -197,18 +242,48 @@ object SpatialJoin {
   def pipJoinMulti(points: DataFrame, rings: DataFrame, res: Int,
       keyCols: Seq[String] = Seq("doc_id", "entity"),
       mode: String = "auto", salt: Int = 1,
-      hotThreshold: Long = 2000000L): DataFrame = {
-    val cover = coverWithBbox(rings, res)
-    val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
-    cellJoin(pts, cover, mode, salt, hotThreshold)
-      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
-        col("lat") >= col("miny") && col("lat") <= col("maxy") &&
-        PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
+      hotThreshold: Long = 2000000L, ringDict: String = "inline"): DataFrame = {
+    multiRefined(points, rings, res, mode, salt, hotThreshold, ringDict)
       .groupBy(keyCols.map(col) :+ col("rel_id"): _*)
       .agg(max(when(col("role") === "outer", 1).otherwise(0)).as("o_hit"),
         max(when(col("role") =!= "outer", 1).otherwise(0)).as("i_hit"))
       .filter(col("o_hit") === 1 && col("i_hit") === 0)
       .drop("o_hit", "i_hit")
+  }
+
+  /** Shared slim-candidate generation of the multipolygon joins:
+    * (rel_id, role) does not identify a RING (a relation may carry
+    * several outers), so the ring dictionary keys on
+    * `__rk = xxhash64(rel_id, role, xs, ys)` — a pure function of row
+    * content, so the cover plan and the dictionary plan derive
+    * identical keys independently. Byte-identical duplicate rings
+    * share a key by design (the dictionary dedups; each duplicate's
+    * own cover row preserves its hit multiplicity). Two DISTINCT rings
+    * of one (relation, role) colliding on the 64-bit hash would
+    * mis-pair — probability ~2^-64 per same-role ring pair,
+    * documented trade for keeping arrays out of the candidate
+    * exchange. */
+  private def multiRefined(points: DataFrame, rings: DataFrame, res: Int,
+      mode: String, salt: Int, hotThreshold: Long, ringDict: String): DataFrame = {
+    require(RingDictModes(ringDict), s"ringDict must be inline|broadcast|shuffle, got '$ringDict'")
+    val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
+    if (ringDict == "inline") {
+      val cover = coverWithBbox(rings, res)
+      cellJoin(pts, cover, mode, salt, hotThreshold)
+        .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy") &&
+          PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
+    } else {
+      val ringsK = rings.withColumn("__rk",
+        xxhash64(col("rel_id"), col("role"), col("xs"), col("ys")))
+      val cover = coverWithBbox(ringsK, res).drop("xs", "ys")
+      val cand = cellJoin(pts, cover, mode, salt, hotThreshold)
+        .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      refineViaDict(cand,
+        ringsK.select(col("__rk"), col("xs"), col("ys")).dropDuplicates("__rk"),
+        Seq("__rk"), ringDict)
+    }
   }
 
   /** Even-odd multipolygon containment — the NESTING-correct variant
@@ -229,13 +304,8 @@ object SpatialJoin {
   def pipJoinMultiEvenOdd(points: DataFrame, rings: DataFrame, res: Int,
       keyCols: Seq[String] = Seq("doc_id", "entity"),
       mode: String = "auto", salt: Int = 1,
-      hotThreshold: Long = 2000000L): DataFrame = {
-    val cover = coverWithBbox(rings, res)
-    val pts = points.withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), res))
-    cellJoin(pts, cover, mode, salt, hotThreshold)
-      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
-        col("lat") >= col("miny") && col("lat") <= col("maxy") &&
-        PointInRingExpr.pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
+      hotThreshold: Long = 2000000L, ringDict: String = "inline"): DataFrame = {
+    multiRefined(points, rings, res, mode, salt, hotThreshold, ringDict)
       .groupBy(keyCols.map(col) :+ col("rel_id"): _*)
       .agg(count(lit(1)).as("__hits"))
       .filter(pmod(col("__hits"), lit(2)) === 1)

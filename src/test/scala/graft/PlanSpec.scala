@@ -123,6 +123,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q113 segment crossing join stays a cell equi-join, q115/q116 stay partitioned") {
+    // q113 must prefilter on the cover cell (equi-join), never brute
+    // bbox-pair; q115's pair generation must be join-free (narrow
+    // double explode); q116's top-k window must partition by tile
+    val p113 = formatted(SparkEntry.queries("q113_segment_box_join")(spark, sfSmoke))
+    assert(!p113.contains("CartesianProduct"), "q113 plans a cross product")
+    Bench.clearState(spark)
+    val p115 = formatted(SparkEntry.queries("q115_cooccurrence")(spark, sfSmoke))
+    assert(!p115.contains("Join"), "q115 pair generation must not join")
+    Bench.clearState(spark)
+    val df116 = SparkEntry.queries("q116_tile_terms")(spark, sfSmoke)
+    val winSpecs = df116.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.nonEmpty),
+      "q116's top-k window must be partitioned by tile")
+    Bench.clearState(spark)
+  }
+
   test("q09b top-k carries at most k rows per group through the exchange") {
     // the partial aggregate must run BEFORE the shuffle (that is the
     // entire point vs the window formulation)
