@@ -493,7 +493,98 @@ object SpatialQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
     }),
+    "q117_distance_within" -> ((s, dir) => {
+      // within-distance spatial join (every polygon centroid within R
+      // of each geo-entity point — the "POIs near this mention" view):
+      // the centroid layer covers its R-disc BBOX cells once; each
+      // point probes its OWN single cell, so the cell equi-join is
+      // duplicate-free by construction (no distinct, no
+      // responsible-corner dance) and the exact d2 refine is pure
+      // codegen arithmetic. At 100 TB both sides shuffle on cell and
+      // candidates/point are bounded by layer density × (R + cell)² —
+      // never all-pairs.
+      val r = DistR
+      val cover = centroids(s, dir).select(col("way_id"), col("cx"), col("cy"),
+        explode(org.apache.spark.sql.GraftSqlShim.column(
+          graft.spatial.CoverCellsExpr(
+            org.apache.spark.sql.GraftSqlShim.expression(array(
+              col("cx") - r, col("cx") + r, col("cx") + r, col("cx") - r)),
+            org.apache.spark.sql.GraftSqlShim.expression(array(
+              col("cy") - r, col("cy") - r, col("cy") + r, col("cy") + r)),
+            PipRes))).as("cell"))
+      val d2 = (col("lon") - col("cx")) * (col("lon") - col("cx")) +
+        (col("lat") - col("cy")) * (col("lat") - col("cy"))
+      SynthUniverse.points(s, dir)
+        .withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), PipRes))
+        .join(cover, "cell")
+        .filter(d2 <= lit(r * r))
+        .select(col("doc_id"), col("entity"), col("way_id"),
+          round(d2 * 1e9, 0).cast("long").as("d2_e9"))
+    }),
+    "q118_map_match" -> ((s, dir) => {
+      // map-matching: each geo-entity point snaps to its NEAREST
+      // trajectory segment within gating radius R (points with no
+      // segment in range stay unmatched and drop). Candidates come
+      // from the segments' R-expanded-bbox cell cover joined to the
+      // point's single cell (a superset of the R-disc by the triangle
+      // inequality), the exact point-to-segment d2 refine is clamped
+      // projection arithmetic (identical expression trees in both
+      // engines), and the argmin window partitions BY POINT — never a
+      // global sort, never all-pairs.
+      val r = MatchR
+      // road-segment layer: coprime scatter strides (7919/6101) fill
+      // the whole plane — unlike q113's trajectory steps, whose line
+      // family never comes near the gazetteer clusters
+      val segs = Tables.events(s, dir).select(
+          col("event_id").as("seg_id"),
+          ((col("event_id") * 7919 % 320000).cast("double") / 1000.0 - 160.0).as("px"),
+          ((col("event_id") * 6101 % 150000).cast("double") / 1000.0 - 75.0).as("py"),
+          ((col("event_id") * 31 % 200).cast("double") / 100.0 - 1.0).as("dx"),
+          ((col("event_id") * 37 % 200).cast("double") / 100.0 - 1.0).as("dy"))
+        .select(col("seg_id"), col("px"), col("py"),
+          (col("px") + col("dx")).as("qx"), (col("py") + col("dy")).as("qy"))
+      val cover = segs.select(col("seg_id"), col("px"), col("py"), col("qx"), col("qy"),
+        explode(org.apache.spark.sql.GraftSqlShim.column(
+          graft.spatial.CoverCellsExpr(
+            org.apache.spark.sql.GraftSqlShim.expression(array(
+              least(col("px"), col("qx")) - r, greatest(col("px"), col("qx")) + r,
+              greatest(col("px"), col("qx")) + r, least(col("px"), col("qx")) - r)),
+            org.apache.spark.sql.GraftSqlShim.expression(array(
+              least(col("py"), col("qy")) - r, least(col("py"), col("qy")) - r,
+              greatest(col("py"), col("qy")) + r, greatest(col("py"), col("qy")) + r)),
+            PipRes))).as("cell"))
+      val abx = col("qx") - col("px")
+      val aby = col("qy") - col("py")
+      val dot = (col("lon") - col("px")) * abx + (col("lat") - col("py")) * aby
+      val len2 = abx * abx + aby * aby
+      val t = when(len2 === 0.0, lit(0.0))
+        .otherwise(least(greatest(dot / len2, lit(0.0)), lit(1.0)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("entity"))
+        .orderBy(col("d2").asc, col("seg_id").asc)
+      SynthUniverse.points(s, dir)
+        .withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), PipRes))
+        .join(cover, "cell")
+        .withColumn("d2",
+          (col("lon") - (col("px") + t * abx)) * (col("lon") - (col("px") + t * abx)) +
+          (col("lat") - (col("py") + t * aby)) * (col("lat") - (col("py") + t * aby)))
+        .filter(col("d2") <= lit(r * r))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("doc_id"), col("entity"), col("seg_id"),
+          round(col("d2") * 1e9, 0).cast("long").as("d2_e9"))
+    }),
   )
+
+  /** q117's within-join radius (degrees): ~1 centroid match per point
+    * at the synthetic layer's density. */
+  val DistR = 1.0
+
+  /** q118's map-matching gating radius (degrees): a handful of
+    * candidate segments per point at the synthetic road density (every
+    * point finds a match at sf0.01; the gating drop is exercised by
+    * the out-of-radius candidates the refine discards). */
+  val MatchR = 2.0
 
   /** q114's doubled-triangle-area keep threshold (area2_e7 units,
     * i.e. 100 deg² of doubled area). The synthetic tracks are almost
@@ -693,6 +784,56 @@ object SpatialQueries {
          |   AND s.sminy <= b.by1 AND b.by0 <= s.smaxy)
          |SELECT seg_id, way_id FROM cand
          |WHERE LEAST(s1, s2, s3, s4) <= 0 AND GREATEST(s1, s2, s3, s4) >= 0""".stripMargin,
+    "q117_distance_within" ->
+      s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte},
+         |cents AS (
+         |  SELECT way_id, (x0 + (x0 + w)) / 2.0 AS cx, (y0 + (y0 + h)) / 2.0 AS cy
+         |  FROM ways),
+         |cand AS (
+         |  SELECT p.doc_id, p.entity, c.way_id,
+         |    (p.lon - c.cx)*(p.lon - c.cx) + (p.lat - c.cy)*(p.lat - c.cy) AS d2
+         |  FROM points p JOIN cents c
+         |    ON p.lon BETWEEN c.cx - $DistR AND c.cx + $DistR
+         |   AND p.lat BETWEEN c.cy - $DistR AND c.cy + $DistR)
+         |SELECT doc_id, entity, way_id,
+         |  CAST(ROUND(d2*1000000000,0) AS BIGINT) AS d2_e9
+         |FROM cand WHERE d2 <= ${DistR * DistR}""".stripMargin,
+    // point-to-segment projection stays in FLAT CTE projections (the
+    // same DuckDB flat-vector caveat as q113's SAT sides)
+    "q118_map_match" ->
+      s"""WITH ${SynthSql.pointsCte},
+         |seg0 AS (SELECT event_id AS seg_id,
+         |  CAST(event_id*7919 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS px,
+         |  CAST(event_id*6101 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS py
+         |  FROM events),
+         |seg AS (SELECT seg_id, px, py,
+         |  px + (CAST(seg_id*31 % 200 AS DOUBLE) / 100.0 - 1.0) AS qx,
+         |  py + (CAST(seg_id*37 % 200 AS DOUBLE) / 100.0 - 1.0) AS qy
+         |  FROM seg0),
+         |sb AS (SELECT seg_id, px, py, qx, qy,
+         |  LEAST(px, qx) AS minx, GREATEST(px, qx) AS maxx,
+         |  LEAST(py, qy) AS miny, GREATEST(py, qy) AS maxy FROM seg),
+         |cand AS (
+         |  SELECT p.doc_id, p.entity, p.lon, p.lat, s.seg_id, s.px, s.py,
+         |    s.qx - s.px AS abx, s.qy - s.py AS aby,
+         |    (p.lon - s.px)*(s.qx - s.px) + (p.lat - s.py)*(s.qy - s.py) AS dot,
+         |    (s.qx - s.px)*(s.qx - s.px) + (s.qy - s.py)*(s.qy - s.py) AS len2
+         |  FROM points p JOIN sb s
+         |    ON p.lon BETWEEN s.minx - $MatchR AND s.maxx + $MatchR
+         |   AND p.lat BETWEEN s.miny - $MatchR AND s.maxy + $MatchR),
+         |tt AS (SELECT doc_id, entity, lon, lat, seg_id, px, py, abx, aby,
+         |  CASE WHEN len2 = 0.0 THEN 0.0
+         |       ELSE LEAST(GREATEST(dot/len2, 0.0), 1.0) END AS t
+         |  FROM cand),
+         |dd AS (SELECT doc_id, entity, seg_id,
+         |  (lon - (px + t*abx))*(lon - (px + t*abx)) +
+         |  (lat - (py + t*aby))*(lat - (py + t*aby)) AS d2 FROM tt)
+         |SELECT doc_id, entity, seg_id,
+         |  CAST(ROUND(d2*1000000000,0) AS BIGINT) AS d2_e9
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, entity
+         |        ORDER BY d2 ASC, seg_id ASC) AS rank
+         |      FROM dd WHERE d2 <= ${MatchR * MatchR})
+         |WHERE rank = 1""".stripMargin,
     "q114_decimate_track" ->
       s"""WITH pos AS (SELECT event_id, ts, user_id,
          |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,

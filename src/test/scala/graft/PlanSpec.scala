@@ -142,6 +142,24 @@ class PlanSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
+  test("q117/q118 stay cell equi-joins with point-partitioned argmin") {
+    // the within-distance join and the map-matcher must prefilter on
+    // the cover cell (equi-join, never brute all-pairs), and q118's
+    // nearest-segment argmin window must partition by the point key
+    val p117 = formatted(SparkEntry.queries("q117_distance_within")(spark, sfSmoke))
+    assert(!p117.contains("CartesianProduct"), "q117 plans a cross product")
+    Bench.clearState(spark)
+    val df118 = SparkEntry.queries("q118_map_match")(spark, sfSmoke)
+    val p118 = formatted(df118)
+    assert(!p118.contains("CartesianProduct"), "q118 plans a cross product")
+    val winSpecs = df118.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.nonEmpty),
+      "q118's argmin window must be partitioned by the point key")
+    Bench.clearState(spark)
+  }
+
   test("q09b top-k carries at most k rows per group through the exchange") {
     // the partial aggregate must run BEFORE the shuffle (that is the
     // entire point vs the window formulation)
