@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected components via the alternating LARGE-STAR / SMALL-STAR
+  * recurrence (the standard MapReduce CC algorithm) — the 100 TB path
+  * for HIGH-DIAMETER graphs.
+  *
+  * Each round is two per-node min computations (one shuffle each, no
+  * join) and the edge set converges to stars in O(log n) rounds on ANY
+  * topology; min-label propagation (q49's plan) needs O(component
+  * diameter) join rounds instead — a 10^4-long chain of near-dups
+  * would need 10^4 rounds there, ~14 here ([[ConnectedComponentsSpec]]
+  * proves the bound on a planted chain). Per-node mins use a
+  * whole-partition window, so a hub's neighborhood never materializes
+  * as a single collect_list row.
+  *
+  * Reference semantics: cluster id = component-min node id, the same
+  * contract as q49's label propagation and the recursive-CTE oracle.
+  */
+object ConnectedComponents {
+
+  /** @param pairs two columns (u, v) of undirected edges (self-loops
+    *              ignored); any additional columns are dropped
+    * @return (labels(doc_id, cluster_id), rounds taken)
+    */
+  def alternatingStar(pairs: DataFrame, maxRounds: Int = 30): (DataFrame, Int) = {
+    var edges = pairs.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct().cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      // LARGE-STAR: symmetrize; every neighbor v > u attaches to
+      // m = min(Γ(u) ∪ {u})
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val wU = Window.partitionBy(col("u"))
+      val large = sym
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // SMALL-STAR: orient toward the smaller endpoint; every small
+      // neighbor AND u itself attach to m = min(N(u) ∪ {u})
+      val oriented = large.distinct()
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+      val withM = oriented.withColumn("m", min(col("v")).over(wU))
+      val step = withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // localCheckpoint every 3rd round keeps the iterated plan bounded
+      val next = if (iter % 3 == 2) step.localCheckpoint() else step.cache()
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges.unpersist()
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"alternating star did not converge within $maxRounds rounds")
+    // the fixpoint must be star-shaped (no node is both a leaf and a
+    // center) — anything else would silently mislabel a component
+    if (!edges.select(col("v")).distinct()
+        .join(edges.select(col("u")), col("v") === col("u"), "left_semi")
+        .isEmpty)
+      throw new IllegalStateException("alternating-star fixpoint is not star-shaped")
+    // fixpoint = stars: every leaf points at its component min; the
+    // centers label themselves
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id"))
+        .distinct())
+    (labels, iter)
+  }
+}

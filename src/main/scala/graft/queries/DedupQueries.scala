@@ -189,6 +189,14 @@ object DedupQueries {
           s"q49 label propagation did not converge within $maxIter iterations")
       lbl.select(col("doc_id"), col("lbl").as("cluster_id"))
     }),
+    "q119_cc_alternating_star" -> ((s, dir) =>
+      // Connected components via alternating LARGE-STAR / SMALL-STAR
+      // over the same LSH near-dup edges as q49 — the 100 TB path for
+      // HIGH-DIAMETER graphs (O(log n) rounds vs q49's O(diameter);
+      // see [[graft.operators.ConnectedComponents]]). Output contract
+      // and oracle are exactly q49's: one truth, two algorithms.
+      graft.operators.ConnectedComponents.alternatingStar(
+        lshPairs(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))._1),
     "q14_simhash" -> ((s, dir) =>
       simhashOf(Tables.documents(s, dir))),
     "q110_incremental_simhash" -> ((s, dir) => {
@@ -321,6 +329,23 @@ object DedupQueries {
 
   private val lshCtes: String = lshCtesFrom("documents")
 
+  /** Connected-components truth (recursive reachability + per-node
+    * min): shared by q49 (label propagation) and q119 (alternating
+    * star) — both plans must emit the identical clustering. */
+  private lazy val ccOracle: String =
+      s"""WITH RECURSIVE $lshCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |  UNION SELECT id_a, id_a FROM pairs
+         |  UNION SELECT id_b, id_b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q11_exact_dedup" ->
       """WITH du AS (
@@ -354,19 +379,10 @@ object DedupQueries {
          |  FROM documents WHERE doc_id % 13 <> 5),
          |${lshCtesFrom("final")}
          |SELECT id_a, id_b, jaccard_ppm FROM pairs""".stripMargin,
-    "q49_neardup_clusters" ->
-      s"""WITH RECURSIVE $lshCtes,
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs
-         |  UNION SELECT id_a, id_a FROM pairs
-         |  UNION SELECT id_b, id_b FROM pairs
-         |), reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |)
-         |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
+    "q49_neardup_clusters" -> ccOracle,
+    // the alternating-star plan must produce EXACTLY the label-
+    // propagation plan's clustering — one truth, two algorithms
+    "q119_cc_alternating_star" -> ccOracle,
     "q110_incremental_simhash" ->
       s"""WITH final AS (
          |  SELECT doc_id,
