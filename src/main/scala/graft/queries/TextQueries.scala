@@ -86,6 +86,39 @@ object TextQueries {
         col("doc_id"),
         rollingFingerprint(tokens(col("text"))).as("fingerprint"))
     }),
+    "q120_bigram_novelty" -> ((s, dir) => {
+      // corpus-novelty quality signal: the share of a doc's bigrams
+      // appearing in NO other document (df = 1) — boilerplate scores
+      // near zero, fresh content (or noise) scores high. ONE explode;
+      // the bigram document-frequency aggregate is map-side combined;
+      // the join back on the bigram key tolerates hot template bigrams
+      // because its output collapses straight into the per-doc count.
+      // All counts are exact integers (basis points via integer
+      // division) — no FP drift between engines.
+      val bi = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(ngrams(col("ts"), 2)).as("bg"))
+      val dfreq = bi.groupBy(col("bg"))
+        .agg(countDistinct(col("doc_id")).as("dfreq"))
+      bi.join(dfreq, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("dfreq") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+          expr("n_novel * 10000 div n_bigrams").as("novel_bp"))
+    }),
+    "q121_stratified_split" -> ((s, dir) => {
+      // deterministic stratified train/val/test assignment (80/10/10):
+      // a stable content hash buckets every doc 0..99 — no RNG, no
+      // shuffle, no count pre-pass; the split is a pure map over the
+      // scan, reproducible across engines and reruns, and per-source
+      // proportions follow because the hash is independent of source.
+      import graft.text.TextFunctions.hash60
+      val h = pmod(hash60(concat(lit("split:"), col("doc_id"))), lit(100L))
+      Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+    }),
     "q61_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: flag training docs sharing an exact
       // n-gram with the held-out set (doc_id % 11 here; n=3 suits this
@@ -641,6 +674,30 @@ object TextQueries {
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 11 <> 0
         |GROUP BY 1""".stripMargin,
+    "q120_bigram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ')
+        |                         for i in range(1, len(ts))]) AS bg
+        |  FROM toks WHERE len(ts) >= 2
+        |),
+        |df AS (SELECT bg, COUNT(DISTINCT doc_id) AS dfreq FROM bg GROUP BY bg)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) * 10000
+        |    // COUNT(*) AS BIGINT) AS novel_bp
+        |FROM bg b JOIN df ON b.bg = df.bg
+        |GROUP BY b.doc_id""".stripMargin,
+    "q121_stratified_split" ->
+      """SELECT source, doc_id,
+        |  CASE WHEN CAST('0x' || substr(md5('split:' || doc_id),1,15) AS BIGINT)
+        |         % 100 < 80 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5('split:' || doc_id),1,15) AS BIGINT)
+        |         % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "q77_mixture_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
