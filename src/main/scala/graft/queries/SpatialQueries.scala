@@ -493,6 +493,66 @@ object SpatialQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
     }),
+    "q122_od_matrix" -> ((s, dir) => {
+      // origin-destination tile flows: each user's trajectory collapses
+      // to (first tile, last tile) and the matrix counts users per OD
+      // pair — ONE shuffle on user_id (both row_number windows share
+      // the exchange), then a map-side-combined count on the tile pair.
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      val tile = GeoFunctions.cellAt(col("lon"), col("lat"), TileRes)
+      Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
+        .withColumn("ra", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+        .filter(col("ra") === 1 || col("rd") === 1)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("ra") === 1, tile)).as("otile"),
+          max(when(col("rd") === 1, tile)).as("dtile"))
+        .groupBy(col("otile"), col("dtile"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    "q123_geofence_transitions" -> ((s, dir) => {
+      // geofence ENTER/EXIT detection: per user, consecutive trajectory
+      // points form a step; a transition against fence F means
+      // containment flips between the step's endpoints. Candidates come
+      // from the fence cover equi-joined on the endpoints' (<= 2
+      // distinct) cells — a flipping step always has its inside
+      // endpoint's cell covered, so no transition can be missed — and
+      // the boundary-inclusive codegen PIP refines both endpoints in
+      // one pass. distinct() collapses the both-endpoint-cells-hit
+      // duplicate (bounded at 2 rows per transition).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val steps = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .filter(col("plon").isNotNull)
+      val cand = steps.select(col("user_id"), col("event_id"),
+        col("lon"), col("lat"), col("plon"), col("plat"),
+        explode(array_distinct(array(
+          GeoFunctions.cellAt(col("lon"), col("lat"), PipRes),
+          GeoFunctions.cellAt(col("plon"), col("plat"), PipRes)))).as("cell"))
+      val cover = polys(s, dir).select(col("way_id"), col("xs"), col("ys"),
+        explode(org.apache.spark.sql.GraftSqlShim.column(
+          graft.spatial.CoverCellsExpr(
+            org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("ys")), PipRes)))
+          .as("cell"))
+      import graft.spatial.PointInRingExpr.pipContains
+      cand.join(cover, "cell")
+        .withColumn("ins_prev", pipContains(col("xs"), col("ys"), col("plon"), col("plat")))
+        .withColumn("ins_curr", pipContains(col("xs"), col("ys"), col("lon"), col("lat")))
+        .filter(col("ins_prev") =!= col("ins_curr"))
+        .select(col("user_id"), col("event_id"), col("way_id"),
+          when(col("ins_curr"), "enter").otherwise("exit").as("direction"))
+        .distinct()
+    }),
     "q117_distance_within" -> ((s, dir) => {
       // within-distance spatial join (every polygon centroid within R
       // of each geo-entity point — the "POIs near this mention" view):
@@ -784,6 +844,48 @@ object SpatialQueries {
          |   AND s.sminy <= b.by1 AND b.by0 <= s.smaxy)
          |SELECT seg_id, way_id FROM cand
          |WHERE LEAST(s1, s2, s3, s4) <= 0 AND GREATEST(s1, s2, s3, s4) >= 0""".stripMargin,
+    "q122_od_matrix" ->
+      s"""WITH pos AS (SELECT event_id, ts, user_id,
+         |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
+         |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
+         |  FROM events),
+         |r AS (SELECT user_id, lon, lat,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ts ASC, event_id ASC) AS ra,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rd
+         |  FROM pos),
+         |od AS (SELECT user_id,
+         |    MAX(CASE WHEN ra = 1
+         |      THEN ${GeoFunctions.cellAtSql("lon", "lat", TileRes)} END) AS otile,
+         |    MAX(CASE WHEN rd = 1
+         |      THEN ${GeoFunctions.cellAtSql("lon", "lat", TileRes)} END) AS dtile
+         |  FROM r WHERE ra = 1 OR rd = 1 GROUP BY user_id)
+         |SELECT otile, dtile, COUNT(*) AS n_users FROM od GROUP BY 1, 2""".stripMargin,
+    "q123_geofence_transitions" ->
+      s"""WITH ${SynthSql.waysCte},
+         |pos AS (SELECT event_id, ts, user_id,
+         |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
+         |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
+         |  FROM events),
+         |steps0 AS (SELECT user_id, event_id, lon, lat,
+         |    LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+         |  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |steps AS (SELECT user_id, event_id, lon, lat, plon, plat,
+         |    LEAST(lon, plon) AS sminx, GREATEST(lon, plon) AS smaxx,
+         |    LEAST(lat, plat) AS sminy, GREATEST(lat, plat) AS smaxy
+         |  FROM steps0 WHERE plon IS NOT NULL),
+         |cand AS (SELECT s.user_id, s.event_id, w.way_id,
+         |    (s.plon BETWEEN w.x0 AND w.x0 + w.w
+         |      AND s.plat BETWEEN w.y0 AND w.y0 + w.h) AS ins_prev,
+         |    (s.lon BETWEEN w.x0 AND w.x0 + w.w
+         |      AND s.lat BETWEEN w.y0 AND w.y0 + w.h) AS ins_curr
+         |  FROM steps s JOIN ways w
+         |    ON s.sminx <= w.x0 + w.w AND s.smaxx >= w.x0
+         |   AND s.sminy <= w.y0 + w.h AND s.smaxy >= w.y0)
+         |SELECT user_id, event_id, way_id,
+         |  CASE WHEN ins_curr THEN 'enter' ELSE 'exit' END AS direction
+         |FROM cand WHERE ins_prev <> ins_curr""".stripMargin,
     "q117_distance_within" ->
       s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte},
          |cents AS (
