@@ -57,7 +57,10 @@ object Bench {
     "q105_group_ols", "q106_mode", "q107_triangles", "q108_moving_avg",
     "q109_dist_drift", "q107b_triangles_degree", "q110_incremental_simhash",
     "q113_segment_box_join", "q114_decimate_track", "q115_cooccurrence",
-    "q116_tile_terms")
+    "q116_tile_terms", "q117_distance_within", "q118_map_match",
+    "q119_cc_alternating_star", "q120_bigram_novelty",
+    "q121_stratified_split", "q122_od_matrix", "q123_geofence_transitions",
+    "q124_incremental_clusters")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -27,8 +27,16 @@ object ConnectedComponents {
     * @return (labels(doc_id, cluster_id), rounds taken)
     */
   def alternatingStar(pairs: DataFrame, maxRounds: Int = 30): (DataFrame, Int) = {
+    // localCheckpoint (not cache) at the input boundary and EVERY
+    // round: each round's plan references `edges` four times, so
+    // without plan TRUNCATION the logical tree grows 4^rounds on top
+    // of whatever DAG produced the input (q124 feeds the full
+    // incremental-LSH DAG here) — Catalyst plan stringification alone
+    // then OOMs. Checkpointing bounds every round's plan at a constant
+    // over a LogicalRDD leaf; the materialization per round is the
+    // edge set the round computes anyway.
     var edges = pairs.select(col("u"), col("v"))
-      .filter(col("u") =!= col("v")).distinct().cache()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxRounds) {
@@ -52,8 +60,7 @@ object ConnectedComponents {
         .union(withM.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-      // localCheckpoint every 3rd round keeps the iterated plan bounded
-      val next = if (iter % 3 == 2) step.localCheckpoint() else step.cache()
+      val next = step.localCheckpoint()
       converged = next.except(edges).isEmpty && edges.except(next).isEmpty
       edges.unpersist()
       edges = next

@@ -117,35 +117,8 @@ object DedupQueries {
       // corpus's bands — O(affected x bucket), never a full
       // re-pairing. The oracle recomputes every pair from the
       // post-change corpus.
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      // stored state stand-ins (at scale: the bands/shingles/pairs
-      // tables); caches scoped to this evaluation
-      val baseBands = bandsOf(docs).cache()
-      val baseSh = shingleSetsOf(docs).cache()
-      val basePairs = lshPairs(s, dir)
-      val updated = docs.filter(col("doc_id") % 7 === 3)
-        .select(col("doc_id"),
-          concat(col("text"), lit(" merge stream merge")).as("text"))
-      val deletedIds = docs.filter(col("doc_id") % 13 === 5)
-        .select(col("doc_id"))
-      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
-      val affected = updated.select(col("doc_id")).union(deletedIds).distinct()
-      val keep = basePairs
-        .join(affected.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
-        .join(affected.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
-      val updBands = bandsOf(updatedLive)
-      val finalBands = baseBands.join(affected, Seq("doc_id"), "left_anti")
-        .unionByName(updBands)
-      // the updated doc may be either pair side -> canonicalize a<b
-      val cand = updBands.as("x").join(finalBands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") =!= col("y.doc_id"))
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
-        .distinct()
-      val finalSh = baseSh.join(affected, Seq("doc_id"), "left_anti")
-        .unionByName(shingleSetsOf(updatedLive))
-      keep.unionByName(verifiedPairs(cand, finalSh, finalSh))
+      val d = incrementalPairDelta(s, dir)
+      d.keep.unionByName(d.added)
     }),
     "q49_neardup_clusters" -> ((s, dir) => {
       // Connected components over the LSH near-dup pairs: min-label
@@ -197,6 +170,52 @@ object DedupQueries {
       // and oracle are exactly q49's: one truth, two algorithms.
       graft.operators.ConnectedComponents.alternatingStar(
         lshPairs(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))._1),
+    "q124_incremental_clusters" -> ((s, dir) => {
+      // IVM of the near-dup CLUSTER table (q49/q119's output) under the
+      // standard change batch — the clustering axis of the IVM family
+      // (q60/q80/q81/q95/q101/q110). Deletes can SPLIT a component and
+      // inserts can MERGE two, so the exact minimal unit of recompute
+      // is the COMPONENT: every cluster containing a doc the batch
+      // touches (updated, deleted, or an endpoint of an
+      // invalidated/new pair) is re-solved on the post-change pair set
+      // restricted to its members ∪ the touched docs. That restricted
+      // subgraph is CLOSED — an added pair has both endpoints touched,
+      // a surviving pair stays inside its old component — so no
+      // post-change edge can leave the affected set, and every
+      // untouched cluster passes through byte-identical. Per-batch cost
+      // O(touched components + their edges), never a corpus-wide
+      // re-clustering. The oracle re-clusters the post-change corpus
+      // from scratch.
+      val d = incrementalPairDelta(s, dir)
+      val basePairs = lshPairs(s, dir).cache()
+      // stored cluster table stand-in
+      val labels0 = graft.operators.ConnectedComponents.alternatingStar(
+        basePairs.select(col("id_a").as("u"), col("id_b").as("v")))._1.cache()
+      val removed = basePairs
+        .join(d.keep, Seq("id_a", "id_b"), "left_anti")
+      val added = d.added.cache()
+      val touched = d.affected
+        .union(removed.select(col("id_a").as("doc_id")))
+        .union(removed.select(col("id_b").as("doc_id")))
+        .union(added.select(col("id_a").as("doc_id")))
+        .union(added.select(col("id_b").as("doc_id")))
+        .distinct()
+      val affectedClusters = labels0.join(touched, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      // members ∪ touched: a touched doc with no stored pairs (first
+      // near-dup appears in this batch) is absent from labels0
+      val members = labels0.join(affectedClusters, Seq("cluster_id"), "left_semi")
+        .select(col("doc_id")).union(touched).distinct()
+      val pairs1 = d.keep.unionByName(added)
+      val induced = pairs1
+        .join(members.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+        .join(members.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      val recomputed = graft.operators.ConnectedComponents.alternatingStar(
+        induced.select(col("id_a").as("u"), col("id_b").as("v")))._1
+      labels0.join(affectedClusters, Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+        .unionByName(recomputed)
+    }),
     "q14_simhash" -> ((s, dir) =>
       simhashOf(Tables.documents(s, dir))),
     "q110_incremental_simhash" -> ((s, dir) => {
@@ -329,11 +348,51 @@ object DedupQueries {
 
   private val lshCtes: String = lshCtesFrom("documents")
 
+  /** The standard change batch's effect on the verified pair set
+    * (shared by q101 and q124): `keep` = stored pairs untouched by the
+    * batch, `added` = band-probe-verified new pairs of the updated
+    * docs, `affected` = updated + deleted doc ids. */
+  private case class PairDelta(keep: DataFrame, added: DataFrame,
+    affected: DataFrame)
+
+  private def incrementalPairDelta(s: SparkSession, dir: String): PairDelta = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // stored state stand-ins (at scale: the bands/shingles/pairs
+    // tables); caches scoped to this evaluation
+    val baseBands = bandsOf(docs).cache()
+    val baseSh = shingleSetsOf(docs).cache()
+    val basePairs = lshPairs(s, dir)
+    val updated = docs.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" merge stream merge")).as("text"))
+    val deletedIds = docs.filter(col("doc_id") % 13 === 5)
+      .select(col("doc_id"))
+    val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+    val affected = updated.select(col("doc_id")).union(deletedIds).distinct()
+    val keep = basePairs
+      .join(affected.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+      .join(affected.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
+    val updBands = bandsOf(updatedLive)
+    val finalBands = baseBands.join(affected, Seq("doc_id"), "left_anti")
+      .unionByName(updBands)
+    // the updated doc may be either pair side -> canonicalize a<b
+    val cand = updBands.as("x").join(finalBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+      .distinct()
+    val finalSh = baseSh.join(affected, Seq("doc_id"), "left_anti")
+      .unionByName(shingleSetsOf(updatedLive))
+    PairDelta(keep, verifiedPairs(cand, finalSh, finalSh), affected)
+  }
+
   /** Connected-components truth (recursive reachability + per-node
-    * min): shared by q49 (label propagation) and q119 (alternating
-    * star) — both plans must emit the identical clustering. */
-  private lazy val ccOracle: String =
-      s"""WITH RECURSIVE $lshCtes,
+    * min): shared by q49 (label propagation), q119 (alternating star)
+    * and — over the post-change corpus — q124 (incremental clusters).
+    * Every plan must emit the identical clustering. */
+  private def ccOracleFrom(ctes: String): String =
+      s"""WITH RECURSIVE $ctes,
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs
@@ -379,10 +438,17 @@ object DedupQueries {
          |  FROM documents WHERE doc_id % 13 <> 5),
          |${lshCtesFrom("final")}
          |SELECT id_a, id_b, jaccard_ppm FROM pairs""".stripMargin,
-    "q49_neardup_clusters" -> ccOracle,
+    "q49_neardup_clusters" -> ccOracleFrom(lshCtes),
     // the alternating-star plan must produce EXACTLY the label-
     // propagation plan's clustering — one truth, two algorithms
-    "q119_cc_alternating_star" -> ccOracle,
+    "q119_cc_alternating_star" -> ccOracleFrom(lshCtes),
+    "q124_incremental_clusters" -> ccOracleFrom(
+      s"""final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 5),
+         |${lshCtesFrom("final")}""".stripMargin),
     "q110_incremental_simhash" ->
       s"""WITH final AS (
          |  SELECT doc_id,
