@@ -60,7 +60,8 @@ object Bench {
     "q116_tile_terms", "q117_distance_within", "q118_map_match",
     "q119_cc_alternating_star", "q120_bigram_novelty",
     "q121_stratified_split", "q122_od_matrix", "q123_geofence_transitions",
-    "q124_incremental_clusters")
+    "q124_incremental_clusters", "q125_focal_smooth", "q126_stop_detect",
+    "q127_editdist_verify")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -216,6 +216,21 @@ object DedupQueries {
         .select(col("doc_id"), col("cluster_id"))
         .unionByName(recomputed)
     }),
+    "q127_editdist_verify" -> ((s, dir) => {
+      // the same LSH band-bucket candidates verified by EDIT DISTANCE
+      // instead of Jaccard — the stricter metric short-field dedup
+      // (titles, URLs, snippets) uses. Levenshtein runs ONLY on the
+      // candidate set (never all-pairs); for long documents a real
+      // deployment swaps in a banded DP cutoff at the threshold, which
+      // keeps verify O(T·len) per pair.
+      val d = Tables.documents(s, dir)
+      bandCandidates(d)
+        .join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= EditDistMax)
+    }),
     "q14_simhash" -> ((s, dir) =>
       simhashOf(Tables.documents(s, dir))),
     "q110_incremental_simhash" -> ((s, dir) => {
@@ -294,18 +309,23 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** LSH band-bucket candidate pairs (id_a < id_b), shared by the
+    * Jaccard verify (q13/q49) and the edit-distance verify (q127). */
+  private def bandCandidates(d: DataFrame): DataFrame = {
+    val bands = bandsOf(d)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
   /** q13 body (LSH candidates → exact verify), shared with q49. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
       val d = Tables.documents(s, dir)
-      val bands = bandsOf(d)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
       // exact verify on the candidate set only (the scale path)
       val sh = shingleSetsOf(d)
-      verifiedPairs(cand, sh, sh)
+      verifiedPairs(bandCandidates(d), sh, sh)
   }
 
   /** The 16 permutation expressions, generated from the SAME constants
@@ -347,6 +367,11 @@ object DedupQueries {
       |)""".stripMargin.replace("MINHASH_EXPRS", minhashExprs).replace("SRC", src)
 
   private val lshCtes: String = lshCtesFrom("documents")
+
+  /** q127's edit-distance verify threshold (~half the median document
+    * length — keeps genuinely-similar candidates, drops bucket-collision
+    * noise). */
+  val EditDistMax = 150L
 
   /** The standard change batch's effect on the verified pair set
     * (shared by q101 and q124): `keep` = stored pairs untouched by the
@@ -438,6 +463,14 @@ object DedupQueries {
          |  FROM documents WHERE doc_id % 13 <> 5),
          |${lshCtesFrom("final")}
          |SELECT id_a, id_b, jaccard_ppm FROM pairs""".stripMargin,
+    "q127_editdist_verify" ->
+      s"""WITH $lshCtes
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+         |FROM cand c
+         |JOIN documents x ON c.id_a = x.doc_id
+         |JOIN documents y ON c.id_b = y.doc_id
+         |WHERE levenshtein(x.text, y.text) <= $EditDistMax""".stripMargin,
     "q49_neardup_clusters" -> ccOracleFrom(lshCtes),
     // the alternating-star plan must produce EXACTLY the label-
     // propagation plan's clustering — one truth, two algorithms

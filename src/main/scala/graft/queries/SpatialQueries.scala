@@ -493,6 +493,62 @@ object SpatialQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
     }),
+    "q125_focal_smooth" -> ((s, dir) => {
+      // focal (3x3-neighborhood) smoothing of the point-density raster
+      // — the moving-window aggregation every heatmap/KDE tile pipeline
+      // runs. Each source tile SCATTERS its count to its <=9 neighbors
+      // (a 9-row narrow explode, no self-join of the raster), then one
+      // map-side-combined shuffle on the target tile; border tiles
+      // keep partial windows (out-of-range neighbors skipped).
+      val n = graft.geo.CellIndex.width(TileRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      val base = SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
+      base
+        .select(col("ix"), col("iy"), col("cnt"),
+          explode(sequence(lit(-1), lit(1))).as("dx"))
+        .select(col("ix"), col("iy"), col("cnt"), col("dx"),
+          explode(sequence(lit(-1), lit(1))).as("dy"))
+        .select((col("ix") + col("dx")).as("tx"), (col("iy") + col("dy")).as("ty"),
+          col("cnt"))
+        .filter(col("tx") >= 0 && col("tx") < n && col("ty") >= 0 && col("ty") < n)
+        .groupBy(col("tx"), col("ty"))
+        .agg(sum(col("cnt")).as("n_focal"))
+    }),
+    "q126_stop_detect" -> ((s, dir) => {
+      // trajectory STOP detection (stay-point mining): a stop is a
+      // maximal run of consecutive points whose successive
+      // displacement stays within R — lag + flag + running sum (the
+      // sessionize recurrence, ONE shuffle on user_id), then one
+      // aggregate per run; runs of a single point are movement, not
+      // stops. Exact arithmetic: the d2 <= R² predicate and the
+      // duration are mirrored expression-for-expression in the oracle.
+      val r2 = StopR * StopR
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
+        .withColumn("dx", col("lon") - lag(col("lon"), 1).over(w))
+        .withColumn("dy", col("lat") - lag(col("lat"), 1).over(w))
+        .withColumn("new_run",
+          when(col("dx").isNull ||
+            col("dx") * col("dx") + col("dy") * col("dy") > r2, 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("new_run")).over(w))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("event_id")).as("first_event"),
+          count(lit(1)).as("n_points"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration_s"))
+        .filter(col("n_points") >= 2)
+        .select(col("user_id"), col("first_event"), col("n_points"),
+          col("duration_s"))
+    }),
     "q122_od_matrix" -> ((s, dir) => {
       // origin-destination tile flows: each user's trajectory collapses
       // to (first tile, last tile) and the matrix counts users per OD
@@ -639,6 +695,11 @@ object SpatialQueries {
   /** q117's within-join radius (degrees): ~1 centroid match per point
     * at the synthetic layer's density. */
   val DistR = 1.0
+
+  /** q126's stop radius (degrees): ~10% of the synthetic trajectory
+    * steps stay inside it, so multi-point dwell runs genuinely occur
+    * while most steps remain movement. */
+  val StopR = 0.5
 
   /** q118's map-matching gating radius (degrees): a handful of
     * candidate segments per point at the synthetic road density (every
@@ -844,6 +905,39 @@ object SpatialQueries {
          |   AND s.sminy <= b.by1 AND b.by0 <= s.smaxy)
          |SELECT seg_id, way_id FROM cand
          |WHERE LEAST(s1, s2, s3, s4) <= 0 AND GREATEST(s1, s2, s3, s4) >= 0""".stripMargin,
+    "q125_focal_smooth" -> {
+      val n = graft.geo.CellIndex.width(TileRes)
+      s"""WITH ${SynthSql.pointsCte},
+         |b AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy
+         |  FROM points),
+         |c AS (SELECT ix, iy, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
+         |SELECT ix + dx AS tx, iy + dy AS ty, CAST(SUM(cnt) AS BIGINT) AS n_focal
+         |FROM c, range(-1, 2) t1(dx), range(-1, 2) t2(dy)
+         |WHERE ix + dx BETWEEN 0 AND ${n - 1} AND iy + dy BETWEEN 0 AND ${n - 1}
+         |GROUP BY 1, 2""".stripMargin
+    },
+    "q126_stop_detect" ->
+      s"""WITH pos AS (SELECT event_id, ts, user_id,
+         |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
+         |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
+         |  FROM events),
+         |d AS (SELECT user_id, event_id, ts,
+         |    lon - LAG(lon) OVER w AS dx, lat - LAG(lat) OVER w AS dy
+         |  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |f AS (SELECT user_id, event_id, ts,
+         |    CASE WHEN dx IS NULL OR dx*dx + dy*dy > ${StopR * StopR}
+         |         THEN 1 ELSE 0 END AS new_run
+         |  FROM d),
+         |r AS (SELECT user_id, event_id, ts,
+         |    SUM(new_run) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+         |  FROM f)
+         |SELECT user_id, MIN(event_id) AS first_event,
+         |  COUNT(*) AS n_points,
+         |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+         |FROM r GROUP BY user_id, run_id HAVING COUNT(*) >= 2""".stripMargin,
     "q122_od_matrix" ->
       s"""WITH pos AS (SELECT event_id, ts, user_id,
          |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
