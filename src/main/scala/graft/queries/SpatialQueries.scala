@@ -385,6 +385,36 @@ object SpatialQueries {
         .select(col("a_id"), col("b_id"),
           round((iw * ih) * 1e7, 0).cast("long").as("area_e7"))
     }),
+    "q128_poly_overlay_area" -> ((s, dir) => {
+      // polygon OVERLAY (intersection area) through the REAL geometry
+      // path: assembled rings → JTS clipping → shoelace area, on
+      // bbox-prefiltered candidate pairs only (the same responsible-
+      // cell join as q92, never all-pairs). The oracle is q92's
+      // closed-form rectangle arithmetic — agreement proves the
+      // general overlay machinery exact on this universe. Rounding is
+      // safe against shoelace-vs-product ulp drift: intersection dims
+      // sit on the 0.001° grid, so area·1e7 is a multiple of 10, far
+      // from any .5 boundary.
+      val p = polys(s, dir)
+      val boxes = p.select(col("way_id"),
+        array_min(col("xs")).as("minx"), array_min(col("ys")).as("miny"),
+        array_max(col("xs")).as("maxx"), array_max(col("ys")).as("maxy"))
+      val area = org.apache.spark.sql.GraftSqlShim.column(
+        graft.spatial.IntersectionAreaExpr(
+          org.apache.spark.sql.GraftSqlShim.expression(col("xs_a")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("ys_a")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("xs_b")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("ys_b"))))
+      SpatialJoin.bboxOverlapJoin(boxes, boxes, PipRes, idCol = "way_id")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .join(p.select(col("way_id").as("a_id"),
+          col("xs").as("xs_a"), col("ys").as("ys_a")), "a_id")
+        .join(p.select(col("way_id").as("b_id"),
+          col("xs").as("xs_b"), col("ys").as("ys_b")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(area * 1e7, 0).cast("long").as("area_e7"))
+    }),
     "q91_trajectory_length" -> ((s, dir) => {
       // per-user travel distance over the deterministic event
       // positions: ONE shuffle on user_id — the window orders each
@@ -758,6 +788,19 @@ object SpatialQueries {
          |FROM ways a JOIN ways b ON a.way_id < b.way_id
          | AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
          | AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h""".stripMargin,
+    // the JTS overlay must reproduce the closed-form rectangle areas
+    // exactly — one truth, general machinery vs closed form
+    "q128_poly_overlay_area" ->
+      s"""WITH ${SynthSql.waysCte},
+         |boxes AS (SELECT way_id, x0 AS minx, y0 AS miny,
+         |  x0 + w AS maxx, y0 + h AS maxy FROM ways)
+         |SELECT a.way_id AS a_id, b.way_id AS b_id,
+         |  CAST(ROUND(((LEAST(a.maxx, b.maxx) - GREATEST(a.minx, b.minx)) *
+         |    (LEAST(a.maxy, b.maxy) - GREATEST(a.miny, b.miny))) * 10000000.0, 0)
+         |    AS BIGINT) AS area_e7
+         |FROM boxes a JOIN boxes b ON a.way_id < b.way_id
+         | AND a.minx <= b.maxx AND b.minx <= a.maxx
+         | AND a.miny <= b.maxy AND b.miny <= a.maxy""".stripMargin,
     "q92_overlap_area" ->
       s"""WITH ${SynthSql.waysCte},
          |boxes AS (SELECT way_id, x0 AS minx, y0 AS miny,

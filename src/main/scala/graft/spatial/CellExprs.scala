@@ -63,3 +63,40 @@ case class CoverCellsExpr(left: Expression, right: Expression, res: Int)
       newLeft: Expression, newRight: Expression): CoverCellsExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** JTS polygon-overlay intersection AREA:
+  * `IntersectionAreaExpr(xs1, ys1, xs2, ys2)` → double. The real
+  * geometry-clipping path (overlay) a geospatial engine needs beyond
+  * containment — proven against the closed-form rectangle oracle on
+  * the synthetic universe (q128 shares q92's oracle). CodegenFallback:
+  * runs only on bbox-prefiltered candidate PAIRS, never per point.
+  * Degenerate rings (<3 distinct vertices) contribute zero area. */
+case class IntersectionAreaExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "intersection_area"
+
+  @transient private lazy val gf = new GeometryFactory()
+
+  private def poly(xsAny: Any, ysAny: Any): org.locationtech.jts.geom.Geometry = {
+    val xs = xsAny.asInstanceOf[ArrayData]
+    val ys = ysAny.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return gf.createPolygon()
+    val coords = Array.tabulate(n)(i => new Coordinate(xs.getDouble(i), ys.getDouble(i)))
+    val closed = if (coords.head == coords.last) coords else coords :+ coords.head
+    if (closed.length >= 4) gf.createPolygon(closed)
+    else if (n >= 2) gf.createLineString(coords)
+    else gf.createPoint(coords(0))
+  }
+
+  override def nullSafeEval(xs1: Any, ys1: Any, xs2: Any, ys2: Any): Any =
+    poly(xs1, ys1).intersection(poly(xs2, ys2)).getArea
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): IntersectionAreaExpr =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
