@@ -227,6 +227,9 @@ object DedupQueries {
       bandCandidates(d)
         .join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
         .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        // |len(a)-len(b)| is a lower bound on edit distance: the O(1)
+        // reject runs before the O(len²) DP ever evaluates
+        .filter(abs(length(col("ta")) - length(col("tb"))) <= EditDistMax)
         .select(col("id_a"), col("id_b"),
           levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
         .filter(col("edit_dist") <= EditDistMax)
