@@ -142,6 +142,31 @@ class PlanSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
+  test("q122 shares one user exchange, q125 never joins, q126 window partitioned") {
+    // q122's two row_number windows must reuse a single user_id
+    // shuffle; q125's focal scatter must be a narrow explode (no
+    // raster self-join); q126's sessionize windows must partition
+    // string-count: AQE's adaptive root hides children from collect()
+    // before execution, but toString descends the initial plan
+    val p122 = SparkEntry.queries("q122_od_matrix")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p122).size
+    assert(userExchanges == 1,
+      s"q122 must shuffle on user_id exactly once, found $userExchanges")
+    Bench.clearState(spark)
+    val p125 = formatted(SparkEntry.queries("q125_focal_smooth")(spark, sfSmoke))
+    assert(!p125.contains("Join"), "q125's focal scatter must not join")
+    Bench.clearState(spark)
+    val df126 = SparkEntry.queries("q126_stop_detect")(spark, sfSmoke)
+    val winSpecs = df126.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.nonEmpty),
+      "q126's sessionize windows must be partitioned by user")
+    Bench.clearState(spark)
+  }
+
   test("q117/q118 stay cell equi-joins with point-partitioned argmin") {
     // the within-distance join and the map-matcher must prefilter on
     // the cover cell (equi-join, never brute all-pairs), and q118's
