@@ -6,76 +6,79 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming face of gap sessionization (batch q63): per
-  * user, events accumulate into the open session held in `GroupState`;
-  * the session CLOSES — and emits exactly one result row — either when
-  * a later event arrives past the gap or when the event-time watermark
-  * passes `session end + gap` (the timeout path), so state is bounded
-  * by the number of users active inside the gap horizon, not the
-  * stream length.
+  * user, events accumulate into OPEN sessions held in `GroupState`; a
+  * session emits — exactly once — only when the event-time WATERMARK
+  * passes `end + gap`, i.e. when no admissible future event could
+  * still join or bridge it. Closing on watermark (not eagerly on the
+  * next out-of-gap arrival) is what makes arbitrary arrival disorder
+  * within the watermark delay safe: a late bridging event can MERGE
+  * two sessions that are both still open, which eager closing would
+  * have split — SessionStreamSpec's disorder test exercises exactly
+  * that.
   *
-  * Correctness contract: arrival disorder must stay within the
-  * watermark delay, and the delay must not exceed the gap — then every
-  * event lands either inside the open session's gap window or beyond
-  * it (starting a new session), and the batch window
-  * (q63's lag + running-sum plan) and this stream produce identical
-  * session rows. An event older than `open start − gap` (possible only
-  * within the disorder bound) is a complete earlier session by itself
-  * and is emitted immediately.
+  * State per user is its open-session list, bounded by
+  * ceil(delay / gap) + 1 sessions (a session stays open only while the
+  * watermark — at most `delay` behind max event time — has not passed
+  * its end + gap). Correctness contract: events later than the
+  * watermark delay are out of contract (the standard watermark
+  * trade-off); delay <= gap is NOT required, any delay works.
   */
 object SessionStream {
 
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
   case class Sess(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
+  case class OpenSessions(sessions: Seq[Sess])
 
   def sessionize(events: Dataset[Ev], gapMs: Long,
       watermarkDelayMs: Long = 0L): Dataset[Sess] = {
     import events.sparkSession.implicits._
-    require(watermarkDelayMs <= gapMs,
-      "watermark delay must not exceed the session gap (disorder bound)")
     val src =
       if (events.isStreaming)
         events.withWatermark("ts", s"$watermarkDelayMs milliseconds")
       else events
     src.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Sess, Sess](
+      .flatMapGroupsWithState[OpenSessions, Sess](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, incoming: Iterator[Ev], state: GroupState[Sess]) =>
-          if (state.hasTimedOut) {
-            // watermark passed end + gap: nothing can join this session
-            val s = state.get
-            state.remove()
-            Iterator.single(s)
-          } else {
-            // in-batch disorder is free to fix: process in event order
-            val evs = incoming.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[Sess]
-            var cur = state.getOption
-            evs.foreach { e =>
-              cur = cur match {
-                case Some(s) if e.ts.getTime > s.end.getTime + gapMs =>
-                  closed ::= s
-                  Some(Sess(uid, e.ts, e.ts, 1L))
-                case Some(s) if e.ts.getTime < s.start.getTime - gapMs =>
-                  // late straggler forming a complete EARLIER session
-                  closed ::= Sess(uid, e.ts, e.ts, 1L)
-                  Some(s)
-                case Some(s) =>
-                  val st = if (e.ts.before(s.start)) e.ts else s.start
-                  val en = if (e.ts.after(s.end)) e.ts else s.end
-                  Some(Sess(uid, st, en, s.n_events + 1L))
-                case None =>
-                  Some(Sess(uid, e.ts, e.ts, 1L))
+        (uid: Long, incoming: Iterator[Ev], state: GroupState[OpenSessions]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var open: Seq[Sess] = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          if (!state.hasTimedOut) {
+            incoming.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              val idx = open.indexWhere(s =>
+                t >= s.start.getTime - gapMs && t <= s.end.getTime + gapMs)
+              open =
+                if (idx < 0) (open :+ Sess(uid, e.ts, e.ts, 1L))
+                  .sortBy(_.start.getTime)
+                else {
+                  val s = open(idx)
+                  val st = if (t < s.start.getTime) e.ts else s.start
+                  val en = if (t > s.end.getTime) e.ts else s.end
+                  open.updated(idx, Sess(uid, st, en, s.n_events + 1L))
+                    .sortBy(_.start.getTime)
+                }
+              // a bridging event can pull two neighbors within the gap
+              open = open.foldLeft(Seq.empty[Sess]) { (acc, s) =>
+                acc.lastOption match {
+                  case Some(p) if s.start.getTime <= p.end.getTime + gapMs =>
+                    acc.init :+ Sess(uid, p.start,
+                      if (s.end.after(p.end)) s.end else p.end,
+                      p.n_events + s.n_events)
+                  case _ => acc :+ s
+                }
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // must arm strictly past the current watermark
-              state.setTimeoutTimestamp(math.max(
-                s.end.getTime + gapMs + 1,
-                state.getCurrentWatermarkMs() + 1))
-            }
-            closed.reverse.iterator
           }
+          // the watermark proves closure: nothing admissible can still
+          // join a session once wm has passed its end + gap
+          val (closed, stillOpen) = open.partition(_.end.getTime + gapMs < wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(stillOpen))
+            val nextClose = stillOpen.map(_.end.getTime + gapMs).min
+            state.setTimeoutTimestamp(math.max(nextClose, wm + 1))
+          }
+          closed.sortBy(_.start.getTime).iterator
       }
   }
 }

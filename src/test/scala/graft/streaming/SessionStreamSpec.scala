@@ -68,4 +68,60 @@ class SessionStreamSpec extends SparkTestBase {
     } finally q.stop()
     graft.Bench.clearState(spark)
   }
+
+  test("arrival disorder within the watermark delay preserves batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evs = graft.queries.Tables.events(spark, sfSmoke)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[SessionStream.Ev]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    // bounded disorder: arrival order = sort by ts + jitter with
+    // jitter in [0, delay) — any event arriving after another is then
+    // at most `delay` older than it, the exact watermark contract
+    val delayMs = 10L * 60 * 1000
+    val rng = new scala.util.Random(42)
+    val disordered = evs.map(e => (e, e.ts.getTime + rng.nextLong(delayMs)))
+      .sortBy(_._2).map(_._1).toSeq
+
+    val gapMs = 30L * 60 * 1000
+    val input = MemoryStream[SessionStream.Ev]
+    val sessions = SessionStream.sessionize(input.toDS(), gapMs,
+      watermarkDelayMs = delayMs)
+    val ckpt = Files.createTempDirectory("graft-sess-dis-ckpt").toString
+    val q = sessions.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("stream_sessions_dis")
+      .start()
+    try {
+      disordered.grouped(math.max(1, disordered.length / 5 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val far = new Timestamp(evs.map(_.ts.getTime).max + 30L * 86400000)
+      input.addData(Seq(SessionStream.Ev(9999L, 1L, far)))
+      q.processAllAvailable()
+
+      val got = spark.table("stream_sessions_dis")
+        .filter(col("user_id") =!= 9999L)
+        .select(col("user_id"), col("n_events"),
+          ((col("end").cast("long")) - col("start").cast("long")).as("duration_s"))
+        .as[(Long, Long, Long)].collect().sorted
+
+      val expect = graft.queries.RelationalQueries
+        .queries("q63_sessionize")(spark, sfSmoke)
+        .filter(col("user_id") < 8)
+        .select(col("user_id"), col("n_events"), col("duration_s"))
+        .as[(Long, Long, Long)].collect().sorted
+
+      assert(got === expect)
+    } finally q.stop()
+    graft.Bench.clearState(spark)
+  }
 }
