@@ -25,4 +25,24 @@ object RangeJoin {
       .filter(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
       .drop("__b")
   }
+
+  /** Interval x interval OVERLAP join — both sides explode to their
+    * bucket ranges, the bucket equi-join prefilters, and the
+    * RESPONSIBLE-BUCKET rule (the bucket holding the overlap's left
+    * edge, max(lo_a, lo_b) — contained in both sides' bucket ranges
+    * whenever they overlap) emits each true pair exactly once with no
+    * post-join distinct. The 1-D twin of the spatial bboxOverlapJoin.
+    * Column names must be disjoint across the two inputs. */
+  def intervalOverlapJoin(left: DataFrame, lo1: String, hi1: String,
+      right: DataFrame, lo2: String, hi2: String, bucket: Double): DataFrame = {
+    require(bucket > 0, s"bucket width must be positive, got $bucket")
+    def cover(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__b", explode(sequence(
+        floor(col(lo) / bucket).cast("long"),
+        floor(col(hi) / bucket).cast("long"))))
+    cover(left, lo1, hi1).join(cover(right, lo2, hi2), Seq("__b"))
+      .filter(col(lo1) <= col(hi2) && col(lo2) <= col(hi1) &&
+        floor(greatest(col(lo1), col(lo2)) / bucket).cast("long") === col("__b"))
+      .drop("__b")
+  }
 }

@@ -333,6 +333,26 @@ object RelationalQueries {
       graft.operators.RangeJoin.rangeJoin(pts, "value", intervals, "lo", "hi", 5.0)
         .select(col("event_id"), col("o_orderkey"))
     }),
+    "q129_interval_overlap" -> ((s, dir) => {
+      // interval x interval OVERLAP join (temporal/range analytics'
+      // other half next to q65's point-in-interval): both interval
+      // sets bucket-cover once, the equi-join prefilters, and the
+      // responsible-bucket rule (overlap's left edge) emits each true
+      // pair exactly once — no post-join distinct, never a nested
+      // loop. Overlap length in exact e7 units, identical expression
+      // trees in both engines.
+      val a = orders(s, dir).filter(col("o_orderkey") % 8 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") % 450.0).as("alo"),
+          (col("o_totalprice") % 450.0 + 2.0).as("ahi"))
+      val b = events(s, dir).select(col("event_id"),
+        (col("value") % 450.0).as("blo"),
+        (col("value") % 450.0 + 1.5).as("bhi"))
+      graft.operators.RangeJoin.intervalOverlapJoin(a, "alo", "ahi", b, "blo", "bhi", 5.0)
+        .select(col("o_orderkey"), col("event_id"),
+          round((least(col("ahi"), col("bhi")) - greatest(col("alo"), col("blo"))) * 1e7, 0)
+            .cast("long").as("olap_e7"))
+    }),
     "q97_rank_suite" -> ((s, dir) => {
       // the remaining ranking-window surface (ntile / percent_rank /
       // cume_dist) under a TOTAL order — ties broken by event_id, since
@@ -617,6 +637,20 @@ object RelationalQueries {
         |SELECT e.event_id, i.o_orderkey
         |FROM events e JOIN intervals i
         |  ON e.value BETWEEN i.lo AND i.hi""".stripMargin,
+    // LEAST/GREATEST stay OUT of the join condition (DuckDB flat-vector
+    // caveat) — overlap length computes in the outer projection
+    "q129_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice % 450.0 AS alo,
+        |    o_totalprice % 450.0 + 2.0 AS ahi
+        |  FROM orders WHERE o_orderkey % 8 = 0),
+        |b AS (
+        |  SELECT event_id, value % 450.0 AS blo, value % 450.0 + 1.5 AS bhi
+        |  FROM events)
+        |SELECT o_orderkey, event_id,
+        |  CAST(ROUND((LEAST(ahi, bhi) - GREATEST(alo, blo)) * 10000000.0, 0)
+        |    AS BIGINT) AS olap_e7
+        |FROM a JOIN b ON a.alo <= b.bhi AND b.blo <= a.ahi""".stripMargin,
     "q97_rank_suite" ->
       """SELECT event_id, event_type,
         |  CAST(NTILE(4) OVER w AS BIGINT) AS ntile4,
