@@ -61,7 +61,11 @@ object ConnectedComponents {
         .filter(col("u") =!= col("v"))
         .distinct()
       val next = step.localCheckpoint()
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // counts-first equality: both sides are distinct sets, so equal
+      // counts + empty (next \ edges) proves set equality with ONE
+      // except job instead of two (counts on checkpointed data are
+      // shuffle-free)
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
       edges.unpersist()
       edges = next
       iter += 1

