@@ -523,6 +523,22 @@ object SpatialQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
     }),
+    "q131_tile_pyramid" -> ((s, dir) => {
+      // multi-resolution tile pyramid (the slippy-map/z-level rollup):
+      // each point explodes to its cell at levels 5..2 (4 narrow rows,
+      // no per-level rescan) and ONE map-side-combined shuffle on
+      // (level, tile) builds every level of the pyramid at once. At
+      // 100 TB this beats level-by-level re-aggregation: the partial
+      // aggregates collapse most of the fan-out before the exchange.
+      val levels = PyramidLevels
+      SynthUniverse.points(s, dir)
+        .select(explode(array(levels.map(l => struct(
+          lit(l).as("level"),
+          GeoFunctions.cellAt(col("lon"), col("lat"), l).as("tile"))): _*)).as("lt"))
+        .select(col("lt.level").as("level"), col("lt.tile").as("tile"))
+        .groupBy(col("level"), col("tile"))
+        .agg(count(lit(1)).as("n_points"))
+    }),
     "q125_focal_smooth" -> ((s, dir) => {
       // focal (3x3-neighborhood) smoothing of the point-density raster
       // — the moving-window aggregation every heatmap/KDE tile pipeline
@@ -725,6 +741,9 @@ object SpatialQueries {
   /** q117's within-join radius (degrees): ~1 centroid match per point
     * at the synthetic layer's density. */
   val DistR = 1.0
+
+  /** q131's pyramid levels (finest first). */
+  val PyramidLevels: Seq[Int] = Seq(5, 4, 3, 2)
 
   /** q126's stop radius (degrees): ~10% of the synthetic trajectory
     * steps stay inside it, so multi-point dwell runs genuinely occur
@@ -948,6 +967,16 @@ object SpatialQueries {
          |   AND s.sminy <= b.by1 AND b.by0 <= s.smaxy)
          |SELECT seg_id, way_id FROM cand
          |WHERE LEAST(s1, s2, s3, s4) <= 0 AND GREATEST(s1, s2, s3, s4) >= 0""".stripMargin,
+    "q131_tile_pyramid" -> {
+      val sel = PyramidLevels.map(l =>
+        s"""SELECT CAST($l AS INT) AS level,
+           |  ${GeoFunctions.cellAtSql("lon", "lat", l)} AS tile,
+           |  COUNT(*) AS n_points
+           |FROM points GROUP BY 1, 2""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${SynthSql.pointsCte}
+         |$sel""".stripMargin
+    },
     "q125_focal_smooth" -> {
       val n = graft.geo.CellIndex.width(TileRes)
       s"""WITH ${SynthSql.pointsCte},

@@ -43,6 +43,10 @@ object TextQueries {
     round(lit(1000.0) * size(array_distinct(ts)) / size(ts) *
       least(lit(1.0), size(ts) / lit(100.0)), 0).cast("long")
 
+  /** q130's fixed retrieval query terms (gazetteer members, so every
+    * sf has hits). */
+  val Bm25Terms: Seq[String] = Seq("merge", "stream", "vector")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_langid" -> ((s, dir) => {
       // score_l = count of profile-stopword tokens (with multiplicity);
@@ -85,6 +89,42 @@ object TextQueries {
       Tables.documents(s, dir).select(
         col("doc_id"),
         rollingFingerprint(tokens(col("text"))).as("fingerprint"))
+    }),
+    "q130_bm25_score" -> ((s, dir) => {
+      // BM25-style retrieval scoring for a fixed query — the ranking
+      // signal a retrieval-augmented pipeline computes corpus-wide.
+      // Engine-exact determinism: idf uses the log-free integer
+      // surrogate (N*1000 div df) — ln() is libm-dependent and would
+      // not hash-match across engines — and the three per-term
+      // contributions sum in FIXED column order (a groupBy SUM over
+      // doubles would re-associate nondeterministically). One
+      // explode + two map-side-combined aggregates + a 3-row broadcast.
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .withColumn("len", size(col("ts")).cast("long"))
+      val hits = docs.select(col("doc_id"), col("len"), explode(col("ts")).as("t"))
+        .filter(col("t").isin(Bm25Terms: _*))
+      val tf = hits.groupBy(col("doc_id"), col("len"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val n = docs.count()
+      val avglen = docs.agg(sum(col("len"))).head.getLong(0).toDouble / n
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), "t")
+        .withColumn("idf_s", expr(s"${n * 1000L} div df"))
+        .withColumn("contrib",
+          // Column*Double flips of the oracle's Double*Column products
+          // are bit-identical (IEEE multiplication commutes)
+          col("idf_s") * (col("tf") * (k1 + 1.0)) /
+            (col("tf") + (lit(1.0 - b) + col("len") * b / avglen) * k1))
+      val cols = Bm25Terms.map(t =>
+        max(when(col("t") === t, col("contrib")).otherwise(lit(0.0))).as(s"c_$t"))
+      scored.groupBy(col("doc_id"))
+        .agg(cols.head, cols.tail: _*)
+        .select(col("doc_id"),
+          round((Bm25Terms.map(t => col(s"c_$t")).reduce(_ + _)) * 1e4, 0)
+            .cast("long").as("score_e4"))
     }),
     "q120_bigram_novelty" -> ((s, dir) => {
       // corpus-novelty quality signal: the share of a doc's bigrams
@@ -674,6 +714,33 @@ object TextQueries {
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 11 <> 0
         |GROUP BY 1""".stripMargin,
+    // FP-parity notes: the idf is the log-free integer surrogate
+    // (ln() is libm-dependent); k1+1 folds from the SAME literals
+    // (1.2 + 1.0) in both engines — a 2.2 literal could be a
+    // different double; avglen derives from the same exact integer
+    // sum/count division; the 3 contributions add in fixed order.
+    "q130_bm25_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS len, ts FROM toks),
+        |stats AS (SELECT COUNT(*) AS n, CAST(SUM(len) AS BIGINT) AS sl FROM d),
+        |hits AS (SELECT doc_id, len, t
+        |  FROM (SELECT doc_id, len, unnest(ts) AS t FROM d)
+        |  WHERE t IN ('merge', 'stream', 'vector')),
+        |tf AS (SELECT doc_id, len, t, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3),
+        |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |c AS (SELECT tf.doc_id, tf.t,
+        |    (((SELECT n FROM stats) * 1000 // df.df) * (tf.tf * (1.2 + 1.0))) /
+        |    (tf.tf + 1.2 * ((1.0 - 0.75) +
+        |      0.75 * tf.len / (CAST((SELECT sl FROM stats) AS DOUBLE)
+        |                       / (SELECT n FROM stats)))) AS contrib
+        |  FROM tf JOIN df ON tf.t = df.t)
+        |SELECT doc_id, CAST(ROUND((
+        |    MAX(CASE WHEN t = 'merge' THEN contrib ELSE 0.0 END)
+        |  + MAX(CASE WHEN t = 'stream' THEN contrib ELSE 0.0 END)
+        |  + MAX(CASE WHEN t = 'vector' THEN contrib ELSE 0.0 END)) * 10000, 0)
+        |  AS BIGINT) AS score_e4
+        |FROM c GROUP BY doc_id""".stripMargin,
     "q120_bigram_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
