@@ -239,6 +239,25 @@ object DedupQueries {
           levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
         .filter(col("edit_dist") <= EditDistMax)
     }),
+    "q132_canonical_docs" -> ((s, dir) => {
+      // the collapse step a dedup pipeline actually ships: per near-dup
+      // cluster keep ONE representative (longest text, ties to the
+      // smallest doc_id) — clustering composed with a
+      // cluster-partitioned argmax window (never global). Singleton
+      // docs (no near-dup) are their own cluster and survive as
+      // themselves via the oracle's same rule.
+      val labels = graft.operators.ConnectedComponents.alternatingStar(
+        lshPairs(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))._1
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("len").desc, col("doc_id").asc)
+      labels
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_doc"), col("len"))
+    }),
     "q14_simhash" -> ((s, dir) =>
       simhashOf(Tables.documents(s, dir))),
     "q110_incremental_simhash" -> ((s, dir) => {
@@ -479,6 +498,26 @@ object DedupQueries {
          |JOIN documents x ON c.id_a = x.doc_id
          |JOIN documents y ON c.id_b = y.doc_id
          |WHERE levenshtein(x.text, y.text) <= $EditDistMax""".stripMargin,
+    "q132_canonical_docs" ->
+      s"""WITH RECURSIVE $lshCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |  UNION SELECT id_a, id_a FROM pairs
+         |  UNION SELECT id_b, id_b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), labels AS (
+         |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT cluster_id, doc_id AS keep_doc, len FROM (
+         |  SELECT l.cluster_id, l.doc_id,
+         |    CAST(length(d.text) AS BIGINT) AS len,
+         |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY length(d.text) DESC, l.doc_id ASC) AS rank
+         |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+         |WHERE rank = 1""".stripMargin,
     "q49_neardup_clusters" -> ccOracleFrom(lshCtes),
     // the alternating-star plan must produce EXACTLY the label-
     // propagation plan's clustering — one truth, two algorithms

@@ -333,6 +333,26 @@ object RelationalQueries {
       graft.operators.RangeJoin.rangeJoin(pts, "value", intervals, "lo", "hi", 5.0)
         .select(col("event_id"), col("o_orderkey"))
     }),
+    "q133_group_median" -> ((s, dir) => {
+      // exact per-group order statistics: the lower and upper median
+      // VALUES (no FP averaging — exact integers survive the hash
+      // compare, and the pair exposes the even-n case honestly). One
+      // group-partitioned window; the rank filter carries <= 2 rows
+      // per group into the final aggregate.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v_bp").asc, col("event_id").asc)
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 10000, 0).cast("long").as("v_bp"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("n div 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(col("v_bp")).as("median_lo"), max(col("v_bp")).as("median_hi"))
+    }),
     "q129_interval_overlap" -> ((s, dir) => {
       // interval x interval OVERLAP join (temporal/range analytics'
       // other half next to q65's point-in-interval): both interval
@@ -637,6 +657,20 @@ object RelationalQueries {
         |SELECT e.event_id, i.o_orderkey
         |FROM events e JOIN intervals i
         |  ON e.value BETWEEN i.lo AND i.hi""".stripMargin,
+    "q133_group_median" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(ROUND(value * 10000, 0) AS BIGINT) AS v_bp
+        |  FROM events),
+        |r AS (SELECT event_type, v_bp,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY v_bp ASC, event_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(v_bp) AS median_lo, MAX(v_bp) AS median_hi
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY event_type""".stripMargin,
     // LEAST/GREATEST stay OUT of the join condition (DuckDB flat-vector
     // caveat) — overlap length computes in the outer projection
     "q129_interval_overlap" ->
