@@ -523,6 +523,31 @@ object SpatialQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
     }),
+    "q134_heading_hist" -> ((s, dir) => {
+      // per-user movement-direction histogram in 8 octants — computed
+      // WITHOUT atan2 (transcendentals are libm-dependent and could
+      // never hash-match): octant = sign tests on (dx, dy) plus
+      // |dx| vs |dy| comparisons, all exact. One user_id shuffle (the
+      // lag window), then a map-side-combined count.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val adx = abs(col("dx"))
+      val ady = abs(col("dy"))
+      val octant =
+        when(col("dx") === 0.0 && col("dy") === 0.0, -1)
+          .when(adx >= ady && col("dx") > 0, when(col("dy") >= 0, 0).otherwise(7))
+          .when(adx >= ady, when(col("dy") >= 0, 3).otherwise(4))
+          .when(col("dy") > 0, when(col("dx") >= 0, 1).otherwise(2))
+          .otherwise(when(col("dx") >= 0, 6).otherwise(5))
+      Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
+        .withColumn("dx", col("lon") - lag(col("lon"), 1).over(w))
+        .withColumn("dy", col("lat") - lag(col("lat"), 1).over(w))
+        .filter(col("dx").isNotNull)
+        .groupBy(col("user_id"), octant.as("octant"))
+        .agg(count(lit(1)).as("n_steps"))
+    }),
     "q131_tile_pyramid" -> ((s, dir) => {
       // multi-resolution tile pyramid (the slippy-map/z-level rollup):
       // each point explodes to its cell at levels 5..2 (4 narrow rows,
@@ -967,6 +992,25 @@ object SpatialQueries {
          |   AND s.sminy <= b.by1 AND b.by0 <= s.smaxy)
          |SELECT seg_id, way_id FROM cand
          |WHERE LEAST(s1, s2, s3, s4) <= 0 AND GREATEST(s1, s2, s3, s4) >= 0""".stripMargin,
+    "q134_heading_hist" ->
+      """WITH pos AS (SELECT event_id, ts, user_id,
+        |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
+        |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
+        |  FROM events),
+        |d AS (SELECT user_id,
+        |    lon - LAG(lon) OVER w AS dx, lat - LAG(lat) OVER w AS dy
+        |  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |o AS (SELECT user_id,
+        |    CASE WHEN dx = 0.0 AND dy = 0.0 THEN -1
+        |         WHEN ABS(dx) >= ABS(dy) AND dx > 0 THEN
+        |           CASE WHEN dy >= 0 THEN 0 ELSE 7 END
+        |         WHEN ABS(dx) >= ABS(dy) THEN
+        |           CASE WHEN dy >= 0 THEN 3 ELSE 4 END
+        |         WHEN dy > 0 THEN CASE WHEN dx >= 0 THEN 1 ELSE 2 END
+        |         ELSE CASE WHEN dx >= 0 THEN 6 ELSE 5 END END AS octant
+        |  FROM d WHERE dx IS NOT NULL)
+        |SELECT user_id, CAST(octant AS INT) AS octant, COUNT(*) AS n_steps
+        |FROM o GROUP BY 1, 2""".stripMargin,
     "q131_tile_pyramid" -> {
       val sel = PyramidLevels.map(l =>
         s"""SELECT CAST($l AS INT) AS level,

@@ -47,6 +47,9 @@ object TextQueries {
     * sf has hits). */
   val Bm25Terms: Seq[String] = Seq("merge", "stream", "vector")
 
+  /** q135's concordance term. */
+  val KwicTerm = "vector"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_langid" -> ((s, dir) => {
       // score_l = count of profile-stopword tokens (with multiplicity);
@@ -89,6 +92,21 @@ object TextQueries {
       Tables.documents(s, dir).select(
         col("doc_id"),
         rollingFingerprint(tokens(col("text"))).as("fingerprint"))
+    }),
+    "q135_kwic" -> ((s, dir) => {
+      // keyword-in-context snippet extraction (the retrieval display /
+      // concordance op): every occurrence of the query term emits its
+      // ±2-token window. posexplode + slice arithmetic, all narrow —
+      // no shuffle at all beyond the scan.
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("ts"), posexplode(col("ts")))
+        .filter(col("col") === KwicTerm)
+        .withColumn("i", (col("pos") + 1).cast("long"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("ts"), greatest(col("i") - 2, lit(1L)),
+            least(col("i") + 2, size(col("ts")).cast("long")) -
+              greatest(col("i") - 2, lit(1L)) + 1), " ").as("snippet"))
     }),
     "q130_bm25_score" -> ((s, dir) => {
       // BM25-style retrieval scoring for a fixed query — the ranking
@@ -714,6 +732,15 @@ object TextQueries {
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 11 <> 0
         |GROUP BY 1""".stripMargin,
+    "q135_kwic" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents)
+         |SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |  array_to_string(ts[GREATEST(i - 2, 1):LEAST(i + 2, len(ts))], ' ')
+         |    AS snippet
+         |FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+         |      FROM toks)
+         |WHERE ts[i] = '$KwicTerm'""".stripMargin,
     // FP-parity notes: the idf is the log-free integer surrogate
     // (ln() is libm-dependent); k1+1 folds from the SAME literals
     // (1.2 + 1.0) in both engines — a 2.2 literal could be a
