@@ -11,10 +11,14 @@ import graft.SparkEntry
   * oracle-proven q14 Spark plan. */
 class NearDupStreamSpec extends SparkTestBase {
 
-  test("streamed band-bucket pairs equal batch simhash pairing") {
+  test("streamed band-bucket pairs equal batch simhash pairing (RocksDB state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sc = spark.sqlContext
+    // full parity on the production state backend, not just the
+    // in-memory default
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
     val docs = graft.queries.Tables.documents(spark, sfSmoke)
       .select("doc_id", "text").as[NearDupStream.Doc]
@@ -62,7 +66,10 @@ class NearDupStreamSpec extends SparkTestBase {
       assert(got == expected,
         s"stream ${got.size} pairs vs batch ${expected.size}: " +
           s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
     graft.Bench.clearState(spark)
   }
 }
