@@ -523,6 +523,65 @@ object SpatialQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
     }),
+    "q116b_tile_terms_agg" -> ((s, dir) => {
+      // q116's per-tile top-k through the BOUNDED-STATE native
+      // aggregate instead of the rank window: the exchange carries at
+      // most k=3 rows per (partition, tile) thanks to map-side partial
+      // aggregation, and nothing sorts. The string tie-break maps
+      // through the lexicographically-sorted gazetteer index (a Long,
+      // the aggregate's tie type) and back — same rows as q116, same
+      // oracle.
+      val gaz = SynthUniverse.Gazetteer.sorted
+      val gazArr = array(gaz.map(lit): _*)
+      SynthUniverse.points(s, dir)
+        .withColumn("tile", GeoFunctions.cellAt(col("lon"), col("lat"), TileRes))
+        .groupBy(col("tile"), col("entity")).agg(count(lit(1)).as("n"))
+        .withColumn("gi", array_position(gazArr, col("entity")))
+        .groupBy(col("tile"))
+        .agg(graft.functions.TopKAgg.topK(col("n"), col("gi"), 3).as("tk"))
+        .select(col("tile"), posexplode(col("tk")))
+        .select(col("tile"),
+          element_at(gazArr, col("col.tie").cast("int")).as("entity"),
+          col("col.ord").as("n"),
+          (col("pos") + 1).cast("int").as("rank"))
+    }),
+    "q136_incremental_pyramid" -> ((s, dir) => {
+      // IVM of the tile pyramid (q131) under the standard document
+      // change batch — the geo×text-fusion member of the IVM family:
+      // tile counts are ADDITIVE (self-maintainable view), so
+      // new = stored − points(affected docs) + points(post-change
+      // affected docs), re-extracting geo-entities ONLY from the
+      // batch's documents. Per-batch cost O(affected docs), never a
+      // corpus re-aggregation; the oracle rebuilds the pyramid from
+      // the post-change corpus.
+      def pyramid(pts: DataFrame): DataFrame = pts
+        .select(explode(array(PyramidLevels.map(l => struct(
+          lit(l).as("level"),
+          GeoFunctions.cellAt(col("lon"), col("lat"), l).as("tile"))): _*)).as("lt"))
+        .select(col("lt.level").as("level"), col("lt.tile").as("tile"))
+        .groupBy(col("level"), col("tile"))
+        .agg(count(lit(1)).as("n_points"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5).select(col("doc_id"))
+      val affected = updated.select(col("doc_id")).union(deletedIds).distinct()
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      // stored pyramid stand-in
+      val stored = pyramid(SynthUniverse.points(s, dir))
+      val removed = pyramid(SynthUniverse.points(s, dir)
+          .join(affected, Seq("doc_id"), "left_semi"))
+        .withColumnRenamed("n_points", "r")
+      val added = pyramid(SynthUniverse.pointsOf(updatedLive))
+        .withColumnRenamed("n_points", "a")
+      stored.join(removed, Seq("level", "tile"), "full_outer")
+        .join(added, Seq("level", "tile"), "full_outer")
+        .select(col("level"), col("tile"),
+          (coalesce(col("n_points"), lit(0L)) - coalesce(col("r"), lit(0L)) +
+            coalesce(col("a"), lit(0L))).as("n_points"))
+        .filter(col("n_points") > 0)
+    }),
     "q134_heading_hist" -> ((s, dir) => {
       // per-user movement-direction histogram in 8 octants — computed
       // WITHOUT atan2 (transcendentals are libm-dependent and could
@@ -992,6 +1051,33 @@ object SpatialQueries {
          |   AND s.sminy <= b.by1 AND b.by0 <= s.smaxy)
          |SELECT seg_id, way_id FROM cand
          |WHERE LEAST(s1, s2, s3, s4) <= 0 AND GREATEST(s1, s2, s3, s4) >= 0""".stripMargin,
+    // the bounded-state aggregate must reproduce the window plan's
+    // rows exactly — one truth, two plans (cf. q09/q09b)
+    "q116b_tile_terms_agg" ->
+      s"""WITH ${SynthSql.pointsCte},
+         |t AS (SELECT ${GeoFunctions.cellAtSql("lon", "lat", TileRes)} AS tile,
+         |    entity, COUNT(*) AS n
+         |  FROM points GROUP BY 1, 2)
+         |SELECT tile, entity, n, rank FROM (
+         |  SELECT tile, entity, n, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY tile ORDER BY n DESC, entity ASC) AS INT) AS rank
+         |  FROM t)
+         |WHERE rank <= 3""".stripMargin,
+    "q136_incremental_pyramid" -> {
+      val sel = PyramidLevels.map(l =>
+        s"""SELECT CAST($l AS INT) AS level,
+           |  ${GeoFunctions.cellAtSql("lon", "lat", l)} AS tile,
+           |  COUNT(*) AS n_points
+           |FROM points GROUP BY 1, 2""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 5),
+         |${SynthSql.pointsCte.replace("FROM documents", "FROM final")}
+         |$sel""".stripMargin
+    },
     "q134_heading_hist" ->
       """WITH pos AS (SELECT event_id, ts, user_id,
         |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,

@@ -86,8 +86,13 @@ object SynthUniverse {
   /** points(doc_id, entity, lon, lat): geo-entity extraction from
     * documents.text — distinct gazetteer tokens, md5-hash-placed plus a
     * per-document jitter. */
-  def points(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir).select(
+  def points(s: SparkSession, dir: String): DataFrame =
+    pointsOf(Tables.documents(s, dir))
+
+  /** The same extraction over an arbitrary (doc_id, text) frame — lets
+    * the IVM queries re-extract only a change batch's documents. */
+  def pointsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
       col("doc_id"),
       explode(array_distinct(TextFunctions.tokens(col("text")))).as("entity"))
       .filter(col("entity").isin(Gazetteer: _*))
