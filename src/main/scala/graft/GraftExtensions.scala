@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.spatial.{CellAtExpr, CoverCellsExpr, PointInRingExpr}
+import graft.spatial.{CellAtExpr, CoverCellsExpr, IntersectionAreaExpr, PointInRingExpr}
 
 /** Catalyst extension point: registers the engine's native expressions
   * so they are callable from SQL as well as the Column API.
@@ -22,6 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 4,
           "pip_contains(xs array<double>, ys array<double>, px double, py double)")
         PointInRingExpr(children(0), children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("intersection_area"),
+      new ExpressionInfo(classOf[IntersectionAreaExpr].getName, "intersection_area"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "intersection_area(xs1 array<double>, ys1 array<double>, " +
+            "xs2 array<double>, ys2 array<double>)")
+        IntersectionAreaExpr(children(0), children(1), children(2), children(3))
       }))
     ext.injectFunction((
       FunctionIdentifier("cell_at"),

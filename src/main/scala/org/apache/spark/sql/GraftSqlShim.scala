@@ -19,4 +19,21 @@ object GraftSqlShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Apply a SparkSessionExtensions module to an ALREADY-BUILT session:
+    * injected functions land in its FunctionRegistry and injected
+    * optimizer rules append to `experimental.extraOptimizations`
+    * (deduplicated). Production sessions should instead pass the class
+    * via `spark.sql.extensions`; this bridge exists so the shared test
+    * session can exercise the exact production wiring. */
+  def applyExtensions(spark: SparkSession,
+      f: SparkSessionExtensions => Unit): Unit = {
+    val ext = new SparkSessionExtensions
+    f(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+    val rules = ext.buildOptimizerRules(spark)
+      .filterNot(spark.experimental.extraOptimizations.contains)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations ++ rules
+  }
 }
