@@ -108,6 +108,28 @@ object FunctionQueries {
             lit(".osc.gz")).rlike("^https?://[A-Za-z0-9./_~-]+$").as("is_valid"),
           xmlEncode(concat(lit("a&b<"), col("kind"), lit(">\"c'"))).as("xml_enc"))
     }),
+    "q137_frame_sample" -> ((s, dir) => {
+      // multimodal FRAME-SAMPLING plumbing with no codec (offline
+      // container, cf. q103): each document carries a fake "video" — 24
+      // concatenated 16-byte frames whose bytes are deterministic but
+      // opaque (md5 of doc_id:frame) — and the sampler slices every 4th
+      // frame back out by byte arithmetic and fingerprints it. The
+      // schema (binary column + typed metadata), the stride slicing,
+      // and the narrow no-shuffle batch shape are the real pipeline;
+      // only the pixel codec is absent. Synth and sampler share no
+      // code: the sampler sees only the assembled bytes.
+      val video = concat((0 until 24).map(i =>
+        unhex(md5(concat(col("doc_id"), lit(s":$i"))))): _*)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), video.as("video"))
+        .select(col("doc_id"), col("video"),
+          explode(array((0 until 24 by 4).map(i => lit(i)): _*)).as("fidx"))
+        .select(col("doc_id"), col("fidx").cast("long").as("fidx"),
+          // the sampler slices the BINARY; the oracle slices its hex
+          // rendering — byte-offset agreement is exactly the check
+          lower(hex(expr("substring(video, fidx*16 + 1, 16)"))).as("frame_hex"),
+          length(col("video")).cast("long").as("n_bytes"))
+    }),
     "q103_png_header" -> ((s, dir) => {
       // real binary-format decode with NO codec library: a PNG
       // signature + IHDR chunk is assembled as actual bytes (unhex /
@@ -206,6 +228,16 @@ object FunctionQueries {
          |    'a&b<' || kind || '>"c''',
          |    '&','&amp;'), '<','&lt;'), '>','&gt;'), '"','&quot;'), '''','&apos;') AS xml_enc
          |FROM g""".stripMargin,
+    "q137_frame_sample" -> {
+      val terms = (0 until 24)
+        .map(i => s"md5(doc_id || ':$i')").mkString(" || ")
+      val strides = (0 until 24 by 4).mkString(", ")
+      s"""WITH v AS (SELECT doc_id, $terms AS video_hex FROM documents)
+         |SELECT doc_id, CAST(fidx AS BIGINT) AS fidx,
+         |  substring(video_hex, fidx*32 + 1, 32) AS frame_hex,
+         |  CAST(length(video_hex) // 2 AS BIGINT) AS n_bytes
+         |FROM v, unnest([$strides]) AS t(fidx)""".stripMargin
+    },
     "q103_png_header" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 2048 AS BIGINT) AS width,
