@@ -26,5 +26,38 @@ class GraftExtensionsSpec extends SparkTestBase {
     GraftSqlShim.applyExtensions(spark, new GraftExtensions)
     assert(spark.experimental.extraOptimizations
       .count(_ eq graft.spatial.PipJoinRewrite) === 1)
+    spark.experimental.extraOptimizations = spark.experimental
+      .extraOptimizations.filterNot(_ eq graft.spatial.PipJoinRewrite)
+  }
+
+  test("a PIP join written in pure SQL rewrites to the cell equi-join") {
+    import org.apache.spark.sql.functions.col
+    GraftSqlShim.applyExtensions(spark, new GraftExtensions)
+    try {
+      synth.SynthUniverse.points(spark, sfSmoke).createOrReplaceTempView("pts")
+      spatial.SpatialJoin.polygons(
+          synth.SynthUniverse.wayMembers(spark, sfSmoke),
+          synth.SynthUniverse.nodes(spark, sfSmoke))
+        .createOrReplaceTempView("gons")
+      val df = spark.sql(
+        """SELECT p.doc_id, p.entity, g.way_id
+          |FROM pts p JOIN gons g
+          |  ON pip_contains(g.xs, g.ys, p.lon, p.lat)""".stripMargin)
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "the SQL-text PIP join must rewrite away the cross product")
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expect = spatial.SpatialJoin.pipJoin(
+          synth.SynthUniverse.points(spark, sfSmoke),
+          spatial.SpatialJoin.polygons(
+            synth.SynthUniverse.wayMembers(spark, sfSmoke),
+            synth.SynthUniverse.nodes(spark, sfSmoke)), 6)
+        .select(col("doc_id"), col("entity"), col("way_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expect && got.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = spark.experimental
+        .extraOptimizations.filterNot(_ eq graft.spatial.PipJoinRewrite)
+      Bench.clearState(spark)
+    }
   }
 }
