@@ -93,6 +93,41 @@ object TextQueries {
         col("doc_id"),
         rollingFingerprint(tokens(col("text"))).as("fingerprint"))
     }),
+    "q138_vocab_growth" -> ((s, dir) => {
+      // per-source vocabulary statistics (type/token curves — the
+      // corpus-composition dashboard): token count with multiplicity,
+      // distinct types, and the type/token ratio in exact basis
+      // points. One explode; both aggregates map-side combine on
+      // source.
+      Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("t")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("n_types * 10000 div n_tokens").as("ttr_bp"))
+    }),
+    "q139_vocab_overlap" -> ((s, dir) => {
+      // cross-source vocabulary Jaccard (corpus-mixture diagnostics:
+      // how much do two sources share?): per-source type sets reduce
+      // to (source, token) rows; the intersection is one equi-join on
+      // the token, union sizes come from the per-source counts — all
+      // exact integers, never materializing a set per row.
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(array_distinct(tokens(col("text")))).as("t"))
+        .distinct()
+        .cache()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = st.as("a").join(st.as("b"),
+          col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_inter"),
+          expr("n_inter * 10000 div (na + nb - n_inter)").as("jaccard_bp"))
+    }),
     "q135_kwic" -> ((s, dir) => {
       // keyword-in-context snippet extraction (the retrieval display /
       // concordance op): every occurrence of the query term emits its
@@ -732,6 +767,26 @@ object TextQueries {
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 11 <> 0
         |GROUP BY 1""".stripMargin,
+    "q138_vocab_growth" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_tokens,
+        |  COUNT(DISTINCT t) AS n_types,
+        |  CAST(COUNT(DISTINCT t) * 10000 // COUNT(*) AS BIGINT) AS ttr_bp
+        |FROM t GROUP BY source""".stripMargin,
+    "q139_vocab_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+        |iv AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+        |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_inter,
+        |  CAST(n_inter * 10000 // (na.n + nb.n - n_inter) AS BIGINT) AS jaccard_bp
+        |FROM iv JOIN sz na ON iv.src_a = na.source
+        |        JOIN sz nb ON iv.src_b = nb.source""".stripMargin,
     "q135_kwic" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents)
