@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed 2-D Pareto skyline (maximal rows under coordinate-wise
+  * dominance) — the data-selection frontier a training pipeline asks
+  * for: "keep every document no other document beats on BOTH length
+  * and lexical diversity".
+  *
+  * `e` DOMINATES `d` iff `e.a >= d.a && e.b >= d.b` with at least one
+  * strict; the skyline is every row nothing dominates. The naive
+  * shapes are a quadratic NOT-EXISTS self-join or a global sort-sweep
+  * (one partition holds the whole corpus). This plan prunes first,
+  * EXACTLY, with one bounded collect:
+  *
+  *  1. fixed-width bucket on `a` (range from a single min/max row);
+  *  2. per-bucket `max(b)` — ≤ `buckets` rows on the driver — and a
+  *     suffix max over strictly-higher buckets gives each bucket a
+  *     dominance threshold `thr`: a row with `b <= thr` is PROVABLY
+  *     dominated (the witness sits in a strictly higher `a`-bucket, so
+  *     its `a` is strictly larger, and its `b` is the suffix max
+  *     `>= b`). The filter is a broadcast join against the ≤ `buckets`
+  *     row threshold table — survivors hug the frontier.
+  *  3. exact finish among survivors only: a broadcast-nested-loop
+  *     anti-join under the dominance predicate. Exactness of the
+  *     restriction: if a dominator of `d` was pruned, the pruning
+  *     witness sits in a strictly higher bucket and dominates `d` too,
+  *     so following witnesses (bucket strictly increases each step)
+  *     reaches an UNPRUNED dominator — no skyline row is lost and no
+  *     dominated row survives.
+  *
+  * The survivor count is fail-loud capped (`survivorCap`): on a
+  * degenerate distribution (all `a` equal) pruning cannot help and the
+  * operator refuses rather than silently going quadratic.
+  */
+object Skyline {
+
+  /** Skyline of `items` maximizing (`aCol`, `bCol`), both numeric.
+    * Output keeps the input schema. */
+  def skyline2D(items: DataFrame, aCol: String, bCol: String,
+      buckets: Int = 256, survivorCap: Long = 2000000L): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val r = items.agg(min(col(aCol)).cast("double"),
+      max(col(aCol)).cast("double")).head()
+    if (r.isNullAt(0)) return items // empty input
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
+    val bucketOf = least(floor((col(aCol).cast("double") - lit(lo)) / lit(width)),
+      lit(buckets - 1)).cast("int")
+    val withB = items.withColumn("__sb", bucketOf)
+    // step 2: per-bucket max(b) -> suffix max over higher buckets
+    val perBucket = withB.groupBy(col("__sb"))
+      .agg(max(col(bCol)).cast("double").as("mb"))
+      .as[(Int, Double)].collect().toMap
+    val thr = new Array[Double](buckets)
+    var running = Double.NegativeInfinity
+    var i = buckets - 1
+    while (i >= 0) {
+      thr(i) = running // max b over buckets STRICTLY above i
+      running = math.max(running, perBucket.getOrElse(i, Double.NegativeInfinity))
+      i -= 1
+    }
+    val thrDf = broadcast(thr.toSeq.zipWithIndex
+      .map { case (t, b) => (b, t) }.toDF("__sb", "__thr"))
+    val survivors = withB.join(thrDf, "__sb")
+      .filter(col(bCol).cast("double") > col("__thr"))
+      .drop("__sb", "__thr")
+      .localCheckpoint() // survivors feed both sides of the anti-join
+    val n = survivors.count()
+    require(n <= survivorCap,
+      s"skyline survivor set $n exceeds cap $survivorCap — the `$aCol` " +
+        "distribution is too degenerate for bucket pruning; raise `buckets` or the cap")
+    val d = survivors
+    val e = broadcast(survivors.select(
+      col(aCol).as("__ea"), col(bCol).as("__eb")))
+    d.join(e,
+      col("__ea") >= col(aCol) && col("__eb") >= col(bCol) &&
+        (col("__ea") > col(aCol) || col("__eb") > col(bCol)),
+      "left_anti")
+  }
+}

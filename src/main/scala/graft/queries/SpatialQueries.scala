@@ -739,6 +739,37 @@ object SpatialQueries {
           when(col("ins_curr"), "enter").otherwise("exit").as("direction"))
         .distinct()
     }),
+    "q141_grid_cluster" -> ((s, dir) => {
+      // grid-density clustering (DBSCAN-lite for web-scale point sets):
+      // fixed-width cells holding >= minPts points are CORE; 8-adjacent
+      // core cells merge into clusters via the alternating-star CC
+      // (O(log n) rounds). The adjacency join is an equi-join on
+      // shifted integer coordinates — never a distance self-join over
+      // raw points, so the point stream is touched exactly once (the
+      // counting aggregate). Cluster label = min cell key, matching the
+      // oracle's transitive-closure MIN.
+      val w = 2.0; val minPts = 40
+      val core = SynthUniverse.points(s, dir)
+        .select(floor(col("lon") / w).cast("long").as("cx"),
+          floor(col("lat") / w).cast("long").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n_points"))
+        .filter(col("n_points") >= minPts)
+        .withColumn("k", (col("cx") + 1000) * 100000 + col("cy") + 1000)
+        .localCheckpoint() // feeds the explode, the probe, and the labeling
+      val offsets = for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L) } yield (dx, dy)
+      val nbr = core.select(col("k").as("u"),
+          explode(array(offsets.map { case (dx, dy) =>
+            struct((col("cx") + dx).as("nx"), (col("cy") + dy).as("ny"))
+          }: _*)).as("o"))
+        .select(col("u"), col("o.nx").as("cx"), col("o.ny").as("cy"))
+      val pairs = nbr
+        .join(core.select(col("cx"), col("cy"), col("k").as("v")), Seq("cx", "cy"))
+        .select(col("u"), col("v"))
+      val (labels, _) = graft.operators.ConnectedComponents.alternatingStar(pairs)
+      core.join(labels.withColumnRenamed("doc_id", "k"), Seq("k"), "left")
+        .select(col("cx"), col("cy"), col("n_points"),
+          coalesce(col("cluster_id"), col("k")).as("cluster_id"))
+    }),
     "q117_distance_within" -> ((s, dir) => {
       // within-distance spatial join (every polygon centroid within R
       // of each geo-entity point — the "POIs near this mention" view):
@@ -867,6 +898,29 @@ object SpatialQueries {
          |      AND p.lat BETWEEN w2.y0 AND w2.y0 + w2.h)""".stripMargin
 
   lazy val oracles: Map[String, String] = Map(
+    // cluster labels via full transitive closure + MIN — the small-scale
+    // truth the alternating-star plan must reproduce exactly (the
+    // abs<=1 self-pair keeps singleton core cells labeled with their
+    // own key, mirroring the Spark side's coalesce)
+    "q141_grid_cluster" ->
+      s"""WITH RECURSIVE ${SynthSql.pointsCte},
+         |cells AS (
+         |  SELECT CAST(FLOOR(lon/2.0) AS BIGINT) AS cx,
+         |    CAST(FLOOR(lat/2.0) AS BIGINT) AS cy, COUNT(*) AS n_points
+         |  FROM points GROUP BY 1, 2),
+         |core AS (
+         |  SELECT cx, cy, n_points, (cx+1000)*100000 + cy + 1000 AS k
+         |  FROM cells WHERE n_points >= 40),
+         |edges AS (
+         |  SELECT a.k AS src, b.k AS dst FROM core a JOIN core b
+         |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS k, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT c.cx, c.cy, CAST(c.n_points AS BIGINT) AS n_points, l.cluster_id
+         |FROM core c JOIN labels l ON c.k = l.k""".stripMargin,
     "q29_extract_entities" ->
       s"""WITH ${SynthSql.pointsCte}
          |SELECT doc_id, entity,

@@ -128,6 +128,20 @@ object TextQueries {
         .select(col("src_a"), col("src_b"), col("n_inter"),
           expr("n_inter * 10000 div (na + nb - n_inter)").as("jaccard_bp"))
     }),
+    "q140_pareto_select" -> ((s, dir) => {
+      // Pareto data-selection frontier: documents no other document
+      // beats on BOTH token count and type/token ratio. Bucket-pruned
+      // exact distributed skyline (operators/Skyline) — never a
+      // quadratic self-join, never a global sort; the oracle computes
+      // the same frontier with two O(n log n) window sweeps.
+      val docs = Tables.documents(s, dir)
+        .withColumn("ts", tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          round(lit(1000.0) * size(array_distinct(col("ts"))) / size(col("ts")), 0)
+            .cast("long").as("ttr_milli"))
+      graft.operators.Skyline.skyline2D(docs, "n_tokens", "ttr_milli")
+    }),
     "q135_kwic" -> ((s, dir) => {
       // keyword-in-context snippet extraction (the retrieval display /
       // concordance op): every occurrence of the query term emits its
@@ -690,6 +704,26 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // not-dominated ⟺ b beats every b' at strictly larger a AND a
+    // beats every a' at strictly larger b — two integer-RANGE window
+    // sweeps replace the quadratic NOT EXISTS
+    "q140_pareto_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), d AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(ROUND(1000.0*len(list_distinct(ts))/len(ts),0) AS BIGINT) AS ttr_milli
+        |  FROM toks
+        |), w AS (
+        |  SELECT *,
+        |    MAX(ttr_milli) OVER (ORDER BY n_tokens
+        |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mb,
+        |    MAX(n_tokens) OVER (ORDER BY ttr_milli
+        |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ma
+        |  FROM d)
+        |SELECT doc_id, n_tokens, ttr_milli FROM w
+        |WHERE (mb IS NULL OR ttr_milli > mb)
+        |  AND (ma IS NULL OR n_tokens > ma)""".stripMargin,
     "q83_pii_redact" ->
       s"""WITH salted AS (
          |  SELECT doc_id, text ||

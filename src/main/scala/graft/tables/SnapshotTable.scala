@@ -658,7 +658,11 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     val upd = updates.cache()
     val n = upd.count()
     val keyD0 = upd.select(keyCols.map(col): _*).distinct()
-    val keyD = if (n <= 5000000L) broadcast(keyD0) else keyD0.hint("shuffle_hash")
+    // same byte-aware broadcast gate as mergeBucketed: row count alone
+    // lets 5M wide string keys (hundreds of MB) ship to every task
+    val keyWidth = keyD0.schema.map(_.dataType.defaultSize).sum.toLong
+    val keyD = if (n <= 5000000L && n * keyWidth <= (256L << 20))
+      broadcast(keyD0) else keyD0.hint("shuffle_hash")
     val ins = deleteMarker match {
       case Some(m) => upd.filter(!col(m)).drop(m)
       case None => upd
