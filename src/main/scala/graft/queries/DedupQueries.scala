@@ -107,6 +107,19 @@ object DedupQueries {
           jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
     }),
     "q13_minhash_lsh_pairs" -> ((s, dir) => lshPairs(s, dir)),
+    "q142_setsim_join" -> ((s, dir) => {
+      // exact prefix-filtered similarity join (AllPairs/PPJoin): the
+      // DETERMINISTIC scale path beside q13's probabilistic banding —
+      // rare-first prefixes bound the candidate set, the exact verify
+      // touches candidates only, and the output must equal the q12
+      // quadratic baseline pair-for-pair (same oracle, same ppm
+      // arithmetic as TextFunctions.jaccardPpm).
+      graft.operators.SetSimJoin
+        .jaccardSelfJoin(shingleSets(s, dir), "doc_id", "sh", 5000)
+        .select(col("id_a"), col("id_b"),
+          round(lit(1000000.0) * col("inter") / col("uni"), 0)
+            .cast("long").as("jaccard_ppm"))
+    }),
     "q101_incremental_minhash" -> ((s, dir) => {
       // IVM of the verified near-dup pair set (q13) under a document
       // change batch — the dedup-side member of the q60/q80/q81/q95
@@ -457,6 +470,20 @@ object DedupQueries {
          |)
          |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
 
+  private val allPairsJaccardOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
+      |  FROM toks
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(ROUND(1000000.0 * len(list_intersect(a.sh, b.sh))
+      |       / len(list_distinct(a.sh || b.sh)), 0) AS BIGINT) AS jaccard_ppm
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(a.sh || b.sh))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q11_exact_dedup" ->
       """WITH du AS (
@@ -466,19 +493,10 @@ object DedupQueries {
         |)
         |SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies
         |FROM du GROUP BY text""".stripMargin,
-    "q12_ngram_jaccard_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_distinct(
-        |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
-        |  FROM toks
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(ROUND(1000000.0 * len(list_intersect(a.sh, b.sh))
-        |       / len(list_distinct(a.sh || b.sh)), 0) AS BIGINT) AS jaccard_ppm
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(a.sh || b.sh))""".stripMargin,
+    "q12_ngram_jaccard_pairs" -> allPairsJaccardOracle,
+    // the exact prefix-filtered join must reproduce the quadratic
+    // baseline's pair set — one truth, two plans (cf. q49/q119)
+    "q142_setsim_join" -> allPairsJaccardOracle,
     "q13_minhash_lsh_pairs" ->
       s"""WITH $lshCtes
          |SELECT id_a, id_b, jaccard_ppm FROM pairs""".stripMargin,

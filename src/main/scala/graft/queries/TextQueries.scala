@@ -142,6 +142,27 @@ object TextQueries {
             .cast("long").as("ttr_milli"))
       graft.operators.Skyline.skyline2D(docs, "n_tokens", "ttr_milli")
     }),
+    "q143_outlier_lengths" -> ((s, dir) => {
+      // per-source 3-sigma length-anomaly detection in EXACT integers —
+      // |x − mean| > 3σ without ever materializing a float:
+      // (n·x − Σx)² > 9·(n·Σx² − (Σx)²), i.e. both sides of the σ
+      // comparison scaled by n². The salt plants extreme documents
+      // (cf. q83's PII salt) so the detector has real anomalies to
+      // find. One map-side-combined aggregate + a broadcast per-source
+      // stats join — two narrow scans, no window, no sort. (Long
+      // arithmetic holds to ~1e9 rows × 1e4 lengths per group; a
+      // 100 TB deployment upgrades the moments to decimal(38,0).)
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        (length(col("text")).cast("long") + when(col("doc_id") % 101 === 0,
+          lit(20000L) + col("doc_id") * 7L).otherwise(lit(0L))).as("salted_len"))
+      val g = d.groupBy(col("source")).agg(count(lit(1)).as("n"),
+        sum(col("salted_len")).as("sx"),
+        sum(col("salted_len") * col("salted_len")).as("sxx"))
+      val dev = col("n") * col("salted_len") - col("sx")
+      d.join(broadcast(g), "source")
+        .filter(dev * dev > lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("doc_id"), col("source"), col("salted_len"))
+    }),
     "q135_kwic" -> ((s, dir) => {
       // keyword-in-context snippet extraction (the retrieval display /
       // concordance op): every occurrence of the query term emits its
@@ -724,6 +745,21 @@ object TextQueries {
         |SELECT doc_id, n_tokens, ttr_milli FROM w
         |WHERE (mb IS NULL OR ttr_milli > mb)
         |  AND (ma IS NULL OR n_tokens > ma)""".stripMargin,
+    "q143_outlier_lengths" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) + CASE WHEN doc_id % 101 = 0
+        |      THEN 20000 + doc_id * 7 ELSE 0 END AS BIGINT) AS salted_len
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, COUNT(*) AS n, SUM(salted_len) AS sx,
+        |    SUM(salted_len*salted_len) AS sxx
+        |  FROM d GROUP BY source
+        |)
+        |SELECT d.doc_id, d.source, d.salted_len
+        |FROM d JOIN g ON d.source = g.source
+        |WHERE (g.n*d.salted_len - g.sx)*(g.n*d.salted_len - g.sx)
+        |    > 9*(g.n*g.sxx - g.sx*g.sx)""".stripMargin,
     "q83_pii_redact" ->
       s"""WITH salted AS (
          |  SELECT doc_id, text ||
