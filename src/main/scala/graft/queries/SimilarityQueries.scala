@@ -105,6 +105,31 @@ object SimilarityQueries {
           cos(col("v"), col("qv")).as("cos"))
       topK(pairs, 5)
     }),
+    "q145_knn_classify" -> ((s, dir) => {
+      // k-NN majority-vote classification: each held-out query vector
+      // takes its 5 exact nearest neighbors' majority label
+      // (votes DESC, label ASC tie-break) — the seed-label propagation
+      // check a curation pipeline runs over a labeled subset. Reuses
+      // q19's exact top-k (broadcast probe side); the vote is one
+      // aggregate over k·|queries| rows and one argmax struct fold —
+      // no second pass over the corpus.
+      val e = embAsDouble(s, dir)
+      val labels = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("nlabel"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val pairs = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cos(col("v"), col("qv")).as("cos"))
+      topK(pairs, 5)
+        .join(broadcast(labels), "neighbor_id")
+        .groupBy(col("query_id"), col("nlabel")).agg(count(lit(1)).as("votes"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("votes"), (-col("nlabel")).as("neg"))).as("m"))
+        .select(col("query_id"), (-col("m.neg")).as("pred_label"),
+          col("m.votes").as("votes"))
+    }),
     "q20_ann_lsh_bucketed" -> ((s, dir) => {
       val e = embAsDouble(s, dir).withColumn("bucket", signBucket(col("v")))
       val q = e.filter(col("vec_id") % 50 === 0)
@@ -223,6 +248,27 @@ object SimilarityQueries {
     s"sqrt(${dotSql2(s"$t.$c", s"$t.$c")})"
 
   val oracles: Map[String, String] = Map(
+    "q145_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |p AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    $dotSql / (${normSql("a", "v")} * ${normSql("q", "qv")}) AS cos
+         |  FROM e a, q WHERE a.vec_id <> q.query_id),
+         |top AS (
+         |  SELECT query_id, neighbor_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p)
+         |  WHERE rank <= 5),
+         |v AS (
+         |  SELECT t.query_id, CAST(emb.label AS BIGINT) AS nlabel,
+         |    COUNT(*) AS votes
+         |  FROM top t JOIN embeddings emb ON t.neighbor_id = emb.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, nlabel AS pred_label, votes
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY votes DESC, nlabel ASC) AS rn FROM v)
+         |WHERE rn = 1""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),

@@ -739,6 +739,21 @@ object SpatialQueries {
           when(col("ins_curr"), "enter").otherwise("exit").as("direction"))
         .distinct()
     }),
+    "q144_pip_anti" -> ((s, dir) => {
+      // spatial ANTI-join: geo-entities contained in NO polygon (the
+      // "unmapped mentions" view a coverage dashboard needs). Matched
+      // keys come from the same cell-prefiltered PIP join as q30 — the
+      // anti face is one additional left_anti equi-join on the point
+      // key, never a per-polygon scan of the misses.
+      val pts = SynthUniverse.points(s, dir)
+      val matched = SpatialJoin
+        .pipJoin(pts, polys(s, dir), PipRes, ringDict = "broadcast")
+        .select(col("doc_id"), col("entity"))
+      pts.join(matched, Seq("doc_id", "entity"), "left_anti")
+        .select(col("doc_id"), col("entity"),
+          round(col("lon") * 1e7, 0).cast("long").as("lon_e7"),
+          round(col("lat") * 1e7, 0).cast("long").as("lat_e7"))
+    }),
     "q141_grid_cluster" -> ((s, dir) => {
       // grid-density clustering (DBSCAN-lite for web-scale point sets):
       // fixed-width cells holding >= minPts points are CORE; 8-adjacent
@@ -937,6 +952,14 @@ object SpatialQueries {
          |SELECT doc_id, entity, way_id
          |FROM points JOIN ways
          |  ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h""".stripMargin,
+    "q144_pip_anti" ->
+      s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte}
+         |SELECT doc_id, entity,
+         |  CAST(ROUND(lon*10000000,0) AS BIGINT) AS lon_e7,
+         |  CAST(ROUND(lat*10000000,0) AS BIGINT) AS lat_e7
+         |FROM points p
+         |WHERE NOT EXISTS (SELECT 1 FROM ways
+         |  WHERE p.lon BETWEEN x0 AND x0 + w AND p.lat BETWEEN y0 AND y0 + h)""".stripMargin,
     "q31b_knn_rings" -> knnOracle,
     "q31_knn" -> knnOracle,
     "q86_bbox_overlap" ->
