@@ -12,8 +12,10 @@ import graft.text.TextFunctions._
   *    pre-aggregate by a 64-bit content hash first so the shuffle
   *    carries (hash, id) not full text.
   *  - Jaccard all-pairs is O(n²) — kept ONLY as the correctness oracle
-  *    shape at small n; the scale path is q13 (LSH candidates, then
-  *    exact verify on the candidate set — linear in candidates).
+  *    shape at small n; the scale paths are q13 (LSH candidates, then
+  *    exact verify — linear in candidates, probabilistic recall) and
+  *    q142 (prefix-filtered AllPairs join — exact recall, candidates
+  *    bounded by the prefix lemma).
   *  - MinHash: signatures shuffle once on doc_id (map-side partial
   *    min), bands self-join on (band, key) equi-key — broadcastable
   *    when the bucketed side is small, AQE-skew-safe otherwise.

@@ -163,6 +163,31 @@ object TextQueries {
         .filter(dev * dev > lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
         .select(col("doc_id"), col("source"), col("salted_len"))
     }),
+    "q146_curriculum_interleave" -> ((s, dir) => {
+      // curriculum emission order: best-first within each source,
+      // sources interleaved round-robin — a TOTAL order over the corpus
+      // with NO global sort: rank windows partition by source, the
+      // source offset comes from a bounded dense_rank over the ≤|S|
+      // distinct sources (tiny, like the histogram collects), and the
+      // global position is pure arithmetic (rank−1)·S + offset. A
+      // 100 TB corpus gets a deterministic streaming-write order while
+      // every exchange stays source-partitioned.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .withColumn("ts", tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          qualityMilli(col("ts")).as("quality_milli"))
+      val srcs = docs.select(col("source")).distinct()
+        .withColumn("src_idx",
+          row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
+      val nSrc = srcs.count()
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_milli").desc, col("doc_id").asc)
+      docs.withColumn("r", row_number().over(w).cast("long"))
+        .join(broadcast(srcs), "source")
+        .select(col("doc_id"), col("source"), col("quality_milli"),
+          ((col("r") - 1L) * nSrc + col("src_idx")).as("position"))
+    }),
     "q135_kwic" -> ((s, dir) => {
       // keyword-in-context snippet extraction (the retrieval display /
       // concordance op): every occurrence of the query term emits its
@@ -745,6 +770,28 @@ object TextQueries {
         |SELECT doc_id, n_tokens, ttr_milli FROM w
         |WHERE (mb IS NULL OR ttr_milli > mb)
         |  AND (ma IS NULL OR n_tokens > ma)""".stripMargin,
+    "q146_curriculum_interleave" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROUND(1000.0*len(list_distinct(ts))/len(ts)
+        |      *LEAST(1.0, len(ts)/100.0),0) AS BIGINT) AS quality_milli
+        |  FROM toks
+        |), srcs AS (
+        |  SELECT source,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1 AS src_idx,
+        |    (SELECT COUNT(DISTINCT source) FROM d) AS n_src
+        |  FROM (SELECT DISTINCT source FROM d)
+        |), r AS (
+        |  SELECT doc_id, source, quality_milli,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY quality_milli DESC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM d)
+        |SELECT r.doc_id, r.source, r.quality_milli,
+        |  (r.rk - 1) * s.n_src + s.src_idx AS position
+        |FROM r JOIN srcs s ON r.source = s.source""".stripMargin,
     "q143_outlier_lengths" ->
       """WITH d AS (
         |  SELECT doc_id, source,

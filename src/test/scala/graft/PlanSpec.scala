@@ -142,6 +142,36 @@ class PlanSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
+  test("q140 skyline never sorts or windows, q142/q144 stay equi-joins, q145 votes without a window") {
+    // q140: the whole point of the bucket-pruned skyline is NO global
+    // sort and NO window — the finish is a bounded broadcast join
+    val df140 = SparkEntry.queries("q140_pareto_select")(spark, sfSmoke)
+    val wins140 = df140.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins140.isEmpty, "q140 must not plan any window")
+    val p140 = formatted(df140)
+    assert(!p140.contains("CartesianProduct"), "q140 plans a cross product")
+    assert(p140.contains("BroadcastNestedLoopJoin"),
+      "q140's exact finish should be the bounded broadcast anti-join")
+    Bench.clearState(spark)
+    // q142's candidate generation and verify are equi-joins only; a
+    // cross product means the prefix token key got lost
+    for (q <- Seq("q142_setsim_join", "q141_grid_cluster", "q144_pip_anti")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+    // q145's majority vote is an aggregate argmax, never a rank window
+    val df145 = SparkEntry.queries("q145_knn_classify")(spark, sfSmoke)
+    val wins145 = df145.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    // the only window is q19's top-k rank, partitioned by query_id
+    assert(wins145.forall(_.nonEmpty), "q145 must not plan a global window")
+    Bench.clearState(spark)
+  }
+
   test("q122 shares one user exchange, q125 never joins, q126 window partitioned") {
     // q122's two row_number windows must reuse a single user_id
     // shuffle; q125's focal scatter must be a narrow explode (no
