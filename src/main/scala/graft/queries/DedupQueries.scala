@@ -273,6 +273,38 @@ object DedupQueries {
         .filter(col("rank") === 1)
         .select(col("cluster_id"), col("doc_id").as("keep_doc"), col("len"))
     }),
+    "q147_pipeline_compose" -> ((s, dir) => {
+      // the SHIPPED curation pipeline as ONE plan: near-dup collapse
+      // (q132's cluster-canonical winners, singletons surviving as
+      // themselves) → integer quality gate (q16's score) →
+      // deterministic stratified split (q121's hash) → per-(split,
+      // source) shard manifest with doc/token totals. Composition adds
+      // NO new shuffle class: cluster-partitioned argmax window,
+      // map-only gate + split, one map-side-combined final aggregate.
+      import graft.text.TextFunctions.{hash60, tokens}
+      val labels = graft.operators.ConnectedComponents.alternatingStar(
+        lshPairs(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))._1
+      val docs = Tables.documents(s, dir)
+        .withColumn("ts", tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("len"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          round(lit(1000.0) * size(array_distinct(col("ts"))) / size(col("ts")) *
+            least(lit(1.0), size(col("ts")) / lit(100.0)), 0)
+            .cast("long").as("quality_milli"))
+      val lab = docs.join(labels, Seq("doc_id"), "left")
+        .withColumn("cl", coalesce(col("cluster_id"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cl")).orderBy(col("len").desc, col("doc_id").asc)
+      val kept = lab.withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1 && col("quality_milli") >= 200)
+      val h = pmod(hash60(concat(lit("split:"), col("doc_id"))), lit(100L))
+      kept
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
     "q14_simhash" -> ((s, dir) =>
       simhashOf(Tables.documents(s, dir))),
     "q110_incremental_simhash" -> ((s, dir) => {
@@ -496,6 +528,45 @@ object DedupQueries {
         |SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies
         |FROM du GROUP BY text""".stripMargin,
     "q12_ngram_jaccard_pairs" -> allPairsJaccardOracle,
+    "q147_pipeline_compose" ->
+      s"""WITH RECURSIVE $lshCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |  UNION SELECT id_a, id_a FROM pairs
+         |  UNION SELECT id_b, id_b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), labels AS (
+         |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+         |), d AS (
+         |  SELECT doc_id, source, length(text) AS len,
+         |    CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    CAST(ROUND(1000.0*len(list_distinct(ts))/len(ts)
+         |      *LEAST(1.0, len(ts)/100.0),0) AS BIGINT) AS quality_milli
+         |  FROM (SELECT *, string_split_regex(lower(text), '\\s+') AS ts
+         |        FROM documents)
+         |), lab AS (
+         |  SELECT d.*, COALESCE(l.cluster_id, d.doc_id) AS cl
+         |  FROM d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |), kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cl
+         |      ORDER BY len DESC, doc_id ASC) AS rn FROM lab)
+         |  WHERE rn = 1 AND quality_milli >= 200
+         |), sp AS (
+         |  SELECT *, CASE
+         |    WHEN CAST('0x' || substr(md5('split:' || doc_id),1,15) AS BIGINT)
+         |      % 100 < 80 THEN 'train'
+         |    WHEN CAST('0x' || substr(md5('split:' || doc_id),1,15) AS BIGINT)
+         |      % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM kept)
+         |SELECT split, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sp GROUP BY 1, 2""".stripMargin,
     // the exact prefix-filtered join must reproduce the quadratic
     // baseline's pair set — one truth, two plans (cf. q49/q119)
     "q142_setsim_join" -> allPairsJaccardOracle,
