@@ -64,7 +64,8 @@ object Bench {
     "q127_editdist_verify", "q128_poly_overlay_area", "q129_interval_overlap", "q130_bm25_score", "q131_tile_pyramid", "q132_canonical_docs", "q133_group_median", "q134_heading_hist", "q135_kwic", "q116b_tile_terms_agg", "q136_incremental_pyramid", "q137_frame_sample", "q138_vocab_growth", "q139_vocab_overlap",
     "q140_pareto_select", "q141_grid_cluster", "q142_setsim_join",
     "q143_outlier_lengths", "q144_pip_anti", "q145_knn_classify",
-    "q146_curriculum_interleave", "q147_pipeline_compose")
+    "q146_curriculum_interleave", "q147_pipeline_compose",
+    "q148_user_growth")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -207,6 +207,26 @@ object RelationalQueries {
           sum(round(col("value") * 10000, 0).cast("long")).as("v_bp"))
         .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
           coalesce(col("ub"), lit(-1L)).as("ub"), col("n"), col("v_bp"))),
+    "q148_user_growth" -> ((s, dir) => {
+      // cumulative distinct-cardinality curve (the corpus/user growth
+      // dashboard) computed EXACTLY without any quadratic distinct:
+      // first-appearance per (event_type, user) is one map-side-combined
+      // min aggregate, daily new-user counts collapse to <= |days| rows
+      // per type, and the running total is a window over that
+      // calendar-bounded series — the cumulative-distinct problem
+      // reduced to a first-occurrence flag plus a tiny prefix sum.
+      val firsts = events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+      val days = firsts
+        .select(col("event_type"), to_date(col("first_ts")).as("d"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("d"))
+      days.select(col("event_type"), col("d").cast("string").as("day"),
+        col("new_users"), sum(col("new_users")).over(w).as("cum_users"))
+    }),
     "q108_moving_avg" -> ((s, dir) => {
       // 7-day trailing moving average over the gap-filled daily series
       // (the q102 grid) — the sliding ROWS frame surface. The average
@@ -474,6 +494,19 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_user_growth" ->
+      """WITH firsts AS (
+        |  SELECT event_type, user_id, MIN(ts) AS first_ts
+        |  FROM events GROUP BY 1, 2
+        |), days AS (
+        |  SELECT event_type, CAST(first_ts AS DATE) AS d,
+        |    COUNT(*) AS new_users
+        |  FROM firsts GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(d AS VARCHAR) AS day, new_users,
+        |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY d)
+        |    AS BIGINT) AS cum_users
+        |FROM days""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
