@@ -22,24 +22,35 @@ import org.apache.spark.sql.functions._
   *     its `a` is strictly larger, and its `b` is the suffix max
   *     `>= b`). The filter is a broadcast join against the ≤ `buckets`
   *     row threshold table — survivors hug the frontier.
-  *  3. exact finish among survivors only: a broadcast-nested-loop
-  *     anti-join under the dominance predicate. Exactness of the
-  *     restriction: if a dominator of `d` was pruned, the pruning
-  *     witness sits in a strictly higher bucket and dominates `d` too,
-  *     so following witnesses (bucket strictly increases each step)
-  *     reaches an UNPRUNED dominator — no skyline row is lost and no
-  *     dominated row survives.
+  *  3. exact finish among survivors, PER BUCKET: a survivor's
+  *     dominator can only live in its own bucket — a strictly-higher
+  *     bucket's rows all have `b <= thr < b_s` (can't dominate), a
+  *     strictly-lower bucket's rows all have `a < a_s` — and any
+  *     same-bucket dominator has `b >= b_s > thr`, so it is itself a
+  *     survivor. The finish is therefore an EQUI-join on the bucket
+  *     with the dominance predicate as residual: cost is the sum of
+  *     per-bucket survivor-count squares, never |survivors|² — no
+  *     nested loop over the whole frontier.
   *
-  * The survivor count is fail-loud capped (`survivorCap`): on a
-  * degenerate distribution (all `a` equal) pruning cannot help and the
-  * operator refuses rather than silently going quadratic.
+  *  Exactness of the restriction to survivors: if a dominator of `d`
+  *  was pruned, its pruning witness sits in a strictly higher bucket
+  *  and dominates `d` too; witness-chasing strictly increases the
+  *  bucket, so it reaches an UNPRUNED dominator — no skyline row is
+  *  lost and no dominated row survives.
+  *
+  * Fail-loud caps: `survivorCap` bounds the total survivor set and
+  * `bucketCap` bounds any single bucket's survivors (the per-bucket
+  * join is quadratic within a bucket) — on a degenerate distribution
+  * (all `a` equal) pruning cannot help and the operator refuses
+  * rather than silently melting.
   */
 object Skyline {
 
-  /** Skyline of `items` maximizing (`aCol`, `bCol`), both numeric.
-    * Output keeps the input schema. */
+  /** Skyline of `items` maximizing (`aCol`, `bCol`), both numeric and
+    * non-null. Output keeps the input schema. */
   def skyline2D(items: DataFrame, aCol: String, bCol: String,
-      buckets: Int = 256, survivorCap: Long = 2000000L): DataFrame = {
+      buckets: Int = 256, survivorCap: Long = 2000000L,
+      bucketCap: Long = 100000L): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
     val r = items.agg(min(col(aCol)).cast("double"),
@@ -66,18 +77,25 @@ object Skyline {
       .map { case (t, b) => (b, t) }.toDF("__sb", "__thr"))
     val survivors = withB.join(thrDf, "__sb")
       .filter(col(bCol).cast("double") > col("__thr"))
-      .drop("__sb", "__thr")
-      .localCheckpoint() // survivors feed both sides of the anti-join
-    val n = survivors.count()
+      .drop("__thr")
+      .localCheckpoint() // survivors feed the caps and both join sides
+    val byBucket = survivors.groupBy(col("__sb"))
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect()
+    val n = byBucket.map(_._2).sum
     require(n <= survivorCap,
       s"skyline survivor set $n exceeds cap $survivorCap — the `$aCol` " +
         "distribution is too degenerate for bucket pruning; raise `buckets` or the cap")
-    val d = survivors
-    val e = broadcast(survivors.select(
-      col(aCol).as("__ea"), col(bCol).as("__eb")))
-    d.join(e,
-      col("__ea") >= col(aCol) && col("__eb") >= col(bCol) &&
+    val hottest = if (byBucket.isEmpty) 0L else byBucket.map(_._2).max
+    require(hottest <= bucketCap,
+      s"skyline bucket holds $hottest survivors (> $bucketCap) — the finish " +
+        s"is quadratic per bucket; raise `buckets` to split the `$aCol` range finer")
+    val e = survivors.select(col("__sb").as("__esb"),
+      col(aCol).as("__ea"), col(bCol).as("__eb"))
+    survivors.join(e,
+      col("__esb") === col("__sb") &&
+        col("__ea") >= col(aCol) && col("__eb") >= col(bCol) &&
         (col("__ea") > col(aCol) || col("__eb") > col(bCol)),
       "left_anti")
+      .drop("__sb")
   }
 }

@@ -281,7 +281,7 @@ object DedupQueries {
       // source) shard manifest with doc/token totals. Composition adds
       // NO new shuffle class: cluster-partitioned argmax window,
       // map-only gate + split, one map-side-combined final aggregate.
-      import graft.text.TextFunctions.{hash60, tokens}
+      import graft.text.TextFunctions.{hash60, qualityMilli, tokens}
       val labels = graft.operators.ConnectedComponents.alternatingStar(
         lshPairs(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))._1
       val docs = Tables.documents(s, dir)
@@ -289,9 +289,7 @@ object DedupQueries {
         .select(col("doc_id"), col("source"),
           length(col("text")).cast("long").as("len"),
           size(col("ts")).cast("long").as("n_tokens"),
-          round(lit(1000.0) * size(array_distinct(col("ts"))) / size(col("ts")) *
-            least(lit(1.0), size(col("ts")) / lit(100.0)), 0)
-            .cast("long").as("quality_milli"))
+          qualityMilli(col("ts")).as("quality_milli"))
       val lab = docs.join(labels, Seq("doc_id"), "left")
         .withColumn("cl", coalesce(col("cluster_id"), col("doc_id")))
       val w = org.apache.spark.sql.expressions.Window

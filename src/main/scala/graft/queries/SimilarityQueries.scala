@@ -84,6 +84,20 @@ object SimilarityQueries {
     assign(vecs, update(assign(vecs, c0)))
   }
 
+  /** q19's exact query/corpus cosine pairs (query set = vec_id % 50,
+    * broadcast probe side) — shared verbatim by q19 and the k-NN
+    * classifier q145 so the sampling rule can never drift between
+    * them. */
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = embAsDouble(s, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cos(col("v"), col("qv")).as("cos"))
+  }
+
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
@@ -95,16 +109,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q19_cosine_topk" -> ((s, dir) => {
-      val e = embAsDouble(s, dir)
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val pairs = e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cos(col("v"), col("qv")).as("cos"))
-      topK(pairs, 5)
-    }),
+    "q19_cosine_topk" -> ((s, dir) => topK(cosinePairs(s, dir), 5)),
     "q145_knn_classify" -> ((s, dir) => {
       // k-NN majority-vote classification: each held-out query vector
       // takes its 5 exact nearest neighbors' majority label
@@ -113,16 +118,9 @@ object SimilarityQueries {
       // q19's exact top-k (broadcast probe side); the vote is one
       // aggregate over k·|queries| rows and one argmax struct fold —
       // no second pass over the corpus.
-      val e = embAsDouble(s, dir)
       val labels = Tables.embeddings(s, dir)
         .select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("nlabel"))
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val pairs = e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cos(col("v"), col("qv")).as("cos"))
-      topK(pairs, 5)
+      topK(cosinePairs(s, dir), 5)
         .join(broadcast(labels), "neighbor_id")
         .groupBy(col("query_id"), col("nlabel")).agg(count(lit(1)).as("votes"))
         .groupBy(col("query_id"))

@@ -37,11 +37,9 @@ object TextQueries {
     transform(sequence(lit(1), size(ts) - (n - 1)),
       i => array_join(slice(ts, i, lit(n)), " "))
 
-  /** q16's quality score in exact integer milli units, over a token
-    * array column — shared by q16 and the budget selection q100. */
-  private def qualityMilli(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(lit(1000.0) * size(array_distinct(ts)) / size(ts) *
-      least(lit(1.0), size(ts) / lit(100.0)), 0).cast("long")
+  // quality scoring lives in TextFunctions.qualityMilli (one
+  // definition for q16/q100/q146/q147), pulled in by the wildcard
+  // import above
 
   /** q130's fixed retrieval query terms (gazetteer members, so every
     * sf has hits). */
@@ -149,18 +147,23 @@ object TextQueries {
       // comparison scaled by n². The salt plants extreme documents
       // (cf. q83's PII salt) so the detector has real anomalies to
       // find. One map-side-combined aggregate + a broadcast per-source
-      // stats join — two narrow scans, no window, no sort. (Long
-      // arithmetic holds to ~1e9 rows × 1e4 lengths per group; a
-      // 100 TB deployment upgrades the moments to decimal(38,0).)
+      // stats join — two narrow scans, no window, no sort. The
+      // comparison runs in decimal(38,0): long squares wrap silently
+      // past n·x̄ ≈ 3e9 (≈3e5 rows of 1e4 chars per source), decimal
+      // holds to n·x̄ ≈ 1e19 — e.g. 1e12 rows × 1e4 chars per source.
+      // (The oracle's BIGINT arithmetic is the small-scale truth; at
+      // fixture scale both are exact.)
       val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
         (length(col("text")).cast("long") + when(col("doc_id") % 101 === 0,
           lit(20000L) + col("doc_id") * 7L).otherwise(lit(0L))).as("salted_len"))
       val g = d.groupBy(col("source")).agg(count(lit(1)).as("n"),
         sum(col("salted_len")).as("sx"),
         sum(col("salted_len") * col("salted_len")).as("sxx"))
-      val dev = col("n") * col("salted_len") - col("sx")
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val dev = dec(col("n")) * dec(col("salted_len")) - dec(col("sx"))
       d.join(broadcast(g), "source")
-        .filter(dev * dev > lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+        .filter(dev * dev >
+          lit(9) * (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))))
         .select(col("doc_id"), col("source"), col("salted_len"))
     }),
     "q146_curriculum_interleave" -> ((s, dir) => {
@@ -177,10 +180,16 @@ object TextQueries {
         .withColumn("ts", tokens(col("text")))
         .select(col("doc_id"), col("source"),
           qualityMilli(col("ts")).as("quality_milli"))
-      val srcs = docs.select(col("source")).distinct()
-        .withColumn("src_idx",
-          row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
-      val nSrc = srcs.count()
+      // ONE tiny job yields both the source index and |S| (collecting
+      // the ≤|S|-row distinct, like the histogram collects elsewhere);
+      // the offsets re-enter the plan as a broadcast literal frame
+      import s.implicits._
+      val srcList = docs.select(col("source")).distinct()
+        .as[String].collect().sorted
+      val nSrc = srcList.length.toLong
+      val srcs = srcList.zipWithIndex
+        .map { case (src, i) => (src, i.toLong) }.toSeq
+        .toDF("source", "src_idx")
       val w = Window.partitionBy(col("source"))
         .orderBy(col("quality_milli").desc, col("doc_id").asc)
       docs.withColumn("r", row_number().over(w).cast("long"))

@@ -75,26 +75,38 @@ object GeofenceStream {
     val farr = fences.toArray
     require(farr.length <= 1000000,
       s"fence layer ${farr.length} too large to broadcast — partition the layer")
-    val bc = spark.sparkContext.broadcast((farr, cellIndex(farr, res)))
+    // rings pre-wrapped ONCE as columnar ArrayData at broadcast build
+    // (UnsafeArrayData is Externalizable) — the per-event probe must
+    // not copy ring arrays (O(ring) garbage per candidate otherwise)
+    val wrapped: Array[(Long, ArrayData, ArrayData)] = farr.map { f =>
+      (f.way_id,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(f.xs): ArrayData,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(f.ys): ArrayData)
+    }
+    val bc = spark.sparkContext.broadcast((wrapped, cellIndex(farr, res)))
+    val streaming = positions.isStreaming
 
     def insideSet(lon: Double, lat: Double): Seq[Long] = {
       val (fs, idx) = bc.value
       idx.getOrElse(CellIndex.cellAt(lon, lat, res), Array.empty[Int])
         .iterator.map(fs(_))
-        .filter(f => PointInRingExpr.contains(
-          ArrayData.toArrayData(f.xs), ArrayData.toArrayData(f.ys), lon, lat))
-        .map(_.way_id).toSeq.distinct.sorted
+        .filter(f => PointInRingExpr.contains(f._2, f._3, lon, lat))
+        .map(_._1).toSeq.distinct.sorted
     }
 
     val src =
-      if (positions.isStreaming)
+      if (streaming)
         positions.withWatermark("ts", s"$watermarkDelayMs milliseconds")
       else positions
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState[UserState, Transition](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, incoming: Iterator[Pos], state: GroupState[UserState]) =>
-          val wm = state.getCurrentWatermarkMs()
+          // batch execution has no watermark (getCurrentWatermarkMs
+          // throws): the group is complete, so everything is provable
+          val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
           val st = state.getOption.getOrElse(UserState(false, Seq.empty, Seq.empty))
           val all = st.pending ++ (if (state.hasTimedOut) Nil else incoming.toSeq)
           // provable: no admissible future arrival (ts >= wm) can sort
@@ -114,10 +126,12 @@ object GeofenceStream {
             hasLast = true
             lastInside = cur
           }
-          state.update(UserState(hasLast, lastInside, pending))
-          // re-fire once the watermark moves, so buffered events flush
-          // without needing new data for THIS user
-          if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+          if (streaming) {
+            state.update(UserState(hasLast, lastInside, pending))
+            // re-fire once the watermark moves, so buffered events
+            // flush without needing new data for THIS user
+            if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+          }
           out.result().iterator
       }
   }

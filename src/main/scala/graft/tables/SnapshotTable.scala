@@ -442,6 +442,28 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Broadcast-size upper bound for the distinct-key anti-join build
+    * side. Fixed-width key columns use Catalyst's defaultSize;
+    * string/binary columns are MEASURED (defaultSize is a constant 20
+    * for strings, so a genuinely wide key would otherwise always pass
+    * the gate and OOM the executors). The measure is one narrow agg
+    * over the cached update batch — an upper bound, since the actual
+    * broadcast ships distinct keys only. */
+  private def keyBytesUpperBound(upd: DataFrame, keyCols: Seq[String],
+      rows: Long): Long = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val fields = upd.schema.fields.filter(f => keyCols.contains(f.name))
+    val (varF, fixedF) = fields.partition(f =>
+      f.dataType == StringType || f.dataType == BinaryType)
+    val fixed = fixedF.map(_.dataType.defaultSize.toLong).sum * rows
+    if (varF.isEmpty || rows == 0L) fixed
+    else {
+      val row = upd.select(varF.map(f =>
+        sum(coalesce(octet_length(col(f.name)).cast("long"), lit(0L)))).toSeq: _*).head()
+      fixed + varF.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i)).sum
+    }
+  }
+
   private def mergeBucketed(cur: Long, updates: DataFrame, keyCols: Seq[String],
       numBuckets: Int, deleteMarker: Option[String]): MergeResult = {
     val upd = updates.withColumn("__b", bucketExpr(keyCols, numBuckets)).cache()
@@ -464,11 +486,10 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     val keyDistinct = upd.select(keyCols.map(col): _*).distinct()
     // byte-aware broadcast gate: 5M rows of a wide string key is
     // hundreds of MB — too big to ship to every task even though the
-    // row count alone looks broadcastable. defaultSize is Catalyst's
-    // own per-type estimate (8 for longs, 20 for strings).
-    val keyWidth = keyDistinct.schema.map(_.dataType.defaultSize).sum.toLong
+    // row count alone looks broadcastable
     val keyOnly =
-      if (updateRows <= 5000000L && updateRows * keyWidth <= (256L << 20))
+      if (updateRows <= 5000000L &&
+          keyBytesUpperBound(upd, keyCols, updateRows) <= (256L << 20))
         broadcast(keyDistinct)
       else keyDistinct.hint("shuffle_hash")
     val keep =
@@ -660,8 +681,8 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     val keyD0 = upd.select(keyCols.map(col): _*).distinct()
     // same byte-aware broadcast gate as mergeBucketed: row count alone
     // lets 5M wide string keys (hundreds of MB) ship to every task
-    val keyWidth = keyD0.schema.map(_.dataType.defaultSize).sum.toLong
-    val keyD = if (n <= 5000000L && n * keyWidth <= (256L << 20))
+    val keyD = if (n <= 5000000L &&
+        keyBytesUpperBound(upd, keyCols, n) <= (256L << 20))
       broadcast(keyD0) else keyD0.hint("shuffle_hash")
     val ins = deleteMarker match {
       case Some(m) => upd.filter(!col(m)).drop(m)

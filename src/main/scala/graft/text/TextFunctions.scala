@@ -16,6 +16,15 @@ object TextFunctions {
   /** Whitespace tokenization, lowercased. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Quality score in exact integer milli units over a token array
+    * (type/token ratio damped by a short-document factor) — THE one
+    * definition shared by q16, the token-budget selection (q100), the
+    * curriculum order (q146), and the composed pipeline (q147);
+    * mirrored verbatim in each oracle. */
+  def qualityMilli(ts: Column): Column =
+    round(lit(1000.0) * size(array_distinct(ts)) / size(ts) *
+      least(lit(1.0), size(ts) / lit(100.0)), 0).cast("long")
+
   /** Deterministic 60-bit hash of a string: first 15 hex chars of md5.
     * 60 bits keeps the value positive in a signed long on both engines
     * (DuckDB mirror: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`).

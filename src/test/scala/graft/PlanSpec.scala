@@ -152,8 +152,9 @@ class PlanSpec extends SparkTestBase {
     assert(wins140.isEmpty, "q140 must not plan any window")
     val p140 = formatted(df140)
     assert(!p140.contains("CartesianProduct"), "q140 plans a cross product")
-    assert(p140.contains("BroadcastNestedLoopJoin"),
-      "q140's exact finish should be the bounded broadcast anti-join")
+    assert(!p140.contains("BroadcastNestedLoopJoin"),
+      "q140's exact finish must stay the bucket EQUI-join (dominance as " +
+        "residual), never a nested loop over the whole frontier")
     Bench.clearState(spark)
     // q142's candidate generation and verify are equi-joins only; a
     // cross product means the prefix token key got lost

@@ -44,6 +44,15 @@ class GeofenceStreamSpec extends SparkTestBase {
     assert(expected.nonEmpty, "degenerate fixture: no transitions at all")
     assert(expected.exists(_._4 == "enter") && expected.exists(_._4 == "exit"))
 
+    // the BATCH face of the same operator (no watermark: the group is
+    // complete, everything is provable) must also equal q123
+    val batchGot = GeofenceStream.transitions(
+        positions.toSeq.toDS(), fences,
+        res = graft.queries.SpatialQueries.PipRes)
+      .collect().map(t => (t.user_id, t.event_id, t.way_id, t.direction)).toSet
+    assert(batchGot == expected,
+      s"batch face ${batchGot.size} vs q123 ${expected.size}")
+
     // arrival order = event time + deterministic jitter strictly under
     // the watermark delay — the disorder the watermark contract covers
     val delayMs = 3600 * 1000L
