@@ -442,26 +442,31 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Broadcast-size upper bound for the distinct-key anti-join build
-    * side. Fixed-width key columns use Catalyst's defaultSize;
-    * string/binary columns are MEASURED (defaultSize is a constant 20
-    * for strings, so a genuinely wide key would otherwise always pass
-    * the gate and OOM the executors). The measure is one narrow agg
-    * over the cached update batch — an upper bound, since the actual
-    * broadcast ships distinct keys only. */
-  private def keyBytesUpperBound(upd: DataFrame, keyCols: Seq[String],
-      rows: Long): Long = {
+  /** Byte-aware broadcast gate inputs. Fixed-width key columns use
+    * Catalyst's defaultSize; string/binary key columns are MEASURED
+    * (defaultSize is a constant 20 for strings, so a genuinely wide
+    * key would otherwise always pass the gate and OOM the executors).
+    * The var-width sums PIGGYBACK on an aggregate the merge runs
+    * anyway — never an extra job (measured ~2 s/batch on the e2e's
+    * string-keyed triple store when run standalone). */
+  private def varKeyCols(df: DataFrame, keyCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.types.{BinaryType, StringType}
-    val fields = upd.schema.fields.filter(f => keyCols.contains(f.name))
-    val (varF, fixedF) = fields.partition(f =>
-      f.dataType == StringType || f.dataType == BinaryType)
-    val fixed = fixedF.map(_.dataType.defaultSize.toLong).sum * rows
-    if (varF.isEmpty || rows == 0L) fixed
-    else {
-      val row = upd.select(varF.map(f =>
-        sum(coalesce(octet_length(col(f.name)).cast("long"), lit(0L)))).toSeq: _*).head()
-      fixed + varF.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i)).sum
-    }
+    df.schema.fields
+      .filter(f => keyCols.contains(f.name) &&
+        (f.dataType == StringType || f.dataType == BinaryType))
+      .map(_.name).toSeq
+  }
+
+  private def varWidthAggs(varCols: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    varCols.map(c =>
+      sum(coalesce(octet_length(col(c)).cast("long"), lit(0L))).as(s"__w_$c"))
+
+  private def fixedKeyWidth(df: DataFrame, keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    df.schema.fields
+      .filter(f => keyCols.contains(f.name) &&
+        f.dataType != StringType && f.dataType != BinaryType)
+      .map(_.dataType.defaultSize.toLong).sum
   }
 
   private def mergeBucketed(cur: Long, updates: DataFrame, keyCols: Seq[String],
@@ -469,9 +474,15 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     val upd = updates.withColumn("__b", bucketExpr(keyCols, numBuckets)).cache()
     // the touched-bucket histogram is <= numBuckets small rows — the
     // ONLY thing the driver ever collects here; it doubles as the
-    // applied-row count so callers need no separate count() action
-    val updStats = upd.groupBy(col("__b")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    // applied-row count AND the var-width key-byte measure, so callers
+    // need no separate count() or sizing action
+    val varCols = varKeyCols(upd, keyCols)
+    val statRows = upd.groupBy(col("__b"))
+      .agg(count(lit(1)).as("n"), varWidthAggs(varCols): _*)
+      .collect()
+    val updStats = statRows.map(r => r.getInt(0) -> r.getLong(1))
+    val varKeyBytes = statRows.map(r =>
+      varCols.indices.map(i => if (r.isNullAt(i + 2)) 0L else r.getLong(i + 2)).sum).sum
     val touched = updStats.map(_._1).toSet
     val updateRows = updStats.map(_._2).sum
     val srcMap = bucketSources(cur)
@@ -486,10 +497,11 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     val keyDistinct = upd.select(keyCols.map(col): _*).distinct()
     // byte-aware broadcast gate: 5M rows of a wide string key is
     // hundreds of MB — too big to ship to every task even though the
-    // row count alone looks broadcastable
+    // row count alone looks broadcastable (bytes are an upper bound:
+    // the broadcast ships distinct keys only)
+    val keyBytes = updateRows * fixedKeyWidth(upd, keyCols) + varKeyBytes
     val keyOnly =
-      if (updateRows <= 5000000L &&
-          keyBytesUpperBound(upd, keyCols, updateRows) <= (256L << 20))
+      if (updateRows <= 5000000L && keyBytes <= (256L << 20))
         broadcast(keyDistinct)
       else keyDistinct.hint("shuffle_hash")
     val keep =
@@ -677,12 +689,17 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
       numBuckets: Int, deleteMarker: Option[String]): MergeResult = {
     val resolved = read()
     val upd = updates.cache()
-    val n = upd.count()
+    // ONE action yields the row count and the var-width key bytes
+    val varCols = varKeyCols(upd, keyCols)
+    val statRow = upd.agg(count(lit(1)).as("n"), varWidthAggs(varCols): _*).head()
+    val n = statRow.getLong(0)
+    val varBytes = varCols.indices
+      .map(i => if (statRow.isNullAt(i + 1)) 0L else statRow.getLong(i + 1)).sum
     val keyD0 = upd.select(keyCols.map(col): _*).distinct()
     // same byte-aware broadcast gate as mergeBucketed: row count alone
     // lets 5M wide string keys (hundreds of MB) ship to every task
     val keyD = if (n <= 5000000L &&
-        keyBytesUpperBound(upd, keyCols, n) <= (256L << 20))
+        n * fixedKeyWidth(upd, keyCols) + varBytes <= (256L << 20))
       broadcast(keyD0) else keyD0.hint("shuffle_hash")
     val ins = deleteMarker match {
       case Some(m) => upd.filter(!col(m)).drop(m)
