@@ -31,7 +31,12 @@ object SetSimJoin {
     * >= thresholdBp/10000 (inclusive), exactly. `sets` holds one row
     * per `idCol` with `setCol: array<string>` (deduplicated here).
     * Rows with EMPTY sets never pair (Jaccard undefined). Output:
-    * (id_a, id_b, inter, uni) with id_a < id_b, sizes as longs. */
+    * (id_a, id_b, inter, uni) with id_a < id_b, sizes as longs.
+    *
+    * The plan reads `sets` three times (prefix build + both verify
+    * sides) — at scale pass a STORED/persisted set table, not an
+    * expensive unmaterialized derivation; the operator deliberately
+    * does not checkpoint a corpus-sized input itself. */
   def jaccardSelfJoin(sets: DataFrame, idCol: String, setCol: String,
       thresholdBp: Int): DataFrame = {
     require(thresholdBp > 0 && thresholdBp <= 10000,
