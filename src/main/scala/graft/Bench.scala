@@ -65,7 +65,9 @@ object Bench {
     "q140_pareto_select", "q141_grid_cluster", "q142_setsim_join",
     "q143_outlier_lengths", "q144_pip_anti", "q145_knn_classify",
     "q146_curriculum_interleave", "q147_pipeline_compose",
-    "q148_user_growth")
+    "q148_user_growth", "q149_segment_intersect", "q150_block_dedup",
+    "q151_bigram_lm", "q152_crosscorpus_neardup",
+    "q153_rasterize_coverage", "q154_contours")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

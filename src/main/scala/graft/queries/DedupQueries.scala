@@ -333,7 +333,31 @@ object DedupQueries {
         .unionByName(updFp)
       keep.unionByName(simhashPairs(updFp, finalFp))
     }),
+    "q152_crosscorpus_neardup" -> ((s, dir) => {
+      // FUZZY decontamination — the near-dup complement of q61's exact
+      // n-gram check: a paraphrased benchmark set (docs %9==4 with one
+      // appended token, ids offset past the corpus) is banded and
+      // probed against the corpus's LSH bands. Candidates are
+      // CROSS-corpus band-bucket collisions only (the bench side is
+      // the small probe — never corpus×corpus pairing), and the exact
+      // Jaccard verify touches candidates alone. The oracle recomputes
+      // from the unioned corpus and keeps the cross pairs.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + BenchIdOffset).as("doc_id"),
+          concat(col("text"), lit(" eval")).as("text"))
+      val cand = bandsOf(docs).as("x").join(bandsOf(bench).as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      verifiedPairs(cand, shingleSetsOf(docs), shingleSetsOf(bench))
+    }),
   )
+
+  /** q152's id offset for the planted benchmark corpus — larger than
+    * any synthetic doc_id, so cross pairs are exactly id_a < offset <=
+    * id_b. */
+  val BenchIdOffset = 1000000000L
 
   /** 60-bit SimHash fingerprints (doc_id, simhash) over distinct
     * tokens: one explode + one groupBy with 60 conditional sums (all
@@ -526,6 +550,15 @@ object DedupQueries {
         |SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies
         |FROM du GROUP BY text""".stripMargin,
     "q12_ngram_jaccard_pairs" -> allPairsJaccardOracle,
+    "q152_crosscorpus_neardup" ->
+      s"""WITH final AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $BenchIdOffset, text || ' eval' FROM documents
+         |  WHERE doc_id % 9 = 4),
+         |${lshCtesFrom("final")}
+         |SELECT id_a, id_b, jaccard_ppm FROM pairs
+         |WHERE id_a < $BenchIdOffset AND id_b >= $BenchIdOffset""".stripMargin,
     "q147_pipeline_compose" ->
       s"""WITH RECURSIVE $lshCtes,
          |edges AS (

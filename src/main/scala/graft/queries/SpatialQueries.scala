@@ -866,11 +866,132 @@ object SpatialQueries {
         .select(col("doc_id"), col("entity"), col("seg_id"),
           round(col("d2") * 1e9, 0).cast("long").as("d2_e9"))
     }),
+    "q149_segment_intersect" -> ((s, dir) => {
+      // segment × segment INTERSECTION join (which trajectory steps
+      // cross which road diagonals): cell-prefiltered bbox overlap via
+      // the responsible-cell dedup (no distinct), then the EXACT
+      // boundary-inclusive predicate — each segment's endpoints must
+      // not lie strictly on one side of the other's line (two straddle
+      // tests), with the bbox-overlap guard settling the collinear /
+      // degenerate cases (collinear segments meet iff their boxes do;
+      // a zero-length step meets the diagonal iff it sits on it).
+      // Pure sign arithmetic mirrored expression-for-expression in the
+      // oracle; the trajectory endpoints re-derive from seg_id's
+      // closed form so only (id, 4 bbox scalars) ride the cell join,
+      // and the diagonal's endpoints ARE its bbox corners (w,h > 0).
+      val segs = Tables.events(s, dir).select(
+          col("event_id").as("id"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("px"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("py"),
+          ((col("event_id") * 31 % 200).cast("double") / 100.0 - 1.0).as("dx"),
+          ((col("event_id") * 37 % 200).cast("double") / 100.0 - 1.0).as("dy"))
+        .select(col("id"),
+          least(col("px"), col("px") + col("dx")).as("minx"),
+          least(col("py"), col("py") + col("dy")).as("miny"),
+          greatest(col("px"), col("px") + col("dx")).as("maxx"),
+          greatest(col("py"), col("py") + col("dy")).as("maxy"))
+      val diags = SynthUniverse.ways(s, dir).select(col("way_id").as("id"),
+        col("x0").as("minx"), col("y0").as("miny"),
+        (col("x0") + col("w")).as("maxx"), (col("y0") + col("h")).as("maxy"))
+      val px = (col("seg_id") * 17 % 320000).cast("double") / 1000.0 - 160.0
+      val py = (col("seg_id") * 23 % 150000).cast("double") / 1000.0 - 75.0
+      val qx = px + ((col("seg_id") * 31 % 200).cast("double") / 100.0 - 1.0)
+      val qy = py + ((col("seg_id") * 37 % 200).cast("double") / 100.0 - 1.0)
+      val d1 = (qx - px) * (col("rminy") - py) - (qy - py) * (col("rminx") - px)
+      val d2 = (qx - px) * (col("rmaxy") - py) - (qy - py) * (col("rmaxx") - px)
+      val abx = col("rmaxx") - col("rminx")
+      val aby = col("rmaxy") - col("rminy")
+      val d3 = abx * (py - col("rminy")) - aby * (px - col("rminx"))
+      val d4 = abx * (qy - col("rminy")) - aby * (qx - col("rminx"))
+      SpatialJoin.bboxOverlapJoin(segs, diags, PipRes, idCol = "id",
+          leftId = "seg_id", rightId = "way_id")
+        .filter(least(d1, d2) <= 0 && greatest(d1, d2) >= 0 &&
+          least(d3, d4) <= 0 && greatest(d3, d4) >= 0)
+        .select(col("seg_id"), col("way_id"))
+    }),
+    "q153_rasterize_coverage" -> ((s, dir) => {
+      // vector → raster materialization with EXACT per-cell coverage
+      // fractions: each polygon scatters to its covering raster cells
+      // through the closed-form index range (a narrow sequence-explode
+      // bounded to <= 12 cells/poly at RasterRes — no JTS, no join),
+      // and the covered share is exact double arithmetic: cell bounds
+      // at res 7 are exact binary doubles (360/2^7 = 2.8125), so both
+      // engines compute identical bits and the ppm rounding is safe.
+      // At 100 TB this is one narrow codegen pass over the layer.
+      val n = graft.geo.CellIndex.width(RasterRes).toDouble
+      val rects = SynthUniverse.ways(s, dir)
+        .withColumn("ix", explode(sequence(
+          floor((col("x0") + 180.0) / 360.0 * n).cast("long"),
+          floor((col("x0") + col("w") + 180.0) / 360.0 * n).cast("long"))))
+        .withColumn("iy", explode(sequence(
+          floor((col("y0") + 90.0) / 180.0 * n).cast("long"),
+          floor((col("y0") + col("h") + 90.0) / 180.0 * n).cast("long"))))
+      val lon0 = col("ix") / n * 360.0 - 180.0
+      val lat0 = col("iy") / n * 180.0 - 90.0
+      val ow = least(col("x0") + col("w"), lon0 + 360.0 / n) - greatest(col("x0"), lon0)
+      val oh = least(col("y0") + col("h"), lat0 + 180.0 / n) - greatest(col("y0"), lat0)
+      rects
+        .withColumn("cell", lit(RasterRes.toLong << graft.geo.CellIndex.ResShift)
+          .bitwiseOR(shiftleft(col("ix"), graft.geo.CellIndex.XShift))
+          .bitwiseOR(col("iy")))
+        .filter(ow > 0.0 && oh > 0.0)
+        .select(col("way_id"), col("cell"),
+          round(ow * oh / (360.0 / n) / (180.0 / n) * 1000000.0, 0)
+            .cast("long").as("coverage_ppm"))
+    }),
+    "q154_contours" -> ((s, dir) => {
+      // raster → vector: marching-squares contour extraction over the
+      // point-density raster at ContourRes, iso-level = the raster's
+      // MEAN occupied-cell count (a 1-row bounded aggregate, so the
+      // level adapts to corpus scale). Cells at/above the level
+      // SCATTER a corner bit to the <= 4 2x2 blocks they participate
+      // in (q125's join-free scatter shape — no raster self-join);
+      // one map-side-combined shuffle on the block key; blocks with
+      // 0 < case < 15 carry contour segments (2 for the saddle cases
+      // 5/10, else 1). Missing raster cells are vacuously below the
+      // level — the scatter never materializes them, so the state is
+      // O(occupied cells), never O(grid).
+      val n = graft.geo.CellIndex.width(ContourRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      val base = SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
+      val thr = base.agg(expr("sum(cnt) div count(1)").as("thr"))
+      base.crossJoin(broadcast(thr))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("ix"), col("iy"), explode(sequence(lit(0L), lit(1L))).as("dx"))
+        .select(col("ix"), col("iy"), col("dx"),
+          explode(sequence(lit(0L), lit(1L))).as("dy"))
+        .select((col("ix") - col("dx")).as("bx"), (col("iy") - col("dy")).as("by"),
+          when(col("dx") === 0 && col("dy") === 0, 1L)
+            .when(col("dx") === 1 && col("dy") === 0, 2L)
+            .when(col("dx") === 1 && col("dy") === 1, 4L)
+            .otherwise(8L).as("bit"))
+        .groupBy(col("bx"), col("by"))
+        .agg(sum(col("bit")).as("mcase"))
+        .filter(col("mcase") >= 1 && col("mcase") <= 14)
+        .select(col("bx"), col("by"), col("mcase"),
+          when(col("mcase").isin(5L, 10L), 2L).otherwise(1L).as("n_segs"))
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
     * at the synthetic layer's density. */
   val DistR = 1.0
+
+  /** q153's raster resolution: 128x128 grid — cell edges (2.8125° x
+    * 1.40625°) are EXACT binary doubles, and each synthetic rectangle
+    * (<= 4.5° per axis) covers <= 12 cells. */
+  val RasterRes = 7
+
+  /** q154's raster resolution: fine enough (512x512) that the point
+    * density forms multi-cell blobs with genuine boundaries (~200
+    * contour blocks at sf0.01, saddles included). */
+  val ContourRes = 9
 
   /** q131's pyramid levels (finest first). */
   val PyramidLevels: Seq[Int] = Seq(5, 4, 3, 2)
@@ -913,6 +1034,79 @@ object SpatialQueries {
          |      AND p.lat BETWEEN w2.y0 AND w2.y0 + w2.h)""".stripMargin
 
   lazy val oracles: Map[String, String] = Map(
+    // the straddle-sign predicate keeps LEAST/GREATEST out of the join
+    // condition (flat CTE projections — q113's DuckDB caveat)
+    "q149_segment_intersect" ->
+      s"""WITH ${SynthSql.waysCte},
+         |diag AS (SELECT way_id, x0 AS ax, y0 AS ay,
+         |  x0 + w AS bx, y0 + h AS by FROM ways),
+         |seg0 AS (SELECT event_id AS seg_id,
+         |  CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS px,
+         |  CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS py
+         |  FROM events),
+         |seg1 AS (SELECT seg_id, px, py,
+         |  px + (CAST(seg_id*31 % 200 AS DOUBLE) / 100.0 - 1.0) AS qx,
+         |  py + (CAST(seg_id*37 % 200 AS DOUBLE) / 100.0 - 1.0) AS qy
+         |  FROM seg0),
+         |seg AS (SELECT seg_id, px, py, qx, qy,
+         |  LEAST(px, qx) AS sminx, GREATEST(px, qx) AS smaxx,
+         |  LEAST(py, qy) AS sminy, GREATEST(py, qy) AS smaxy FROM seg1),
+         |cand AS (
+         |  SELECT seg_id, way_id,
+         |    (s.qx - s.px)*(d.ay - s.py) - (s.qy - s.py)*(d.ax - s.px) AS d1,
+         |    (s.qx - s.px)*(d.by - s.py) - (s.qy - s.py)*(d.bx - s.px) AS d2,
+         |    (d.bx - d.ax)*(s.py - d.ay) - (d.by - d.ay)*(s.px - d.ax) AS d3,
+         |    (d.bx - d.ax)*(s.qy - d.ay) - (d.by - d.ay)*(s.qx - d.ax) AS d4
+         |  FROM seg s JOIN diag d
+         |    ON s.sminx <= d.bx AND d.ax <= s.smaxx
+         |   AND s.sminy <= d.by AND d.ay <= s.smaxy)
+         |SELECT seg_id, way_id FROM cand
+         |WHERE LEAST(d1, d2) <= 0 AND GREATEST(d1, d2) >= 0
+         |  AND LEAST(d3, d4) <= 0 AND GREATEST(d3, d4) >= 0""".stripMargin,
+    "q153_rasterize_coverage" -> {
+      val n = graft.geo.CellIndex.width(RasterRes)
+      s"""WITH ${SynthSql.waysCte},
+         |c AS (SELECT way_id, x0, y0, w, h,
+         |    unnest(range(CAST(FLOOR((x0 + 180.0) / 360.0 * $n) AS BIGINT),
+         |                 CAST(FLOOR((x0 + w + 180.0) / 360.0 * $n) AS BIGINT) + 1)) AS ix
+         |  FROM ways),
+         |cc AS (SELECT way_id, x0, y0, w, h, ix,
+         |    unnest(range(CAST(FLOOR((y0 + 90.0) / 180.0 * $n) AS BIGINT),
+         |                 CAST(FLOOR((y0 + h + 90.0) / 180.0 * $n) AS BIGINT) + 1)) AS iy
+         |  FROM c),
+         |o AS (SELECT way_id,
+         |    ((${RasterRes.toLong << graft.geo.CellIndex.ResShift}::BIGINT)
+         |      | (ix << ${graft.geo.CellIndex.XShift}) | iy) AS cell,
+         |    LEAST(x0 + w, ix / $n.0 * 360.0 - 180.0 + 360.0 / $n)
+         |      - GREATEST(x0, ix / $n.0 * 360.0 - 180.0) AS ow,
+         |    LEAST(y0 + h, iy / $n.0 * 180.0 - 90.0 + 180.0 / $n)
+         |      - GREATEST(y0, iy / $n.0 * 180.0 - 90.0) AS oh
+         |  FROM cc)
+         |SELECT way_id, cell,
+         |  CAST(ROUND(ow * oh / (360.0 / $n) / (180.0 / $n) * 1000000.0, 0) AS BIGINT)
+         |    AS coverage_ppm
+         |FROM o WHERE ow > 0.0 AND oh > 0.0""".stripMargin
+    },
+    "q154_contours" -> {
+      val n = graft.geo.CellIndex.width(ContourRes)
+      s"""WITH ${SynthSql.pointsCte},
+         |c AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy,
+         |    COUNT(*) AS cnt
+         |  FROM points GROUP BY 1, 2),
+         |t AS (SELECT SUM(cnt) // COUNT(*) AS thr FROM c),
+         |blocks AS (
+         |  SELECT ix - dx AS bx, iy - dy AS by,
+         |    CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1
+         |                  WHEN dx = 1 AND dy = 0 THEN 2
+         |                  WHEN dx = 1 AND dy = 1 THEN 4 ELSE 8 END) AS BIGINT) AS mcase
+         |  FROM c, t, range(0, 2) a(dx), range(0, 2) b(dy)
+         |  WHERE c.cnt >= t.thr GROUP BY 1, 2)
+         |SELECT bx, by, mcase,
+         |  CASE WHEN mcase IN (5, 10) THEN 2::BIGINT ELSE 1::BIGINT END AS n_segs
+         |FROM blocks WHERE mcase BETWEEN 1 AND 14""".stripMargin
+    },
     // cluster labels via full transitive closure + MIN — the small-scale
     // truth the alternating-star plan must reproduce exactly (the
     // abs<=1 self-pair keeps singleton core cells labeled with their

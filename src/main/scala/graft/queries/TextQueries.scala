@@ -752,6 +752,66 @@ object TextQueries {
           greatest(col("t1"), col("t2")).as("w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pairs"))
     }),
+    "q150_block_dedup" -> ((s, dir) => {
+      // corpus-level LINE/paragraph dedup (the CCNet shape): text
+      // splits into non-overlapping 5-token blocks, and a block
+      // survives only at its globally FIRST occurrence (min (doc_id,
+      // position)); every later copy is boilerplate and drops. ONE
+      // explode, one map-side-combined min aggregate on the block key,
+      // one join back — hot template blocks collapse straight into the
+      // per-doc counts, exactly q120's tolerance argument. The
+      // first-occurrence key packs (doc_id, position) into one long
+      // (position stride 1e6 — documents are pages, never 5M tokens).
+      val B = 5
+      val toksD = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= B)
+      val blocks = toksD
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(0L),
+            floor(size(col("ts")) / B).cast("long") - 1)).as("bi"))
+        .select(col("doc_id"), col("bi"),
+          concat_ws(" ", (0 until B).map(j =>
+            element_at(col("ts"), (col("bi") * B + j + 1).cast("int"))): _*)
+            .as("blk"))
+      val key = col("doc_id") * 1000000L + col("bi")
+      val firsts = blocks.groupBy(col("blk"))
+        .agg(min(col("doc_id") * 1000000L + col("bi")).as("firstkey"))
+      blocks.join(firsts, "blk")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(key === col("firstkey"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(key === col("firstkey"), col("bi")).otherwise(0L))
+            .as("kept_pos_sum"))
+    }),
+    "q151_bigram_lm" -> ((s, dir) => {
+      // corpus-trained bigram LM scoring (the KenLM-shaped fluency
+      // signal, log-free): p(w2|w1) = c(w1 w2) / c(w1 ·) in exact
+      // integer ppm, doc score = the mean over its bigrams — fluent
+      // boilerplate scores high, token salad scores low. The "model"
+      // aggregates map-side off ONE bigram stream (the prefix counts
+      // reduce the already-aggregated bigram table, not the stream),
+      // and both count tables are vocabulary-bounded → broadcast; the
+      // scoring pass is a narrow broadcast-join over the stream, never
+      // a corpus shuffle.
+      val toksD = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val bg = toksD
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+        .select(col("doc_id"),
+          element_at(col("ts"), col("i")).as("w1"),
+          element_at(col("ts"), col("i") + 1).as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      bg.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .withColumn("p_ppm", expr("c2 * 1000000 div c1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
+        .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -1160,6 +1220,39 @@ object TextQueries {
         |    LATERAL unnest(generate_series(1, 3)) AS tk(k)
         |  WHERE p + k <= len(ts))
         |SELECT w1, w2, COUNT(*) AS n_pairs FROM pr GROUP BY 1, 2""".stripMargin,
+    "q150_block_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents),
+        |blk AS (SELECT doc_id,
+        |    unnest(range(0, len(ts)//5)) AS bi,
+        |    unnest([array_to_string(ts[j*5+1:j*5+5], ' ')
+        |            for j in range(0, len(ts)//5)]) AS blk
+        |  FROM toks WHERE len(ts) >= 5),
+        |f AS (SELECT blk, MIN(doc_id*1000000 + bi) AS firstkey
+        |  FROM blk GROUP BY blk)
+        |SELECT b.doc_id, COUNT(*) AS n_blocks,
+        |  CAST(SUM(CASE WHEN b.doc_id*1000000 + b.bi = f.firstkey
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN b.doc_id*1000000 + b.bi = f.firstkey
+        |    THEN b.bi ELSE 0 END) AS BIGINT) AS kept_pos_sum
+        |FROM blk b JOIN f ON b.blk = f.blk
+        |GROUP BY b.doc_id""".stripMargin,
+    "q151_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest([ts[i] for i in range(1, len(ts))]) AS w1,
+        |    unnest([ts[i+1] for i in range(1, len(ts))]) AS w2
+        |  FROM toks WHERE len(ts) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(c2.c2 * 1000000 // c1.c1) AS BIGINT) AS sum_ppm,
+        |  CAST(SUM(c2.c2 * 1000000 // c1.c1) // COUNT(*) AS BIGINT) AS avg_ppm
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =

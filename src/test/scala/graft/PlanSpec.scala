@@ -173,6 +173,40 @@ class PlanSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
+  test("q149-q154 wave: equi-joins, join-free rasterize, broadcast LM scoring") {
+    // q149's segment×segment join must stay the cell equi-join with
+    // the straddle refine as a residual — never an all-pairs product
+    val p149 = formatted(SparkEntry.queries("q149_segment_intersect")(spark, sfSmoke))
+    assert(!p149.contains("CartesianProduct"), "q149 plans a cross product")
+    assert(!p149.contains("BroadcastNestedLoopJoin"), "q149 plans a nested loop")
+    Bench.clearState(spark)
+    // q153's rasterization is a pure narrow scatter — no join at all
+    val p153 = formatted(SparkEntry.queries("q153_rasterize_coverage")(spark, sfSmoke))
+    assert(!p153.contains("Join"), "q153's coverage scatter must not join")
+    Bench.clearState(spark)
+    // q154's only join is the 1-row iso-level broadcast; the corner
+    // scatter itself is join-free and the block fold is an aggregate
+    val p154 = formatted(SparkEntry.queries("q154_contours")(spark, sfSmoke))
+    assert(!p154.contains("CartesianProduct"), "q154 plans a cross product")
+    assert(!p154.contains("SortMergeJoin") && !p154.contains("ShuffledHashJoin"),
+      "q154 must not shuffle-join — only the 1-row threshold broadcast")
+    Bench.clearState(spark)
+    // q150's first-occurrence join is an equi-join on the block key
+    val p150 = formatted(SparkEntry.queries("q150_block_dedup")(spark, sfSmoke))
+    assert(!p150.contains("CartesianProduct"), "q150 plans a cross product")
+    Bench.clearState(spark)
+    // q151's scoring pass must broadcast both count tables — the
+    // corpus stream is never shuffled for the join
+    val p151 = formatted(SparkEntry.queries("q151_bigram_lm")(spark, sfSmoke))
+    assert(p151.contains("BroadcastHashJoin"), "q151 must broadcast the model")
+    assert(!p151.contains("SortMergeJoin"), "q151 shuffles the corpus to join")
+    Bench.clearState(spark)
+    // q152's cross-corpus candidates come from band equi-joins only
+    val p152 = formatted(SparkEntry.queries("q152_crosscorpus_neardup")(spark, sfSmoke))
+    assert(!p152.contains("CartesianProduct"), "q152 plans a cross product")
+    Bench.clearState(spark)
+  }
+
   test("q122 shares one user exchange, q125 never joins, q126 window partitioned") {
     // q122's two row_number windows must reuse a single user_id
     // shuffle; q125's focal scatter must be a narrow explode (no
