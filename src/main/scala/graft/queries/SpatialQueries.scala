@@ -939,6 +939,47 @@ object SpatialQueries {
           round(ow * oh / (360.0 / n) / (180.0 / n) * 1000000.0, 0)
             .cast("long").as("coverage_ppm"))
     }),
+    "q156_temporal_pip" -> ((s, dir) => {
+      // TEMPORAL point-in-polygon (bitemporal join): each event joins
+      // the polygon VERSION that was valid at its timestamp — way w
+      // carries 1 + w%3 versions a week apart, each drifting +0.25°
+      // east — then containment is tested against THAT version only
+      // (a point outside the then-current geometry matches nothing,
+      // even if an older version contained it). Plan: the way's
+      // all-version ENVELOPE covers cells once, each point probes its
+      // OWN cell (duplicate-free by construction), versions explode
+      // only on surviving candidates, and the valid-version pick is a
+      // bounded max AGGREGATE (never a window). Timestamps compare as
+      // timestamps — no epoch truncation on either engine.
+      val n = graft.geo.CellIndex.width(PipRes).toDouble
+      val env = SynthUniverse.ways(s, dir)
+        .withColumn("cx", explode(sequence(
+          floor((col("x0") + 180.0) / 360.0 * n).cast("long"),
+          floor((col("x0") + 0.5 + col("w") + 180.0) / 360.0 * n).cast("long"))))
+        .withColumn("cy", explode(sequence(
+          floor((col("y0") + 90.0) / 180.0 * n).cast("long"),
+          floor((col("y0") + col("h") + 90.0) / 180.0 * n).cast("long"))))
+        .select(col("way_id"), col("x0"), col("y0"), col("w"), col("h"),
+          lit(PipRes.toLong << graft.geo.CellIndex.ResShift)
+            .bitwiseOR(shiftleft(col("cx"), graft.geo.CellIndex.XShift))
+            .bitwiseOR(col("cy")).as("cell"))
+      val pts = Tables.events(s, dir).select(col("event_id"), col("ts"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
+        .withColumn("cell", GeoFunctions.cellAt(col("lon"), col("lat"), PipRes))
+      pts.join(env, "cell")
+        .filter(col("lat") >= col("y0") && col("lat") <= col("y0") + col("h"))
+        .select(col("event_id"), col("ts"), col("lon"),
+          col("way_id"), col("x0"), col("w"),
+          explode(sequence(lit(1L), lit(1L) + pmod(col("way_id"), lit(3L)))).as("v"))
+        .filter(col("ts") >= timestamp_seconds(lit(1704067200L) +
+          pmod(col("way_id"), lit(86400L)) + (col("v") - 1L) * 604800L))
+        .groupBy(col("event_id"), col("way_id"), col("lon"), col("x0"), col("w"))
+        .agg(max(col("v")).as("version"))
+        .withColumn("x0v", col("x0") + (col("version") - 1L).cast("double") * 0.25)
+        .filter(col("lon") >= col("x0v") && col("lon") <= col("x0v") + col("w"))
+        .select(col("event_id"), col("way_id"), col("version"))
+    }),
     "q154_contours" -> ((s, dir) => {
       // raster → vector: marching-squares contour extraction over the
       // point-density raster at ContourRes, iso-level = the raster's
@@ -1087,6 +1128,30 @@ object SpatialQueries {
          |    AS coverage_ppm
          |FROM o WHERE ow > 0.0 AND oh > 0.0""".stripMargin
     },
+    // the oracle prefilters pairs by the version-independent y-extent
+    // and the all-version x-ENVELOPE (a superset of every version's
+    // range, so the MAX(v) pick sees exactly the valid versions);
+    // final containment tests the CHOSEN version only — mirroring the
+    // Spark plan's cell-join superset + post-aggregate refine
+    "q156_temporal_pip" ->
+      s"""WITH ${SynthSql.waysCte},
+         |pos AS (SELECT event_id, ts,
+         |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
+         |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
+         |  FROM events),
+         |cand AS (SELECT p.event_id, p.ts, p.lon, w.way_id, w.x0, w.w
+         |  FROM pos p JOIN ways w
+         |    ON p.lat >= w.y0 AND p.lat <= w.y0 + w.h
+         |   AND p.lon >= w.x0 AND p.lon <= w.x0 + 0.5 + w.w),
+         |vv AS (SELECT event_id, way_id, lon, x0, w, MAX(v) AS version
+         |  FROM cand,
+         |    LATERAL unnest(generate_series(1, 1 + way_id % 3)) AS g(v)
+         |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |    + (way_id % 86400 + (v - 1) * 604800) * INTERVAL 1 SECOND
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT event_id, way_id, version FROM vv
+         |WHERE lon >= x0 + (version - 1) * 0.25
+         |  AND lon <= x0 + (version - 1) * 0.25 + w""".stripMargin,
     "q154_contours" -> {
       val n = graft.geo.CellIndex.width(ContourRes)
       s"""WITH ${SynthSql.pointsCte},

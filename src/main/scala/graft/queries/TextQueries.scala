@@ -784,6 +784,46 @@ object TextQueries {
           sum(when(key === col("firstkey"), col("bi")).otherwise(0L))
             .as("kept_pos_sum"))
     }),
+    "q155_bm25_retrieval" -> ((s, dir) => {
+      // sparse text RETRIEVAL (the leakage-audit / eval-dedup shape):
+      // each paraphrased benchmark doc (q152's planted set) retrieves
+      // its top-3 corpus docs by summed integer idf over shared
+      // DISTINCT bigrams. The weighted query-term batch is tiny →
+      // BROADCAST against the corpus posting stream (the retrieval
+      // scale shape: queries ride to the postings, the corpus never
+      // reshuffles per query batch); scores aggregate map-side; the
+      // top-k window partitions by query. At web vocabulary a df
+      // cutoff drops stopword-grade terms before the probe (q89's
+      // skew note) — the synthetic bigram vocab is already selective.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def bigramsOf(d: DataFrame, idCol: String): DataFrame = d
+        .select(col(idCol), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col(idCol),
+          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"), col("ts"))
+        .select(col(idCol),
+          concat_ws(" ", element_at(col("ts"), col("i")),
+            element_at(col("ts"), col("i") + 1)).as("bg"))
+        .distinct()
+      val cb = bigramsOf(docs, "doc_id")
+      val bench = docs.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + 1000000000L).as("query_id"),
+          concat(col("text"), lit(" eval")).as("text"))
+      val qb = bigramsOf(bench, "query_id")
+      val dfreq = cb.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val qw = qb.join(dfreq, "bg").crossJoin(n)
+        .select(col("query_id"), col("bg"), expr("n * 1000 div df").as("w"))
+      val scored = cb.join(broadcast(qw), "bg")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("w")).as("score"), count(lit(1)).as("n_shared"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("n_shared"), col("rank"))
+    }),
     "q151_bigram_lm" -> ((s, dir) => {
       // corpus-trained bigram LM scoring (the KenLM-shaped fluency
       // signal, log-free): p(w2|w1) = c(w1 w2) / c(w1 ·) in exact
@@ -1238,6 +1278,32 @@ object TextQueries {
         |    THEN b.bi ELSE 0 END) AS BIGINT) AS kept_pos_sum
         |FROM blk b JOIN f ON b.blk = f.blk
         |GROUP BY b.doc_id""".stripMargin,
+    "q155_bm25_retrieval" ->
+      """WITH cb AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |        FROM documents),
+        |    LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        |  WHERE len(ts) >= 2),
+        |qb AS (
+        |  SELECT DISTINCT doc_id + 1000000000 AS query_id,
+        |    ts[i] || ' ' || ts[i+1] AS bg
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(text || ' eval'), '\s+') AS ts
+        |        FROM documents WHERE doc_id % 9 = 4),
+        |    LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        |  WHERE len(ts) >= 2),
+        |df AS (SELECT bg, COUNT(*) AS df FROM cb GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT qb.query_id, cb.doc_id,
+        |    CAST(SUM((SELECT n FROM n) * 1000 // df.df) AS BIGINT) AS score,
+        |    COUNT(*) AS n_shared
+        |  FROM qb JOIN df USING (bg) JOIN cb USING (bg)
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score, n_shared, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM sc)
+        |WHERE rank <= 3""".stripMargin,
     "q151_bigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts

@@ -173,7 +173,7 @@ class PlanSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
-  test("q149-q154 wave: equi-joins, join-free rasterize, broadcast LM scoring") {
+  test("q149-q156 wave: equi-joins, join-free rasterize, broadcast LM/retrieval probes") {
     // q149's segment×segment join must stay the cell equi-join with
     // the straddle refine as a residual — never an all-pairs product
     val p149 = formatted(SparkEntry.queries("q149_segment_intersect")(spark, sfSmoke))
@@ -204,6 +204,28 @@ class PlanSpec extends SparkTestBase {
     // q152's cross-corpus candidates come from band equi-joins only
     val p152 = formatted(SparkEntry.queries("q152_crosscorpus_neardup")(spark, sfSmoke))
     assert(!p152.contains("CartesianProduct"), "q152 plans a cross product")
+    Bench.clearState(spark)
+    // q155's scoring probe must broadcast the weighted query batch —
+    // the corpus posting stream is never reshuffled per query set —
+    // and its only window is the query-partitioned top-k
+    val df155 = SparkEntry.queries("q155_bm25_retrieval")(spark, sfSmoke)
+    val p155 = formatted(df155)
+    assert(p155.contains("BroadcastHashJoin"), "q155 must broadcast the query batch")
+    val wins155 = df155.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(wins155.nonEmpty && wins155.forall(_.nonEmpty),
+      "q155's top-k window must be partitioned by query")
+    Bench.clearState(spark)
+    // q156's version pick is a bounded max AGGREGATE, never a window,
+    // and the candidate join stays the cell equi-join
+    val df156 = SparkEntry.queries("q156_temporal_pip")(spark, sfSmoke)
+    val p156 = formatted(df156)
+    assert(!p156.contains("CartesianProduct"), "q156 plans a cross product")
+    val wins156 = df156.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins156.isEmpty, "q156 must pick the valid version by aggregate, not window")
     Bench.clearState(spark)
   }
 
