@@ -939,6 +939,107 @@ object SpatialQueries {
           round(ow * oh / (360.0 / n) / (180.0 / n) * 1000000.0, 0)
             .cast("long").as("coverage_ppm"))
     }),
+    "q157_compact_cover" -> ((s, dir) => {
+      // hierarchical cell-set COMPACTION (the H3 `compact` op): each
+      // polygon's res-9 cover collapses any complete 2x2 sibling quad
+      // into its parent, recursively — the canonical way to ship a
+      // multi-resolution coverage index at a fraction of the cells.
+      // Each round is one map-side-combined count on the parent key +
+      // one anti-join on the SHRINKING promoted set (rounds bounded by
+      // the resolution ladder, 9→6 here; a res-5 parent needs a
+      // complete aligned 16x16 base block, > 10.5° of lon span —
+      // geometrically impossible for <= 4.5° rectangles, so res 6 is
+      // the true floor, not a truncation).
+      import graft.geo.CellIndex.{ResShift, XShift}
+      val n9 = graft.geo.CellIndex.width(CompactBase).toDouble
+      def packed(r: Int): Column = lit(r.toLong << ResShift)
+        .bitwiseOR(shiftleft(col("ix"), XShift)).bitwiseOR(col("iy"))
+      var cur = SynthUniverse.ways(s, dir)
+        .withColumn("ix", explode(sequence(
+          floor((col("x0") + 180.0) / 360.0 * n9).cast("long"),
+          floor((col("x0") + col("w") + 180.0) / 360.0 * n9).cast("long"))))
+        .withColumn("iy", explode(sequence(
+          floor((col("y0") + 90.0) / 180.0 * n9).cast("long"),
+          floor((col("y0") + col("h") + 90.0) / 180.0 * n9).cast("long"))))
+        .select(col("way_id"), col("ix"), col("iy"))
+      var out: DataFrame = null
+      for (r <- CompactBase until 6 by -1) {
+        val parents = cur
+          .groupBy(col("way_id"), shiftright(col("ix"), 1).as("px"),
+            shiftright(col("iy"), 1).as("py"))
+          .agg(count(lit(1)).as("nc"))
+        val full = parents.filter(col("nc") === 4)
+          .select(col("way_id"), col("px"), col("py"))
+        val keep = cur
+          .withColumn("px", shiftright(col("ix"), 1))
+          .withColumn("py", shiftright(col("iy"), 1))
+          .join(full, Seq("way_id", "px", "py"), "left_anti")
+          .select(col("way_id"), packed(r).as("cell"))
+        out = if (out == null) keep else out.unionByName(keep)
+        cur = full.select(col("way_id"), col("px").as("ix"), col("py").as("iy"))
+      }
+      out.unionByName(cur.select(col("way_id"), packed(6).as("cell")))
+        .select(col("way_id"), col("cell"),
+          shiftright(col("cell"), ResShift).cast("int").as("res"))
+    }),
+    "q158_cotraveler_pairs" -> ((s, dir) => {
+      // co-traveler detection: user pairs whose trajectories co-visit
+      // >= 20 distinct tiles. The pairing is an inverted tile index
+      // self-join (each shared tile emits the pair once — distinct
+      // (user, tile) first), the count aggregates map-side, and the
+      // Jaccard enrichments join the per-user footprint sizes back on
+      // the surviving pairs only. Per-tile pairing is quadratic in
+      // tile occupancy — the production key is (tile, time-bucket)
+      // and a hot-tile cutoff (q115's stopword note), which this
+      // plan's shape absorbs unchanged.
+      val t = Tables.events(s, dir).select(col("user_id"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
+        .select(col("user_id"),
+          GeoFunctions.cellAt(col("lon"), col("lat"), TileRes).as("tile"))
+        .distinct()
+      val sizes = t.groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
+      val pairs = t.as("a").join(t.as("b"),
+          col("a.tile") === col("b.tile") && col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 20)
+      pairs
+        .join(sizes.select(col("user_id").as("user_a"), col("nt").as("na")), "user_a")
+        .join(sizes.select(col("user_id").as("user_b"), col("nt").as("nb")), "user_b")
+        .select(col("user_a"), col("user_b"), col("n_shared"),
+          expr("n_shared * 10000 div (na + nb - n_shared)").as("jaccard_bp"))
+    }),
+    "q159_spatial_balance" -> ((s, dir) => {
+      // partitioner-quality audit of the point raster: occupancy skew
+      // as exact integers — max/mean ratio and the Gini coefficient
+      // over per-cell counts. The per-cell aggregate is the only
+      // corpus shuffle; the Gini rank needs a total order over the
+      // BOUNDED occupied-cell table (<= 4^res rows, ~340 here), done
+      // as one sorted-array aggregate + posexplode — no window
+      // anywhere (the engine keeps its no-unpartitioned-window
+      // invariant). This measurement is what feeds the salting
+      // decision (q30b's histogram pre-pass).
+      val n = graft.geo.CellIndex.width(ContourRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
+        .agg(sort_array(collect_list(struct(col("cnt"), col("ix"), col("iy"))))
+          .as("cells"))
+        .select(posexplode(col("cells")))
+        .select((col("pos") + 1).as("i"), col("col.cnt").as("cnt"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("total_points"),
+          max(col("cnt")).as("max_cnt"), sum(col("i") * col("cnt")).as("s2"))
+        .select(col("n_cells"), col("total_points"), col("max_cnt"),
+          expr("max_cnt * n_cells * 10000 div total_points").as("max_mean_bp"),
+          expr("20000 * s2 div (n_cells * total_points)" +
+            " - 10000 * (n_cells + 1) div n_cells").as("gini_bp"))
+    }),
     "q156_temporal_pip" -> ((s, dir) => {
       // TEMPORAL point-in-polygon (bitemporal join): each event joins
       // the polygon VERSION that was valid at its timestamp — way w
@@ -1034,6 +1135,14 @@ object SpatialQueries {
     * contour blocks at sf0.01, saddles included). */
   val ContourRes = 9
 
+  /** q157's base cover resolution: at 512x512 the rectangles cover
+    * 3-8 x 5-14 cells, so complete sibling quads exist at the res-8
+    * and res-7 promotion rounds, and a 4.5°-wide rectangle can just
+    * cover a complete aligned 8x8 block (8 x 0.703° needs > 4.22° of
+    * span), so res-6 parents occur too. Res 5 (16x16, > 10.5°) is
+    * geometrically impossible — the ladder's true floor. */
+  val CompactBase = 9
+
   /** q131's pyramid levels (finest first). */
   val PyramidLevels: Seq[Int] = Seq(5, 4, 3, 2)
 
@@ -1127,6 +1236,76 @@ object SpatialQueries {
          |  CAST(ROUND(ow * oh / (360.0 / $n) / (180.0 / $n) * 1000000.0, 0) AS BIGINT)
          |    AS coverage_ppm
          |FROM o WHERE ow > 0.0 AND oh > 0.0""".stripMargin
+    },
+    "q157_compact_cover" -> {
+      import graft.geo.CellIndex.{ResShift, XShift}
+      val n9 = graft.geo.CellIndex.width(CompactBase)
+      def pack(r: Int) =
+        s"((${r.toLong << ResShift}::BIGINT) | (ix << $XShift) | iy)"
+      // one CTE stage per promotion round, mirroring the Spark loop
+      val rounds = (CompactBase until 6 by -1).map { r =>
+        s"""p$r AS (SELECT way_id, ix >> 1 AS px, iy >> 1 AS py,
+           |    COUNT(*) AS nc
+           |  FROM c$r GROUP BY 1, 2, 3),
+           |k$r AS (SELECT c$r.way_id, ${pack(r)} AS cell
+           |  FROM c$r JOIN p$r ON c$r.way_id = p$r.way_id
+           |    AND (c$r.ix >> 1) = p$r.px AND (c$r.iy >> 1) = p$r.py
+           |  WHERE p$r.nc < 4),
+           |c${r - 1} AS (SELECT way_id, px AS ix, py AS iy
+           |  FROM p$r WHERE nc = 4)""".stripMargin
+      }.mkString(",\n")
+      val keeps = (CompactBase until 6 by -1)
+        .map(r => s"SELECT way_id, cell FROM k$r").mkString("\nUNION ALL\n")
+      s"""WITH ${SynthSql.waysCte},
+         |cx AS (SELECT way_id, y0, h,
+         |    unnest(range(CAST(FLOOR((x0 + 180.0) / 360.0 * $n9) AS BIGINT),
+         |      CAST(FLOOR((x0 + w + 180.0) / 360.0 * $n9) AS BIGINT) + 1)) AS ix
+         |  FROM ways),
+         |c$CompactBase AS (SELECT way_id, ix,
+         |    unnest(range(CAST(FLOOR((y0 + 90.0) / 180.0 * $n9) AS BIGINT),
+         |      CAST(FLOOR((y0 + h + 90.0) / 180.0 * $n9) AS BIGINT) + 1)) AS iy
+         |  FROM cx),
+         |$rounds
+         |SELECT way_id, cell, CAST(cell >> $ResShift AS INT) AS res FROM (
+         |$keeps
+         |UNION ALL
+         |SELECT way_id, ${pack(6)} AS cell FROM c6)""".stripMargin
+    },
+    "q158_cotraveler_pairs" ->
+      s"""WITH pos AS (SELECT user_id,
+         |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
+         |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
+         |  FROM events),
+         |t AS (SELECT DISTINCT user_id,
+         |    ${GeoFunctions.cellAtSql("lon", "lat", TileRes)} AS tile
+         |  FROM pos),
+         |sz AS (SELECT user_id, COUNT(*) AS nt FROM t GROUP BY 1),
+         |p AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |    COUNT(*) AS n_shared
+         |  FROM t a JOIN t b ON a.tile = b.tile AND a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+         |SELECT user_a, user_b, n_shared,
+         |  n_shared * 10000 // (sa.nt + sb.nt - n_shared) AS jaccard_bp
+         |FROM p JOIN sz sa ON p.user_a = sa.user_id
+         |       JOIN sz sb ON p.user_b = sb.user_id""".stripMargin,
+    "q159_spatial_balance" -> {
+      val n = graft.geo.CellIndex.width(ContourRes)
+      s"""WITH ${SynthSql.pointsCte},
+         |c AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy,
+         |    COUNT(*) AS cnt
+         |  FROM points GROUP BY 1, 2),
+         |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, ix, iy) AS i
+         |  FROM c),
+         |s AS (SELECT COUNT(*) AS n_cells, CAST(SUM(cnt) AS BIGINT) AS total_points,
+         |    MAX(cnt) AS max_cnt, CAST(SUM(i * cnt) AS BIGINT) AS s2
+         |  FROM r)
+         |SELECT n_cells, total_points, max_cnt,
+         |  max_cnt * n_cells * 10000 // total_points AS max_mean_bp,
+         |  20000 * s2 // (n_cells * total_points)
+         |    - 10000 * (n_cells + 1) // n_cells AS gini_bp
+         |FROM s""".stripMargin
     },
     // the oracle prefilters pairs by the version-independent y-extent
     // and the all-version x-ENVELOPE (a superset of every version's

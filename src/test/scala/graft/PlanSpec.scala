@@ -227,6 +227,22 @@ class PlanSpec extends SparkTestBase {
     }
     assert(wins156.isEmpty, "q156 must pick the valid version by aggregate, not window")
     Bench.clearState(spark)
+    // q157's promotion rounds are aggregate + anti EQUI-joins; q158's
+    // pairing is the tile equi-join; q159 keeps the engine's
+    // no-unpartitioned-window invariant (bounded sorted-array
+    // aggregate instead)
+    for (q <- Seq("q157_compact_cover", "q158_cotraveler_pairs")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+      Bench.clearState(spark)
+    }
+    val df159 = SparkEntry.queries("q159_spatial_balance")(spark, sfSmoke)
+    val wins159 = df159.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins159.isEmpty, "q159 must not plan any window")
+    Bench.clearState(spark)
   }
 
   test("q122 shares one user exchange, q125 never joins, q126 window partitioned") {
