@@ -78,6 +78,33 @@ object GraphQueries {
         .distinct()
       graft.operators.Triangles.count(e)
     }),
+    "q161_bfs_hops" -> ((s, dir) => {
+      // multi-source BFS hop distance from a seed set — the Pregel
+      // frontier shape a crawl-distance / influence-radius job runs:
+      // per round ONE equi-join frontier⋈links on src (the link table
+      // would stay hash-partitioned on src at scale, every round
+      // reusing that exchange) + one left_anti against the visited
+      // set, round-local dedup by distinct (never a window). K is a
+      // FIXED hop cap, so the driver loop runs no per-round count();
+      // for unbounded BFS the loop-until-empty variant adds q119's
+      // per-round localCheckpoint. Rows: (doc_id, hops) = min #links
+      // from any seed, hops <= 4; unreached docs are absent.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val lnk = links(docs, n)
+      var visited = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), lit(0L).as("hops"))
+      var frontier = visited.select(col("doc_id"))
+      for (k <- 1 to 4) {
+        val next = frontier.join(lnk, frontier("doc_id") === lnk("src"))
+          .select(col("dst").as("doc_id")).distinct()
+          .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(k.toLong).as("hops"))
+        visited = visited.unionByName(next)
+        frontier = next.select(col("doc_id"))
+      }
+      visited
+    }),
     "q90_pagerank" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val n = docs.count()
@@ -112,6 +139,20 @@ object GraphQueries {
         |      FROM e e1 JOIN e e2 ON e1.v = e2.u)
         |SELECT COUNT(*) AS n_triangles FROM w
         |WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.w)""".stripMargin,
+    // recursion dedups on (doc_id, hops) and the hop cap bounds it;
+    // MIN collapses multi-hop re-reaches exactly like the anti-join
+    "q161_bfs_hops" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM documents),
+        |links AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |r AS (
+        |  SELECT doc_id, 0 AS hops FROM documents WHERE doc_id % 50 = 0
+        |  UNION
+        |  SELECT l.dst AS doc_id, r.hops + 1 AS hops
+        |  FROM r JOIN links l ON l.src = r.doc_id WHERE r.hops < 4)
+        |SELECT doc_id, CAST(MIN(hops) AS BIGINT) AS hops
+        |FROM r GROUP BY 1""".stripMargin,
     "q90_pagerank" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM documents),
         |links AS (

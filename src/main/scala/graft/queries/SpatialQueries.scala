@@ -1040,6 +1040,126 @@ object SpatialQueries {
           expr("20000 * s2 div (n_cells * total_points)" +
             " - 10000 * (n_cells + 1) div n_cells").as("gini_bp"))
     }),
+    "q160_union_area" -> ((s, dir) => {
+      // exact DISSOLVED (union) area of overlapping rectangles per
+      // layer — inclusion-exclusion-free: the synth ways are
+      // 0.1°-quantized (x0/y0 integral, w/h in 0.2° steps), so the
+      // closed-form INTEGER deci-degree geometry decomposes each rect
+      // into unit x-strips exactly (general inputs would coordinate-
+      // compress to the distinct-edge strips — same downstream plan).
+      // Per (layer, strip) the y-interval union is the classic
+      // running-max merge: two windows PARTITIONED by (layer, strip)
+      // (thousands of keys, sharing one exchange), then island
+      // extents aggregate map-side. Never a global window, never a
+      // pair join — the quadratic inclusion-exclusion shape is what
+      // this operator exists to avoid.
+      val r = Tables.orders(s, dir).select(
+        (col("o_orderkey") % 8).as("grp"),
+        ((col("o_orderkey") * 13 % 320) * 10 - 1600).as("x010"),
+        ((col("o_orderkey") * 29 % 150) * 10 - 750).as("y0i"),
+        (lit(15) + (col("o_orderkey") % 16) * 2).as("w10"),
+        (lit(15) + (col("o_orderkey") * 3 % 16) * 2).as("h10"))
+      // DEDUP before the windows: duplicate (y0i,y1i) intervals never
+      // change a union, and distinct rows make ORDER BY (y0i,y1i) a
+      // TOTAL order — the two window stages (runmax, island prefix
+      // sum) sort independently, and nondeterministic tie order
+      // between them mislabels islands (observed in DuckDB).
+      val strips = r
+        .withColumn("sx", explode(sequence(col("x010"), col("x010") + col("w10") - 1)))
+        .select(col("grp"), col("sx"), col("y0i"), (col("y0i") + col("h10")).as("y1i"))
+        .distinct()
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window
+        .partitionBy(col("grp"), col("sx")).orderBy(col("y0i"), col("y1i"))
+      val merged = strips
+        .withColumn("runmax", max(col("y1i")).over(
+          w1.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isl", sum(when(col("runmax").isNull ||
+            col("y0i") > col("runmax"), 1L).otherwise(0L)).over(
+          w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("grp"), col("sx"), col("isl"))
+        .agg((max(col("y1i")) - min(col("y0i"))).as("len"))
+        .groupBy(col("grp")).agg(sum(col("len")).as("area_e2"))
+      r.groupBy(col("grp")).agg(count(lit(1)).as("n_rects"),
+          sum(col("w10") * col("h10")).as("sum_e2"))
+        .join(merged, "grp")
+        .select(col("grp"), col("n_rects"), col("area_e2"), col("sum_e2"),
+          expr("10000 * area_e2 div sum_e2").as("dissolve_bp"))
+    }),
+    "q162_idw" -> ((s, dir) => {
+      // inverse-distance-weighted interpolation surface at occupied
+      // raster cells — the kernel-weighted generalization of q125's
+      // focal mean: each occupied cell SCATTERS its count to its 5x5
+      // neighborhood (join-free O(25) fan-out, q125/q154's shape),
+      // integer weight 10^6 div (1 + d2); ONE map-side-combined
+      // shuffle on the target cell; the bounded occupied-cell table
+      // equi-joins back so only real cells report. num/den ride as
+      // exact integers, so idw_milli is an integral function both
+      // engines fold identically regardless of aggregation order.
+      val n = graft.geo.CellIndex.width(ContourRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      val base = SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
+      val scat = base
+        .withColumn("dx", explode(sequence(lit(-2L), lit(2L))))
+        .withColumn("dy", explode(sequence(lit(-2L), lit(2L))))
+        .select((col("ix") + col("dx")).as("tx"), (col("iy") + col("dy")).as("ty"),
+          col("cnt"), (col("dx") * col("dx") + col("dy") * col("dy")).as("d2"))
+        .filter(col("tx") >= 0 && col("tx") < n && col("ty") >= 0 && col("ty") < n)
+        .select(col("tx"), col("ty"),
+          (col("cnt") * expr("1000000 div (1 + d2)")).as("wv"),
+          expr("1000000 div (1 + d2)").as("w"))
+      val agg = scat.groupBy(col("tx"), col("ty"))
+        .agg(sum(col("wv")).as("num"), sum(col("w")).as("den"))
+      base.join(agg, base("ix") === agg("tx") && base("iy") === agg("ty"))
+        .select(col("ix"), col("iy"), col("cnt"), col("num"), col("den"),
+          expr("1000 * num div den").as("idw_milli"))
+    }),
+    "q163_moran" -> ((s, dir) => {
+      // global Moran's I spatial autocorrelation of the point-density
+      // raster (rook adjacency over OCCUPIED cells), exact integers:
+      // with d_i = n*x_i - S the mean-centering denominators cancel,
+      // so I = n * SUM_adj(d_i*d_j) / (W * SUM(d_i^2)) needs no
+      // floats. One corpus shuffle builds the BOUNDED cell table
+      // (<= 4^res rows); adjacency is a self-equi-join on the shifted
+      // cell key (each directed pair once per direction, W counts
+      // them); products ride DECIMAL(38,0) so the ppm scaling never
+      // overflows; the final integral divide is sign-split because
+      // Spark `div` truncates while DuckDB `//` floors.
+      val n = graft.geo.CellIndex.width(ContourRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      val cells = SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
+      val stats = cells.agg(count(lit(1)).as("nc"), sum(col("cnt")).as("s"))
+      val d = cells.crossJoin(broadcast(stats))
+        .select(col("ix"), col("iy"), (col("nc") * col("cnt") - col("s")).as("d"),
+          col("nc"))
+      val right = d.select((col("ix") + 1).as("ix"), col("iy"), col("d").as("d2"))
+      val up = d.select(col("ix"), (col("iy") + 1).as("iy"), col("d").as("d2"))
+      val adj = d.join(right.unionByName(up), Seq("ix", "iy"))
+        .agg(sum(col("d").cast("decimal(38,0)") * col("d2")).as("p_half"),
+          count(lit(1)).as("w_half"), first(col("nc")).as("nc"))
+      val den = d.agg(sum(col("d").cast("decimal(38,0)") * col("d")).as("dd"))
+      adj.crossJoin(broadcast(den))
+        .select(col("nc").as("n_cells"), (col("w_half") * 2).as("w_pairs"),
+          (col("p_half") * 2).as("num"), col("dd").as("den"),
+          (when(col("p_half") < 0, -1L).otherwise(1L) *
+            expr("abs(1000000 * nc * p_half * 2) div (w_half * 2 * dd)"))
+            .as("moran_ppm"))
+        .select(col("n_cells"), col("w_pairs"),
+          col("num").cast("string").as("num"), col("den").cast("string").as("den"),
+          col("moran_ppm"))
+    }),
     "q156_temporal_pip" -> ((s, dir) => {
       // TEMPORAL point-in-polygon (bitemporal join): each event joins
       // the polygon VERSION that was valid at its timestamp — way w
@@ -1184,6 +1304,85 @@ object SpatialQueries {
          |      AND p.lat BETWEEN w2.y0 AND w2.y0 + w2.h)""".stripMargin
 
   lazy val oracles: Map[String, String] = Map(
+    // same strip-sweep as the Spark plan (the closed-form synthetic
+    // rects are exactly unit-strip-decomposable); `//` floors where
+    // Spark `div` truncates — all operands here are non-negative
+    "q160_union_area" ->
+      """WITH r AS (SELECT o_orderkey % 8 AS grp,
+        |    (o_orderkey*13 % 320)*10 - 1600 AS x010,
+        |    (o_orderkey*29 % 150)*10 - 750 AS y0i,
+        |    15 + (o_orderkey % 16)*2 AS w10,
+        |    15 + (o_orderkey*3 % 16)*2 AS h10
+        |  FROM orders),
+        |strips AS (SELECT DISTINCT grp,
+        |    unnest(generate_series(x010, x010 + w10 - 1)) AS sx,
+        |    y0i, y0i + h10 AS y1i FROM r),
+        |m AS (SELECT grp, sx, y0i, y1i,
+        |    MAX(y1i) OVER (PARTITION BY grp, sx ORDER BY y0i, y1i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM strips),
+        |i AS (SELECT grp, sx, y0i, y1i,
+        |    SUM(CASE WHEN runmax IS NULL OR y0i > runmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY grp, sx ORDER BY y0i, y1i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m),
+        |isle AS (SELECT grp, sx, isl, MAX(y1i) - MIN(y0i) AS len
+        |  FROM i GROUP BY 1, 2, 3),
+        |merged AS (SELECT grp, CAST(SUM(len) AS BIGINT) AS area_e2
+        |  FROM isle GROUP BY 1),
+        |tot AS (SELECT grp, COUNT(*) AS n_rects,
+        |    CAST(SUM(w10 * h10) AS BIGINT) AS sum_e2 FROM r GROUP BY 1)
+        |SELECT t.grp, n_rects, area_e2, sum_e2,
+        |  CAST(10000 * area_e2 // sum_e2 AS BIGINT) AS dissolve_bp
+        |FROM tot t JOIN merged USING (grp)""".stripMargin,
+    // every operand non-negative, so DuckDB `//` (floor) == Spark
+    // `div` (trunc) in both the weight and the final milli divide
+    "q162_idw" -> {
+      val n = graft.geo.CellIndex.width(ContourRes)
+      s"""WITH ${SynthSql.pointsCte},
+         |c AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy,
+         |    COUNT(*) AS cnt
+         |  FROM points GROUP BY 1, 2),
+         |scat AS (SELECT ix + dx AS tx, iy + dy AS ty,
+         |    cnt * (1000000 // (1 + dx*dx + dy*dy)) AS wv,
+         |    1000000 // (1 + dx*dx + dy*dy) AS w
+         |  FROM c, range(-2, 3) a(dx), range(-2, 3) b(dy)
+         |  WHERE ix + dx >= 0 AND ix + dx < $n
+         |    AND iy + dy >= 0 AND iy + dy < $n),
+         |agg AS (SELECT tx, ty, CAST(SUM(wv) AS BIGINT) AS num,
+         |    CAST(SUM(w) AS BIGINT) AS den
+         |  FROM scat GROUP BY 1, 2)
+         |SELECT ix, iy, cnt, num, den,
+         |  CAST(1000 * num // den AS BIGINT) AS idw_milli
+         |FROM c JOIN agg ON c.ix = agg.tx AND c.iy = agg.ty""".stripMargin
+    },
+    // HUGEINT carries the d_i*d_j products (Spark side: DECIMAL(38,0));
+    // sign-split abs//positive makes DuckDB floor == Spark trunc
+    "q163_moran" -> {
+      val n = graft.geo.CellIndex.width(ContourRes)
+      s"""WITH ${SynthSql.pointsCte},
+         |c AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy,
+         |    COUNT(*) AS cnt
+         |  FROM points GROUP BY 1, 2),
+         |s AS (SELECT COUNT(*) AS nc, CAST(SUM(cnt) AS BIGINT) AS sm FROM c),
+         |d AS (SELECT ix, iy, nc * cnt - sm AS dv, nc FROM c, s),
+         |nb AS (SELECT ix + 1 AS ix, iy, dv AS d2 FROM d
+         |       UNION ALL SELECT ix, iy + 1 AS iy, dv AS d2 FROM d),
+         |adj AS (SELECT CAST(SUM(CAST(a.dv AS HUGEINT) * nb.d2) AS HUGEINT) AS p_half,
+         |    COUNT(*) AS w_half, MAX(a.nc) AS nc
+         |  FROM d a JOIN nb USING (ix, iy)),
+         |dn AS (SELECT CAST(SUM(CAST(dv AS HUGEINT) * dv) AS HUGEINT) AS dd FROM d)
+         |SELECT nc AS n_cells, w_half * 2 AS w_pairs,
+         |  CAST(p_half * 2 AS VARCHAR) AS num, CAST(dd AS VARCHAR) AS den,
+         |  CAST((CASE WHEN p_half < 0 THEN -1 ELSE 1 END)
+         |    * (abs(CAST(1000000 AS HUGEINT) * nc * p_half * 2) // (w_half * 2 * dd))
+         |    AS BIGINT) AS moran_ppm
+         |FROM adj, dn""".stripMargin
+    },
     // the straddle-sign predicate keeps LEAST/GREATEST out of the join
     // condition (flat CTE projections — q113's DuckDB caveat)
     "q149_segment_intersect" ->

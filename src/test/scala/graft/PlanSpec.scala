@@ -288,6 +288,47 @@ class PlanSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
+  test("q160 strip windows partitioned; q163 adjacency is an equi-join, no window") {
+    // q160's interval-merge sweep must run per (grp, strip) — a
+    // partitionBy-less window would make the union a global sort;
+    // q163's rook adjacency must stay the shifted-cell equi-join
+    // (its only crossJoins broadcast one-row aggregates)
+    val df160 = SparkEntry.queries("q160_union_area")(spark, sfSmoke)
+    val p160 = formatted(df160)
+    assert(!p160.contains("CartesianProduct"), "q160 plans a cross product")
+    val wins160 = df160.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(wins160.nonEmpty && wins160.forall(_.nonEmpty),
+      "q160's merge windows must be partitioned by (grp, strip)")
+    Bench.clearState(spark)
+    val df163 = SparkEntry.queries("q163_moran")(spark, sfSmoke)
+    val p163 = formatted(df163)
+    assert(!p163.contains("CartesianProduct"), "q163 plans a cross product")
+    val wins163 = df163.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins163.isEmpty, "q163 must not plan any window")
+    Bench.clearState(spark)
+  }
+
+  test("q161 BFS rounds stay equi-joins; q162 IDW scatter is window-free") {
+    // the frontier expansion must never degenerate past the src
+    // equi-join + visited anti-join; the IDW kernel must stay the
+    // join-free scatter + ONE equi-join back to occupied cells
+    for (q <- Seq("q161_bfs_hops", "q162_idw")) {
+      val df = SparkEntry.queries(q)(spark, sfSmoke)
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.isEmpty, s"$q must not plan any window")
+      Bench.clearState(spark)
+    }
+  }
+
   test("q09b top-k carries at most k rows per group through the exchange") {
     // the partial aggregate must run BEFORE the shuffle (that is the
     // entire point vs the window formulation)
