@@ -31,7 +31,7 @@ object GraphQueries {
     * (the join), one map-side-combined shuffle on dst (the sum); at
     * scale the link table is hash-partitioned on src once and every
     * iteration reuses that exchange. */
-  private def step(docs: DataFrame, lnk: DataFrame, r: DataFrame): DataFrame = {
+  private[graft] def step(docs: DataFrame, lnk: DataFrame, r: DataFrame): DataFrame = {
     val contrib = lnk.join(r, lnk("src") === r("doc_id"))
       .select(col("dst"), expr("rank div 3").as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
@@ -113,6 +113,40 @@ object GraphQueries {
       step(docs, lnk, step(docs, lnk, r0))
         .select(col("doc_id"), col("rank").as("rank_micro"))
     }),
+    "q164_incremental_pagerank" -> ((s, dir) => {
+      // IVM of q90's 2-iteration integer PageRank under an edge-level
+      // change batch — the graph-axis member of the IVM family. The
+      // standard batch convention: updated docs (id%7=3) reroute
+      // their out-edges to (id*37 + 11k) % N, deleted docs (id%13=5,
+      // delete wins on overlap) drop with their out-edges; N stays
+      // the BASE corpus size so the closed form is engine-identical.
+      // Only dst(changed) rebuilds rank1 and only its post-graph
+      // out-halo rebuilds rank2 (operators/IncrementalPageRank has
+      // the 2-hop-impact proof); everything else passes the stored
+      // layer through one anti-join. The stored base layers are
+      // rebuilt in-query as oracle scaffolding (q52/q70/q124
+      // adjudication) — production reads them from the snapshot
+      // table. Oracle: full 2-iteration recompute on the post graph.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val baseLinks = links(docs, n)
+      val touched = docs
+        .filter(col("doc_id") % 7 === 3 || col("doc_id") % 13 === 5)
+        .select(col("doc_id").as("src"))
+      val postDocs = docs.filter(col("doc_id") % 13 =!= 5)
+      val postLinks = postDocs.select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(k =>
+          when(col("doc_id") % 7 === 3, pmod(col("doc_id") * 37 + k * 11, lit(n)))
+            .otherwise(pmod(col("doc_id") * 31 + k * 7, lit(n)))): _*)).as("dst"))
+      val r0 = docs.select(col("doc_id"), lit(1000000L).as("rank"))
+      val rank1Stored = step(docs, baseLinks, r0)
+        .withColumnRenamed("rank", "rank1")
+      val rank2Stored = step(docs, baseLinks,
+          rank1Stored.withColumnRenamed("rank1", "rank"))
+        .withColumnRenamed("rank", "rank2")
+      graft.operators.IncrementalPageRank.maintain(
+        postDocs, baseLinks, postLinks, touched, rank1Stored, rank2Stored)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -170,6 +204,31 @@ object GraphQueries {
         |  SELECT d.doc_id,
         |    150000 + (85 * COALESCE(c.in_sum, 0)) // 100 AS rank
         |  FROM documents d LEFT JOIN (
+        |    SELECT l.dst, SUM(r.rank // 3) AS in_sum
+        |    FROM links l JOIN r1 r ON l.src = r.doc_id GROUP BY l.dst) c
+        |  ON d.doc_id = c.dst)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank_micro FROM r2""".stripMargin,
+    // the oracle recomputes BOTH iterations from scratch on the
+    // post-change graph — the incremental path must land on it exactly
+    "q164_incremental_pagerank" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |docs2 AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 5),
+        |links AS (
+        |  SELECT d.doc_id AS src,
+        |    CASE WHEN d.doc_id % 7 = 3 THEN (d.doc_id*37 + 11*k) % n.n
+        |         ELSE (d.doc_id*31 + 7*k) % n.n END AS dst
+        |  FROM docs2 d CROSS JOIN n, range(1, 4) t(k)),
+        |r1 AS (
+        |  SELECT d.doc_id,
+        |    150000 + (85 * COALESCE(c.in_sum, 0)) // 100 AS rank
+        |  FROM docs2 d LEFT JOIN (
+        |    SELECT l.dst, SUM(1000000 // 3) AS in_sum
+        |    FROM links l GROUP BY l.dst) c
+        |  ON d.doc_id = c.dst),
+        |r2 AS (
+        |  SELECT d.doc_id,
+        |    150000 + (85 * COALESCE(c.in_sum, 0)) // 100 AS rank
+        |  FROM docs2 d LEFT JOIN (
         |    SELECT l.dst, SUM(r.rank // 3) AS in_sum
         |    FROM links l JOIN r1 r ON l.src = r.doc_id GROUP BY l.dst) c
         |  ON d.doc_id = c.dst)
