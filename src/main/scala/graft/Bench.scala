@@ -70,7 +70,8 @@ object Bench {
     "q153_rasterize_coverage", "q154_contours", "q155_bm25_retrieval",
     "q156_temporal_pip", "q157_compact_cover", "q158_cotraveler_pairs",
     "q159_spatial_balance", "q160_union_area", "q161_bfs_hops",
-    "q162_idw", "q163_moran", "q164_incremental_pagerank")
+    "q162_idw", "q163_moran", "q164_incremental_pagerank",
+    "q165_kmv_setops")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

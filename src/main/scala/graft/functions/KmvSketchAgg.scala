@@ -92,11 +92,67 @@ case class KmvSketchAgg(
     copy(child = newChild)
 }
 
+/** Same bounded k-minima state as [[KmvSketchAgg]], but eval returns
+  * the full SORTED minima array — the mergeable face the KMV SET
+  * OPERATIONS need (union = k smallest of the concatenated minima,
+  * intersection via the standard ρ·est(U) inclusion estimator). Kept
+  * a sibling so q66's struct face stays codegen-stable. */
+case class KmvMinsAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, "kmv_mins needs k > 0")
+  private val inner = KmvSketchAgg(child, k)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    inner.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] =
+    inner.update(buf, input)
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    inner.merge(buf, other)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_mins"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinsAgg =
+    copy(child = newChild)
+}
+
 object KmvSketchAgg {
   /** Column face: `kmvSketch(hashCol, k)` → struct(kth_min_hash,
     * n_in_sketch), usable directly in `agg(...)`. */
   def kmvSketch(c: Column, k: Int): Column =
     org.apache.spark.sql.GraftSqlShim.column(
       KmvSketchAgg(org.apache.spark.sql.GraftSqlShim.expression(c), k)
+        .toAggregateExpression())
+
+  /** Column face: `kmvMins(hashCol, k)` → sorted array of the k
+    * smallest distinct hashes. */
+  def kmvMins(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      KmvMinsAgg(org.apache.spark.sql.GraftSqlShim.expression(c), k)
         .toAggregateExpression())
 }

@@ -453,6 +453,46 @@ object RelationalQueries {
               / col("sk.kth_min_hash")))
             .cast("long").as("est_distinct"))
     }),
+    "q165_kmv_setops" -> ((s, dir) => {
+      // KMV sketch SET OPERATIONS — the mergeable-sketch algebra a
+      // multi-corpus overlap audit runs: |A|, |B|, |A∪B| from two
+      // bounded k-minima sketches (union sketch = k smallest of the
+      // concatenated minima) and the standard inclusion estimator
+      // |A∩B| ≈ ρ·est(U), ρ = |unionK ∩ minsA ∩ minsB| / k. Each side
+      // is ONE bounded-state map-side-combined aggregate
+      // (functions.KmvMinsAgg); the merge itself is pure array
+      // arithmetic over two 1-row broadcasts — at 100 TB per-corpus
+      // sketches come out of per-partition partials, never a
+      // distinct. Unsaturated sketches (< k minima) are EXACT, so the
+      // estimator collapses to the true counts there.
+      val k = 64
+      val h = graft.text.TextFunctions.hash60(
+        concat(lit("e:"), col("event_id")))
+      val ev = events(s, dir)
+      val a = ev.filter(col("event_id") % 2 === 0)
+        .agg(graft.functions.KmvSketchAgg.kmvMins(h, k).as("ma"))
+      val b = ev.filter(col("event_id") % 3 === 0)
+        .agg(graft.functions.KmvSketchAgg.kmvMins(h, k).as("mb"))
+      def est(mins: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(size(mins) < k, size(mins).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / element_at(mins, k)).cast("long"))
+      a.crossJoin(broadcast(b))
+        .withColumn("mu", slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+        .withColumn("est_a", est(col("ma")))
+        .withColumn("est_b", est(col("mb")))
+        .withColumn("est_union", est(col("mu")))
+        .withColumn("matches", size(filter(col("mu"),
+          x => array_contains(col("ma"), x) && array_contains(col("mb"), x)))
+          .cast("long"))
+        .withColumn("est_intersect",
+          when(size(col("mu")) < k, col("matches"))
+            .otherwise(expr(s"(matches * est_union) div $k")))
+        .select(col("est_a"), col("est_b"), col("est_union"), col("matches"),
+          col("est_intersect"),
+          expr("10000 * est_intersect div (est_a + est_b - est_intersect)")
+            .as("jaccard_bp"))
+    }),
     "q64_asof_join" -> ((s, dir) => {
       // as-of join: each event picks the LATEST state snapshot at or
       // before its timestamp per user. DuckDB checks it with its NATIVE
@@ -758,6 +798,37 @@ object RelationalQueries {
         |       ELSE FLOOR(63.0 * 1152921504606846976.0 / MAX(h)) END AS BIGINT)
         |    AS est_distinct
         |FROM topk GROUP BY event_type""".stripMargin,
+    // the oracle materializes the true k-minima per side relationally;
+    // the estimator expressions mirror q66's double/floor form exactly
+    "q165_kmv_setops" ->
+      """WITH h AS (SELECT event_id,
+        |    CAST('0x' || substr(md5('e:' || event_id), 1, 15) AS BIGINT) AS h
+        |  FROM events),
+        |a AS (SELECT DISTINCT h FROM h WHERE event_id % 2 = 0 ORDER BY h LIMIT 64),
+        |b AS (SELECT DISTINCT h FROM h WHERE event_id % 3 = 0 ORDER BY h LIMIT 64),
+        |u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h LIMIT 64),
+        |sa AS (SELECT COUNT(*) AS na, MAX(h) AS ka FROM a),
+        |sb AS (SELECT COUNT(*) AS nb, MAX(h) AS kb FROM b),
+        |su AS (SELECT COUNT(*) AS nu, MAX(h) AS ku FROM u),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS matches FROM u
+        |      WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+        |e AS (SELECT
+        |    CAST(CASE WHEN na < 64 THEN na
+        |         ELSE FLOOR(63.0 * 1152921504606846976.0 / ka) END AS BIGINT) AS est_a,
+        |    CAST(CASE WHEN nb < 64 THEN nb
+        |         ELSE FLOOR(63.0 * 1152921504606846976.0 / kb) END AS BIGINT) AS est_b,
+        |    CAST(CASE WHEN nu < 64 THEN nu
+        |         ELSE FLOOR(63.0 * 1152921504606846976.0 / ku) END AS BIGINT) AS est_union,
+        |    nu, matches
+        |  FROM sa, sb, su, m),
+        |f AS (SELECT est_a, est_b, est_union, matches,
+        |    CAST(CASE WHEN nu < 64 THEN matches
+        |         ELSE (matches * est_union) // 64 END AS BIGINT) AS est_intersect
+        |  FROM e)
+        |SELECT est_a, est_b, est_union, matches, est_intersect,
+        |  CAST(10000 * est_intersect // (est_a + est_b - est_intersect) AS BIGINT)
+        |    AS jaccard_bp
+        |FROM f""".stripMargin,
     "q64_asof_join" ->
       """WITH states AS (
         |  SELECT user_id, ts, MAX(CAST(ROUND(value*10000,0) AS BIGINT)) AS state_bp
