@@ -493,6 +493,72 @@ object RelationalQueries {
           expr("10000 * est_intersect div (est_a + est_b - est_intersect)")
             .as("jaccard_bp"))
     }),
+    "q166_attribution" -> ((s, dir) => {
+      // event-time interval attribution join: each click (event_id%5=0)
+      // pairs with every impression of the SAME user in the preceding
+      // 30 minutes. The plan is the scale shape for this semantics —
+      // ONE equi-join shuffle on user_id with the time range as a
+      // post-join filter (never a time-bucket cover: the window is
+      // fixed and small relative to per-user history, so the user key
+      // alone co-locates everything once). Streaming face:
+      // streaming/StreamJoin.attribution — Structured Streaming's
+      // watermarked stream-stream inner join, proven equal to this
+      // query by StreamJoinSpec under arrival disorder.
+      val e = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_id") % 5 === 0)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("cts"))
+      val imps = e.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id").as("imp_id"), col("user_id").as("u2"),
+          col("ts").as("its"))
+      clicks.join(imps, col("user_id") === col("u2") &&
+          col("its") <= col("cts") &&
+          col("cts") <= col("its") + expr("interval 30 minutes"))
+        .select(col("click_id"), col("imp_id"), col("user_id"))
+    }),
+    "q167_funnel" -> ((s, dir) => {
+      // ordered conversion funnel (view -> click -> purchase): per
+      // user, t1 = first view, t2 = first click at/after t1, t3 =
+      // first purchase at/after t2 — the sequential-pattern op a web
+      // analytics pipeline runs. ONE shuffle: per-user history is
+      // naturally bounded (q63's premise), so the chain folds over a
+      // sorted-array aggregate — the window formulation would need
+      // three stacked user exchanges because each stage's minimum
+      // conditions on the previous. Equal-timestamp ties process in
+      // funnel-stage order (view before click before purchase), which
+      // reproduces the oracle's `ts >= prev` semantics exactly.
+      val pr = when(col("event_type") === "view", 0)
+        .when(col("event_type") === "click", 1)
+        .when(col("event_type") === "purchase", 2)
+        .otherwise(-1)
+      events(s, dir)
+        // ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+        // cast preserves the instant and matches DuckDB's epoch_us
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tu"), pr.as("pr"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("tu"), col("pr")))).as("evs"))
+        .withColumn("acc", expr(
+          """aggregate(evs,
+            |  named_struct('t1', CAST(NULL AS BIGINT),
+            |               't2', CAST(NULL AS BIGINT),
+            |               't3', CAST(NULL AS BIGINT)),
+            |  (a, x) -> named_struct(
+            |    't1', CASE WHEN a.t1 IS NULL AND x.pr = 0
+            |               THEN x.tu ELSE a.t1 END,
+            |    't2', CASE WHEN a.t2 IS NULL AND x.pr = 1
+            |                AND a.t1 IS NOT NULL
+            |               THEN x.tu ELSE a.t2 END,
+            |    't3', CASE WHEN a.t3 IS NULL AND x.pr = 2
+            |                AND a.t2 IS NOT NULL
+            |               THEN x.tu ELSE a.t3 END))""".stripMargin))
+        .select(col("user_id"),
+          when(col("acc.t3").isNotNull, 3L)
+            .when(col("acc.t2").isNotNull, 2L)
+            .when(col("acc.t1").isNotNull, 1L).otherwise(0L).as("stage"),
+          col("acc.t1").as("t1_us"), col("acc.t2").as("t2_us"),
+          col("acc.t3").as("t3_us"))
+    }),
     "q64_asof_join" -> ((s, dir) => {
       // as-of join: each event picks the LATEST state snapshot at or
       // before its timestamp per user. DuckDB checks it with its NATIVE
@@ -829,6 +895,34 @@ object RelationalQueries {
         |  CAST(10000 * est_intersect // (est_a + est_b - est_intersect) AS BIGINT)
         |    AS jaccard_bp
         |FROM f""".stripMargin,
+    "q166_attribution" ->
+      """SELECT c.event_id AS click_id, i.event_id AS imp_id, c.user_id
+        |FROM events c JOIN events i ON c.user_id = i.user_id
+        | AND c.event_id % 5 = 0 AND i.event_id % 5 <> 0
+        | AND i.ts <= c.ts AND c.ts <= i.ts + INTERVAL 30 MINUTE""".stripMargin,
+    // stage minima chain relationally: each CTE conditions on the
+    // previous stage's per-user minimum with ts >= prev (ties count)
+    "q167_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t1
+        |  GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+        |  GROUP BY 1),
+        |users AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+        |       WHEN c.t2 IS NOT NULL THEN 2
+        |       WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  v.t1 AS t1_us, c.t2 AS t2_us, p.t3 AS t3_us
+        |FROM users u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
     "q64_asof_join" ->
       """WITH states AS (
         |  SELECT user_id, ts, MAX(CAST(ROUND(value*10000,0) AS BIGINT)) AS state_bp

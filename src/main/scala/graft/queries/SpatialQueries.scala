@@ -1059,27 +1059,7 @@ object SpatialQueries {
         ((col("o_orderkey") * 29 % 150) * 10 - 750).as("y0i"),
         (lit(15) + (col("o_orderkey") % 16) * 2).as("w10"),
         (lit(15) + (col("o_orderkey") * 3 % 16) * 2).as("h10"))
-      // DEDUP before the windows: duplicate (y0i,y1i) intervals never
-      // change a union, and distinct rows make ORDER BY (y0i,y1i) a
-      // TOTAL order — the two window stages (runmax, island prefix
-      // sum) sort independently, and nondeterministic tie order
-      // between them mislabels islands (observed in DuckDB).
-      val strips = r
-        .withColumn("sx", explode(sequence(col("x010"), col("x010") + col("w10") - 1)))
-        .select(col("grp"), col("sx"), col("y0i"), (col("y0i") + col("h10")).as("y1i"))
-        .distinct()
-      import org.apache.spark.sql.expressions.Window
-      val w1 = Window
-        .partitionBy(col("grp"), col("sx")).orderBy(col("y0i"), col("y1i"))
-      val merged = strips
-        .withColumn("runmax", max(col("y1i")).over(
-          w1.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("isl", sum(when(col("runmax").isNull ||
-            col("y0i") > col("runmax"), 1L).otherwise(0L)).over(
-          w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("grp"), col("sx"), col("isl"))
-        .agg((max(col("y1i")) - min(col("y0i"))).as("len"))
-        .groupBy(col("grp")).agg(sum(col("len")).as("area_e2"))
+      val merged = unionAreaByStrips(r)
       r.groupBy(col("grp")).agg(count(lit(1)).as("n_rects"),
           sum(col("w10") * col("h10")).as("sum_e2"))
         .join(merged, "grp")
@@ -1253,6 +1233,38 @@ object SpatialQueries {
   /** q154's raster resolution: fine enough (512x512) that the point
     * density forms multi-cell blobs with genuine boundaries (~200
     * contour blocks at sf0.01, saddles included). */
+  /** Exact rectangle-union (dissolved) area per group by integer
+    * strip decomposition — input (grp, x010, y0i, w10, h10) with
+    * integral coords, output (grp, area_e2). Each rect explodes into
+    * unit x-strips; per (grp, strip) the y-interval union is the
+    * classic running-max merge: two windows PARTITIONED by
+    * (grp, strip) sharing one exchange, island extents aggregated
+    * map-side. Strips are DEDUP'd first: duplicate (y0,y1) intervals
+    * never change a union, and distinct rows make ORDER BY (y0i,y1i)
+    * a TOTAL order — the two window stages sort independently, and
+    * nondeterministic tie order between them mislabels islands
+    * (observed in DuckDB). Never inclusion-exclusion, never a pair
+    * join. UnionAreaPropSpec checks it against brute force on random
+    * (non-grid-aligned) rectangles. */
+  private[graft] def unionAreaByStrips(r: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val strips = r
+      .withColumn("sx", explode(sequence(col("x010"), col("x010") + col("w10") - 1)))
+      .select(col("grp"), col("sx"), col("y0i"), (col("y0i") + col("h10")).as("y1i"))
+      .distinct()
+    val w1 = Window
+      .partitionBy(col("grp"), col("sx")).orderBy(col("y0i"), col("y1i"))
+    strips
+      .withColumn("runmax", max(col("y1i")).over(
+        w1.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(when(col("runmax").isNull ||
+          col("y0i") > col("runmax"), 1L).otherwise(0L)).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("grp"), col("sx"), col("isl"))
+      .agg((max(col("y1i")) - min(col("y0i"))).as("len"))
+      .groupBy(col("grp")).agg(sum(col("len")).as("area_e2"))
+  }
+
   val ContourRes = 9
 
   /** q157's base cover resolution: at 512x512 the rectangles cover
