@@ -71,7 +71,8 @@ object Bench {
     "q156_temporal_pip", "q157_compact_cover", "q158_cotraveler_pairs",
     "q159_spatial_balance", "q160_union_area", "q161_bfs_hops",
     "q162_idw", "q163_moran", "q164_incremental_pagerank",
-    "q165_kmv_setops", "q166_attribution", "q167_funnel")
+    "q165_kmv_setops", "q166_attribution", "q167_funnel",
+    "q168_collocation_lift", "q169_session_paths")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -593,6 +593,32 @@ object RelationalQueries {
           (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
             .as("duration_s"))
     }),
+    "q169_session_paths" -> ((s, dir) => {
+      // session path mining (journey analysis): the top 20 most
+      // common session-opening event-type sequences. Sessions come
+      // from q63's gap recurrence (SAME single user exchange — two
+      // window functions share one spec); each session's path is the
+      // first 5 events' types folded IN ORDER from a bounded
+      // sorted-array aggregate (per-session history is bounded, q63's
+      // premise); the global top-k is orderBy+limit — Spark plans
+      // TakeOrderedAndProject (per-partition partial top-k, never a
+      // global sort or an unpartitioned window). Ties break on path.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(expr("array_join(transform(slice(sort_array(" +
+          "collect_list(struct(ts, event_id, event_type))), 1, 5)," +
+          " x -> x.event_type), '>')").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(20)
+    }),
     "q10_facts_count" -> ((s, dir) =>
       // A5: osm2rdf:facts — count of fact rows per object.
       events(s, dir).groupBy(col("user_id"), col("event_type"))
@@ -931,6 +957,34 @@ object RelationalQueries {
         |SELECT e.event_id, e.user_id, s.state_bp
         |FROM evs e ASOF LEFT JOIN states s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+    // q63's session recurrence + per-session first-5 path + top 20;
+    // row_number caps the path at 5 events, ties break on path
+    "q169_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |capped AS (
+        |  SELECT user_id, session_id, ts, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM sess),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+        |  FROM capped WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
     "q63_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,

@@ -48,6 +48,24 @@ object TextQueries {
   /** q135's concordance term. */
   val KwicTerm = "vector"
 
+  /** q115's sliding-window (W=3) unordered token pair counts — a
+    * narrow double-explode + ONE map-side-combined shuffle on the
+    * pair; shared by q115 and q168's collocation scoring. */
+  private def cooccurrencePairs(s: SparkSession, dir: String): DataFrame = {
+    val W = 3
+    Tables.documents(s, dir)
+      .select(tokens(col("text")).as("ts"))
+      .select(col("ts"), posexplode(col("ts")).as(Seq("p", "t1")))
+      .select(col("ts"), col("p"), col("t1"),
+        explode(sequence(lit(1), lit(W))).as("k"))
+      .filter(col("p") + col("k") + 1 <= size(col("ts")))
+      .select(col("t1"),
+        element_at(col("ts"), (col("p") + col("k") + 1).cast("int")).as("t2"))
+      .select(least(col("t1"), col("t2")).as("w1"),
+        greatest(col("t1"), col("t2")).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_langid" -> ((s, dir) => {
       // score_l = count of profile-stopword tokens (with multiplicity);
@@ -739,18 +757,31 @@ object TextQueries {
       // unordered (w1, w2) pair. The bounded vocabulary keeps the
       // output small; at corpus scale a df cutoff drops stopword-grade
       // pairs before the shuffle (q89's skew note applies verbatim).
-      val W = 3
-      Tables.documents(s, dir)
-        .select(tokens(col("text")).as("ts"))
-        .select(col("ts"), posexplode(col("ts")).as(Seq("p", "t1")))
-        .select(col("ts"), col("p"), col("t1"),
-          explode(sequence(lit(1), lit(W))).as("k"))
-        .filter(col("p") + col("k") + 1 <= size(col("ts")))
-        .select(col("t1"),
-          element_at(col("ts"), (col("p") + col("k") + 1).cast("int")).as("t2"))
-        .select(least(col("t1"), col("t2")).as("w1"),
-          greatest(col("t1"), col("t2")).as("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pairs"))
+      cooccurrencePairs(s, dir)
+    }),
+    "q168_collocation_lift" -> ((s, dir) => {
+      // PMI-style collocation scoring (the statistic behind phrase
+      // mining / stopword-pair suppression) over the q115 pair table,
+      // exact integers end-to-end: lift = p(a,b)/(p(a)·p(b)) over
+      // pair slots = T·n_ab/(m_a·m_b), scaled to ppm. Marginals fold
+      // from the pair AGGREGATE (bounded by vocabulary² — never
+      // re-scanning the token stream); T rides as a 1-row broadcast;
+      // the ppm product runs in DECIMAL(38,0) with integral `div`
+      // (== DuckDB HUGEINT `//`, all operands non-negative — q163's
+      // pattern). The n >= 3 support floor applies to the OUTPUT only;
+      // marginals and T keep every pair, as the probabilities demand.
+      val all = cooccurrencePairs(s, dir)
+      val marg = all.select(col("w1").as("w"), col("n_pairs"))
+        .unionByName(all.select(col("w2").as("w"), col("n_pairs")))
+        .groupBy(col("w")).agg(sum(col("n_pairs")).as("m"))
+      val tot = all.agg(sum(col("n_pairs")).as("t_pairs"))
+      all.filter(col("n_pairs") >= 3)
+        .join(marg.select(col("w").as("w1"), col("m").as("m1")), "w1")
+        .join(marg.select(col("w").as("w2"), col("m").as("m2")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("n_pairs"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * t_pairs * n_pairs)" +
+            " div (m1 * m2) AS BIGINT)").as("lift_ppm"))
     }),
     "q150_block_dedup" -> ((s, dir) => {
       // corpus-level LINE/paragraph dedup (the CCNet shape): text
@@ -1260,6 +1291,30 @@ object TextQueries {
         |    LATERAL unnest(generate_series(1, 3)) AS tk(k)
         |  WHERE p + k <= len(ts))
         |SELECT w1, w2, COUNT(*) AS n_pairs FROM pr GROUP BY 1, 2""".stripMargin,
+    // marginals/total over ALL pairs, support floor on output only;
+    // HUGEINT product // BIGINT == Spark DECIMAL(38,0) div
+    "q168_collocation_lift" ->
+      """WITH d AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS ts FROM documents),
+        |pr AS (
+        |  SELECT LEAST(ts[p], ts[p+k]) AS w1, GREATEST(ts[p], ts[p+k]) AS w2
+        |  FROM d,
+        |    LATERAL unnest(generate_series(1, len(ts))) AS tp(p),
+        |    LATERAL unnest(generate_series(1, 3)) AS tk(k)
+        |  WHERE p + k <= len(ts)),
+        |ap AS (SELECT w1, w2, COUNT(*) AS n_pairs FROM pr GROUP BY 1, 2),
+        |mg AS (SELECT w, CAST(SUM(n_pairs) AS BIGINT) AS m FROM (
+        |    SELECT w1 AS w, n_pairs FROM ap
+        |    UNION ALL SELECT w2 AS w, n_pairs FROM ap) GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t_pairs FROM ap)
+        |SELECT a.w1, a.w2, a.n_pairs,
+        |  CAST((CAST(1000000 AS HUGEINT) * t.t_pairs * a.n_pairs)
+        |    // (m1.m * m2.m) AS BIGINT) AS lift_ppm
+        |FROM ap a
+        |JOIN mg m1 ON a.w1 = m1.w
+        |JOIN mg m2 ON a.w2 = m2.w
+        |CROSS JOIN t
+        |WHERE a.n_pairs >= 3""".stripMargin,
     "q150_block_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts

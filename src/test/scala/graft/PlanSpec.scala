@@ -329,6 +329,38 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q166-q169 plans: user equi-joins, fold-only funnel, bounded global top-k") {
+    // q166's attribution must stay the user equi-join (range as
+    // filter); q167's funnel chain is aggregate-only (the window
+    // formulation would stack three user exchanges); q168's joins are
+    // vocabulary equi-joins (its only nested loop broadcasts the
+    // 1-row total); q169's global top-20 must plan
+    // TakeOrderedAndProject, never a global sort of all paths
+    val p166 = formatted(SparkEntry.queries("q166_attribution")(spark, sfSmoke))
+    assert(!p166.contains("CartesianProduct"), "q166 plans a cross product")
+    assert(!p166.contains("BroadcastNestedLoopJoin"), "q166 plans a nested loop")
+    Bench.clearState(spark)
+    val df167 = SparkEntry.queries("q167_funnel")(spark, sfSmoke)
+    val wins167 = df167.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins167.isEmpty, "q167 must fold, not window")
+    Bench.clearState(spark)
+    val p168 = formatted(SparkEntry.queries("q168_collocation_lift")(spark, sfSmoke))
+    assert(!p168.contains("CartesianProduct"), "q168 plans a cross product")
+    Bench.clearState(spark)
+    val df169 = SparkEntry.queries("q169_session_paths")(spark, sfSmoke)
+    val p169 = df169.queryExecution.executedPlan.toString
+    assert(p169.contains("TakeOrderedAndProject"),
+      "q169's top-20 must be a partial top-k, not a global sort")
+    val wins169 = df169.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(wins169.nonEmpty && wins169.forall(_.nonEmpty),
+      "q169's sessionize windows must be user-partitioned")
+    Bench.clearState(spark)
+  }
+
   test("q09b top-k carries at most k rows per group through the exchange") {
     // the partial aggregate must run BEFORE the shuffle (that is the
     // entire point vs the window formulation)
