@@ -72,7 +72,8 @@ object Bench {
     "q159_spatial_balance", "q160_union_area", "q161_bfs_hops",
     "q162_idw", "q163_moran", "q164_incremental_pagerank",
     "q165_kmv_setops", "q166_attribution", "q167_funnel",
-    "q168_collocation_lift", "q169_session_paths")
+    "q168_collocation_lift", "q169_session_paths",
+    "q170_emerging_hotspot")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

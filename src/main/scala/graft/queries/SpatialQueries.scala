@@ -1100,6 +1100,37 @@ object SpatialQueries {
         .select(col("ix"), col("iy"), col("cnt"), col("num"), col("den"),
           expr("1000 * num div den").as("idw_milli"))
     }),
+    "q170_emerging_hotspot" -> ((s, dir) => {
+      // emerging spatiotemporal hotspot detection (the space-time-cube
+      // trend op): per cell, the LAST day's count against the trailing
+      // 7-day window — entirely WINDOW-FREE: one shuffle builds the
+      // (cell, day) counts, a second map-side-combined aggregate folds
+      // the conditional day sums per cell (missing days are vacuously
+      // zero — the sparse cube never materializes empty (cell, day)
+      // rows). Exact integers: emerging ⟺ cl >= 3 AND 7·cl > 2·tr
+      // (last day strictly above 2x the trailing mean); ratio in bp.
+      // Day = doc_id % 30 — the deterministic publication-day stand-in
+      // (events' ts lattice degenerates to 2 coarse cells on its last
+      // day, measured; the doc assignment exercises every anchor).
+      val n = graft.geo.CellIndex.width(HotspotRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"),
+          (col("doc_id") % 30).as("day"))
+        .groupBy(col("ix"), col("iy"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("ix"), col("iy"))
+        .agg(sum(when(col("day") === 29, col("cnt")).otherwise(0L)).as("cl"),
+          sum(when(col("day").between(22, 28), col("cnt")).otherwise(0L)).as("tr"))
+        .filter(col("cl") > 0)
+        .select(col("ix"), col("iy"), col("cl"), col("tr"),
+          (col("cl") >= 3 && col("cl") * 7 > col("tr") * 2).as("emerging"),
+          expr("10000 * 7 * cl div greatest(tr, 1L)").as("ratio_bp"))
+    }),
     "q163_moran" -> ((s, dir) => {
       // global Moran's I spatial autocorrelation of the point-density
       // raster (rook adjacency over OCCUPIED cells), exact integers:
@@ -1267,6 +1298,12 @@ object SpatialQueries {
 
   val ContourRes = 9
 
+  /** q170's space-time-cube resolution: at 256x256 the entity-anchor
+    * clusters spread over ~114 occupied cells with multi-count days
+    * (512 dilutes last-day counts below the support floor; measured
+    * 6 emerging / 114 active at sf0.01). */
+  val HotspotRes = 8
+
   /** q157's base cover resolution: at 512x512 the rectangles cover
     * 3-8 x 5-14 cells, so complete sibling quads exist at the res-8
     * and res-7 promotion rounds, and a 4.5°-wide rectangle can just
@@ -1347,6 +1384,23 @@ object SpatialQueries {
         |SELECT t.grp, n_rects, area_e2, sum_e2,
         |  CAST(10000 * area_e2 // sum_e2 AS BIGINT) AS dissolve_bp
         |FROM tot t JOIN merged USING (grp)""".stripMargin,
+    "q170_emerging_hotspot" -> {
+      val n = graft.geo.CellIndex.width(HotspotRes)
+      s"""WITH ${SynthSql.pointsCte},
+         |c AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy,
+         |    doc_id % 30 AS day, COUNT(*) AS cnt
+         |  FROM points GROUP BY 1, 2, 3),
+         |agg AS (SELECT ix, iy,
+         |    CAST(SUM(CASE WHEN day = 29 THEN cnt ELSE 0 END) AS BIGINT) AS cl,
+         |    CAST(SUM(CASE WHEN day BETWEEN 22 AND 28 THEN cnt ELSE 0 END) AS BIGINT) AS tr
+         |  FROM c GROUP BY 1, 2)
+         |SELECT ix, iy, cl, tr,
+         |  (cl >= 3 AND cl * 7 > tr * 2) AS emerging,
+         |  CAST(10000 * 7 * cl // GREATEST(tr, 1) AS BIGINT) AS ratio_bp
+         |FROM agg WHERE cl > 0""".stripMargin
+    },
     // every operand non-negative, so DuckDB `//` (floor) == Spark
     // `div` (trunc) in both the weight and the final milli divide
     "q162_idw" -> {
