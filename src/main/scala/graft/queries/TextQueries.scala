@@ -51,9 +51,14 @@ object TextQueries {
   /** q115's sliding-window (W=3) unordered token pair counts — a
     * narrow double-explode + ONE map-side-combined shuffle on the
     * pair; shared by q115 and q168's collocation scoring. */
-  private def cooccurrencePairs(s: SparkSession, dir: String): DataFrame = {
+  private def cooccurrencePairs(s: SparkSession, dir: String): DataFrame =
+    cooccurrencePairsOf(Tables.documents(s, dir))
+
+  /** The same pair counting over an arbitrary (.., text) frame — lets
+    * q171 count ONLY a change batch's documents (old and new text). */
+  private def cooccurrencePairsOf(docs: DataFrame): DataFrame = {
     val W = 3
-    Tables.documents(s, dir)
+    docs
       .select(tokens(col("text")).as("ts"))
       .select(col("ts"), posexplode(col("ts")).as(Seq("p", "t1")))
       .select(col("ts"), col("p"), col("t1"),
@@ -759,6 +764,35 @@ object TextQueries {
       // pairs before the shuffle (q89's skew note applies verbatim).
       cooccurrencePairs(s, dir)
     }),
+    "q171_incremental_cooccurrence" -> ((s, dir) => {
+      // IVM of the q115 co-occurrence table under the standard
+      // document change batch — the ADDITIVE COUNTER-DELTA flavor the
+      // IVM family's set-based members (q95/q101/q110/q124) don't
+      // exercise: pair counts decompose per document exactly, so the
+      // maintained table is stored ⊎ (−pairs(old text of touched
+      // docs)) ⊎ (+pairs(new text of live updated docs)) — ONE
+      // map-side-combined sum over the three streams, zero-count rows
+      // dropped. Work is O(touched docs' tokens), never a corpus
+      // re-scan; the stored table is rebuilt in-query as oracle
+      // scaffolding (q52/q70/q124 adjudication). Oracle: full
+      // recompute on the post-change corpus.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val stored = cooccurrencePairsOf(docs)
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"))
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      val affected = updated.select(col("doc_id")).union(deletedIds).distinct()
+      val neg = cooccurrencePairsOf(docs.join(affected, Seq("doc_id"), "left_semi"))
+        .select(col("w1"), col("w2"), (-col("n_pairs")).as("n_pairs"))
+      val pos = cooccurrencePairsOf(updatedLive)
+      stored.unionByName(neg).unionByName(pos)
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("n_pairs")).as("n_pairs"))
+        .filter(col("n_pairs") > 0)
+    }),
     "q168_collocation_lift" -> ((s, dir) => {
       // PMI-style collocation scoring (the statistic behind phrase
       // mining / stopword-pair suppression) over the q115 pair table,
@@ -1284,6 +1318,22 @@ object TextQueries {
     "q115_cooccurrence" ->
       """WITH d AS (
         |  SELECT string_split_regex(lower(text), '\s+') AS ts FROM documents),
+        |pr AS (
+        |  SELECT LEAST(ts[p], ts[p+k]) AS w1, GREATEST(ts[p], ts[p+k]) AS w2
+        |  FROM d,
+        |    LATERAL unnest(generate_series(1, len(ts))) AS tp(p),
+        |    LATERAL unnest(generate_series(1, 3)) AS tk(k)
+        |  WHERE p + k <= len(ts))
+        |SELECT w1, w2, COUNT(*) AS n_pairs FROM pr GROUP BY 1, 2""".stripMargin,
+    // full recompute over the post-change corpus (delete wins on the
+    // update/delete overlap, mirrored by the WHERE before the CASE)
+    "q171_incremental_cooccurrence" ->
+      """WITH post AS (
+        |  SELECT CASE WHEN doc_id % 7 = 3
+        |           THEN text || ' merge stream merge' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |d AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS ts FROM post),
         |pr AS (
         |  SELECT LEAST(ts[p], ts[p+k]) AS w1, GREATEST(ts[p], ts[p+k]) AS w2
         |  FROM d,
