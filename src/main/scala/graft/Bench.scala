@@ -73,7 +73,8 @@ object Bench {
     "q162_idw", "q163_moran", "q164_incremental_pagerank",
     "q165_kmv_setops", "q166_attribution", "q167_funnel",
     "q168_collocation_lift", "q169_session_paths",
-    "q170_emerging_hotspot", "q171_incremental_cooccurrence")
+    "q170_emerging_hotspot", "q171_incremental_cooccurrence",
+    "q172_personalized_pagerank", "q173_degree_assortativity")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -113,6 +113,78 @@ object GraphQueries {
       step(docs, lnk, step(docs, lnk, r0))
         .select(col("doc_id"), col("rank").as("rank_micro"))
     }),
+    "q172_personalized_pagerank" -> ((s, dir) => {
+      // personalized PageRank from the q161 seed set (doc_id%50=0) —
+      // the retrieval-side ranking primitive: teleport mass lands ONLY
+      // on seeds, so authority measures proximity to the seed
+      // neighborhood instead of global link mass. Same exact-integer
+      // contract as q90 (contributions rank div 3, damping multiplies
+      // before dividing), same two map-side-combined shuffles per
+      // iteration; the only change is the per-node teleport term.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val lnk = links(docs, n)
+      val seed = (col("doc_id") % 50 === 0)
+      def stepP(r: DataFrame): DataFrame = {
+        val contrib = lnk.join(r, lnk("src") === r("doc_id"))
+          .select(col("dst"), expr("rank div 3").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+        docs.select(col("doc_id"))
+          .join(contrib, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            (when(seed, lit(150000L)).otherwise(lit(0L)) +
+              expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+      }
+      val r0 = docs.select(col("doc_id"),
+        when(seed, lit(1000000L)).otherwise(lit(0L)).as("rank"))
+      stepP(stepP(r0)).select(col("doc_id"), col("rank").as("ppr_micro"))
+    }),
+    "q173_degree_assortativity" -> ((s, dir) => {
+      // degree assortativity of the undirected link graph — the
+      // web-graph health metric (do hubs link hubs?): Pearson r over
+      // edge endpoint degrees, EXACT integers end-to-end via the
+      // cancellation trick (q105/q163): with m directed edge slots,
+      // num = m·Σxy − Σx·Σy and den² = (m·Σx² − (Σx)²)·(m·Σy² −
+      // (Σy)²). No square root ever runs: we emit num, both den
+      // factors, and SIGNED r² in ppm (sign(num)·10^6·num² div
+      // (dx·dy)) — products ride DECIMAL(38,0) (den_x·den_y overflows
+      // long at corpus scale). One degree aggregate + one edge
+      // equi-join + one global fold. The base closed-form graph is
+      // degree-REGULAR (src·31 is a bijection mod n, so in-degree is
+      // exactly 3 — zero variance, r undefined); hub edges
+      // doc → doc%10 make the degree sequence heterogeneous, the
+      // regime the statistic exists for.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = links(docs, n)
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 10).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("x"))
+        .unionByName(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      // both directions so the statistic is symmetric
+      val both = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .join(deg.select(col("x").as("u"), col("d").as("dx")), "u")
+        .join(deg.select(col("x").as("v"), col("d").as("dy")), "v")
+      both.agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("m"),
+          (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("m") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+          (col("m") * col("syy") - col("sy") * col("sy")).as("den_y"))
+        .select(col("m"), col("num"), col("den_x"), col("den_y"),
+          (when(col("num") < 0, -1L).otherwise(1L) *
+            expr("(CAST(1000000 AS DECIMAL(38,0)) * num * num)" +
+              " div (CAST(den_x AS DECIMAL(38,0)) * den_y)"))
+            .as("r2_ppm_signed"))
+    }),
     "q164_incremental_pagerank" -> ((s, dir) => {
       // IVM of q90's 2-iteration integer PageRank under an edge-level
       // change batch — the graph-axis member of the IVM family. The
@@ -208,6 +280,63 @@ object GraphQueries {
         |    FROM links l JOIN r1 r ON l.src = r.doc_id GROUP BY l.dst) c
         |  ON d.doc_id = c.dst)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank_micro FROM r2""".stripMargin,
+    // q90's two-step SQL with the teleport term masked to seeds
+    "q172_personalized_pagerank" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |links AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |r0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN 1000000::BIGINT
+        |         ELSE 0::BIGINT END AS rank
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT d.doc_id,
+        |    (CASE WHEN d.doc_id % 50 = 0 THEN 150000 ELSE 0 END)
+        |      + (85 * COALESCE(c.in_sum, 0)) // 100 AS rank
+        |  FROM documents d LEFT JOIN (
+        |    SELECT l.dst, SUM(r.rank // 3) AS in_sum
+        |    FROM links l JOIN r0 r ON l.src = r.doc_id GROUP BY l.dst) c
+        |  ON d.doc_id = c.dst),
+        |r2 AS (
+        |  SELECT d.doc_id,
+        |    (CASE WHEN d.doc_id % 50 = 0 THEN 150000 ELSE 0 END)
+        |      + (85 * COALESCE(c.in_sum, 0)) // 100 AS rank
+        |  FROM documents d LEFT JOIN (
+        |    SELECT l.dst, SUM(r.rank // 3) AS in_sum
+        |    FROM links l JOIN r1 r ON l.src = r.doc_id GROUP BY l.dst) c
+        |  ON d.doc_id = c.dst)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS ppr_micro FROM r2""".stripMargin,
+    // HUGEINT mirrors the DECIMAL(38,0) products; sign-split keeps
+    // DuckDB floor == Spark trunc (num² and the dens are non-negative)
+    "q173_degree_assortativity" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |links AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id % 10 AS dst FROM documents),
+        |e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |      FROM links WHERE src <> dst),
+        |deg AS (SELECT x, COUNT(*) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1),
+        |b AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |j AS (SELECT du.d AS dx, dv.d AS dy
+        |  FROM b JOIN deg du ON b.u = du.x JOIN deg dv ON b.v = dv.x),
+        |s AS (SELECT COUNT(*) AS m,
+        |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+        |    CAST(SUM(dx*dy) AS BIGINT) AS sxy,
+        |    CAST(SUM(dx*dx) AS BIGINT) AS sxx,
+        |    CAST(SUM(dy*dy) AS BIGINT) AS syy
+        |  FROM j),
+        |f AS (SELECT m, m*sxy - sx*sy AS num,
+        |    m*sxx - sx*sx AS den_x, m*syy - sy*sy AS den_y FROM s)
+        |SELECT m, num, den_x, den_y,
+        |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |    * ((CAST(1000000 AS HUGEINT) * num * num)
+        |       // (CAST(den_x AS HUGEINT) * den_y)) AS BIGINT)
+        |    AS r2_ppm_signed
+        |FROM f""".stripMargin,
     // the oracle recomputes BOTH iterations from scratch on the
     // post-change graph — the incremental path must land on it exactly
     "q164_incremental_pagerank" ->
