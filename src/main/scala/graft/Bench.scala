@@ -74,7 +74,8 @@ object Bench {
     "q165_kmv_setops", "q166_attribution", "q167_funnel",
     "q168_collocation_lift", "q169_session_paths",
     "q170_emerging_hotspot", "q171_incremental_cooccurrence",
-    "q172_personalized_pagerank", "q173_degree_assortativity")
+    "q172_personalized_pagerank", "q173_degree_assortativity",
+    "q174_trending_terms")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -793,6 +793,25 @@ object TextQueries {
         .agg(sum(col("n_pairs")).as("n_pairs"))
         .filter(col("n_pairs") > 0)
     }),
+    "q174_trending_terms" -> ((s, dir) => {
+      // exponentially time-decayed term popularity (half-life = 1
+      // day), EXACT integers: weight(day d) = 2^d — a power-of-2
+      // shift, never a float pow — so decayed = Σ cnt_d · (1<<d) folds
+      // identically on both engines. Day = doc_id % 30 (q170's
+      // publication-day stand-in). One shuffle to (term, day) counts,
+      // one map-side-combined fold per term, global top-20 by
+      // (decayed DESC, term) as TakeOrderedAndProject — the trending
+      // feed a crawl pipeline derives next to q170's spatial trend.
+      Tables.documents(s, dir)
+        .select((col("doc_id") % 30).as("day"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("day")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("term"))
+        .agg(sum(expr("cnt * shiftleft(CAST(1 AS BIGINT), CAST(day AS INT))"))
+          .as("decayed"), sum(col("cnt")).as("n_total"))
+        .orderBy(col("decayed").desc, col("term").asc)
+        .limit(20)
+    }),
     "q168_collocation_lift" -> ((s, dir) => {
       // PMI-style collocation scoring (the statistic behind phrase
       // mining / stopword-pair suppression) over the q115 pair table,
@@ -1341,6 +1360,18 @@ object TextQueries {
         |    LATERAL unnest(generate_series(1, 3)) AS tk(k)
         |  WHERE p + k <= len(ts))
         |SELECT w1, w2, COUNT(*) AS n_pairs FROM pr GROUP BY 1, 2""".stripMargin,
+    "q174_trending_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id % 30 AS day,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, day, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |s AS (SELECT term,
+        |    CAST(SUM(cnt * (CAST(1 AS BIGINT) << day)) AS BIGINT) AS decayed,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_total
+        |  FROM c GROUP BY 1)
+        |SELECT term, decayed, n_total FROM s
+        |ORDER BY decayed DESC, term ASC LIMIT 20""".stripMargin,
     // marginals/total over ALL pairs, support floor on output only;
     // HUGEINT product // BIGINT == Spark DECIMAL(38,0) div
     "q168_collocation_lift" ->
