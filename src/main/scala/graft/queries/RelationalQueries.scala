@@ -26,6 +26,45 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   import Tables._
 
+  /** q167's funnel fold over an arbitrary (user_id, ts, event_type)
+    * frame — factored so FunnelPropSpec can drive random event streams
+    * (including equal-timestamp ties) against brute force. Ties
+    * process in funnel-stage order (view before click before
+    * purchase), reproducing the `ts >= prev` chain exactly. */
+  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
+    val pr = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1)
+      .when(col("event_type") === "purchase", 2)
+      .otherwise(-1)
+    ev
+      // ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+      // cast preserves the instant and matches DuckDB's epoch_us
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tu"), pr.as("pr"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("tu"), col("pr")))).as("evs"))
+      .withColumn("acc", expr(
+        """aggregate(evs,
+          |  named_struct('t1', CAST(NULL AS BIGINT),
+          |               't2', CAST(NULL AS BIGINT),
+          |               't3', CAST(NULL AS BIGINT)),
+          |  (a, x) -> named_struct(
+          |    't1', CASE WHEN a.t1 IS NULL AND x.pr = 0
+          |               THEN x.tu ELSE a.t1 END,
+          |    't2', CASE WHEN a.t2 IS NULL AND x.pr = 1
+          |                AND a.t1 IS NOT NULL
+          |               THEN x.tu ELSE a.t2 END,
+          |    't3', CASE WHEN a.t3 IS NULL AND x.pr = 2
+          |                AND a.t2 IS NOT NULL
+          |               THEN x.tu ELSE a.t3 END))""".stripMargin))
+      .select(col("user_id"),
+        when(col("acc.t3").isNotNull, 3L)
+          .when(col("acc.t2").isNotNull, 2L)
+          .when(col("acc.t1").isNotNull, 1L).otherwise(0L).as("stage"),
+        col("acc.t1").as("t1_us"), col("acc.t2").as("t2_us"),
+        col("acc.t3").as("t3_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A5: wide aggregation with map-side partial agg; exact integer units.
     "q01_pricing_agg" -> ((s, dir) => {
@@ -527,37 +566,7 @@ object RelationalQueries {
       // conditions on the previous. Equal-timestamp ties process in
       // funnel-stage order (view before click before purchase), which
       // reproduces the oracle's `ts >= prev` semantics exactly.
-      val pr = when(col("event_type") === "view", 0)
-        .when(col("event_type") === "click", 1)
-        .when(col("event_type") === "purchase", 2)
-        .otherwise(-1)
-      events(s, dir)
-        // ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
-        // cast preserves the instant and matches DuckDB's epoch_us
-        .select(col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("tu"), pr.as("pr"))
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(col("tu"), col("pr")))).as("evs"))
-        .withColumn("acc", expr(
-          """aggregate(evs,
-            |  named_struct('t1', CAST(NULL AS BIGINT),
-            |               't2', CAST(NULL AS BIGINT),
-            |               't3', CAST(NULL AS BIGINT)),
-            |  (a, x) -> named_struct(
-            |    't1', CASE WHEN a.t1 IS NULL AND x.pr = 0
-            |               THEN x.tu ELSE a.t1 END,
-            |    't2', CASE WHEN a.t2 IS NULL AND x.pr = 1
-            |                AND a.t1 IS NOT NULL
-            |               THEN x.tu ELSE a.t2 END,
-            |    't3', CASE WHEN a.t3 IS NULL AND x.pr = 2
-            |                AND a.t2 IS NOT NULL
-            |               THEN x.tu ELSE a.t3 END))""".stripMargin))
-        .select(col("user_id"),
-          when(col("acc.t3").isNotNull, 3L)
-            .when(col("acc.t2").isNotNull, 2L)
-            .when(col("acc.t1").isNotNull, 1L).otherwise(0L).as("stage"),
-          col("acc.t1").as("t1_us"), col("acc.t2").as("t2_us"),
-          col("acc.t3").as("t3_us"))
+      funnelOf(events(s, dir))
     }),
     "q64_asof_join" -> ((s, dir) => {
       // as-of join: each event picks the LATEST state snapshot at or
