@@ -1085,20 +1085,7 @@ object SpatialQueries {
         .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
           q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
         .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
-      val scat = base
-        .withColumn("dx", explode(sequence(lit(-2L), lit(2L))))
-        .withColumn("dy", explode(sequence(lit(-2L), lit(2L))))
-        .select((col("ix") + col("dx")).as("tx"), (col("iy") + col("dy")).as("ty"),
-          col("cnt"), (col("dx") * col("dx") + col("dy") * col("dy")).as("d2"))
-        .filter(col("tx") >= 0 && col("tx") < n && col("ty") >= 0 && col("ty") < n)
-        .select(col("tx"), col("ty"),
-          (col("cnt") * expr("1000000 div (1 + d2)")).as("wv"),
-          expr("1000000 div (1 + d2)").as("w"))
-      val agg = scat.groupBy(col("tx"), col("ty"))
-        .agg(sum(col("wv")).as("num"), sum(col("w")).as("den"))
-      base.join(agg, base("ix") === agg("tx") && base("iy") === agg("ty"))
-        .select(col("ix"), col("iy"), col("cnt"), col("num"), col("den"),
-          expr("1000 * num div den").as("idw_milli"))
+      idwOf(base, n)
     }),
     "q170_emerging_hotspot" -> ((s, dir) => {
       // emerging spatiotemporal hotspot detection (the space-time-cube
@@ -1151,25 +1138,7 @@ object SpatialQueries {
         .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
           q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
         .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
-      val stats = cells.agg(count(lit(1)).as("nc"), sum(col("cnt")).as("s"))
-      val d = cells.crossJoin(broadcast(stats))
-        .select(col("ix"), col("iy"), (col("nc") * col("cnt") - col("s")).as("d"),
-          col("nc"))
-      val right = d.select((col("ix") + 1).as("ix"), col("iy"), col("d").as("d2"))
-      val up = d.select(col("ix"), (col("iy") + 1).as("iy"), col("d").as("d2"))
-      val adj = d.join(right.unionByName(up), Seq("ix", "iy"))
-        .agg(sum(col("d").cast("decimal(38,0)") * col("d2")).as("p_half"),
-          count(lit(1)).as("w_half"), first(col("nc")).as("nc"))
-      val den = d.agg(sum(col("d").cast("decimal(38,0)") * col("d")).as("dd"))
-      adj.crossJoin(broadcast(den))
-        .select(col("nc").as("n_cells"), (col("w_half") * 2).as("w_pairs"),
-          (col("p_half") * 2).as("num"), col("dd").as("den"),
-          (when(col("p_half") < 0, -1L).otherwise(1L) *
-            expr("abs(1000000 * nc * p_half * 2) div (w_half * 2 * dd)"))
-            .as("moran_ppm"))
-        .select(col("n_cells"), col("w_pairs"),
-          col("num").cast("string").as("num"), col("den").cast("string").as("den"),
-          col("moran_ppm"))
+      moranOf(cells)
     }),
     "q156_temporal_pip" -> ((s, dir) => {
       // TEMPORAL point-in-polygon (bitemporal join): each event joins
@@ -1264,6 +1233,54 @@ object SpatialQueries {
   /** q154's raster resolution: fine enough (512x512) that the point
     * density forms multi-cell blobs with genuine boundaries (~200
     * contour blocks at sf0.01, saddles included). */
+  /** q162's IDW surface over an arbitrary occupied-cell table
+    * (ix, iy, cnt) on an n×n grid — factored so RasterStatPropSpec
+    * can drive random grids against brute force. 5x5 scatter with
+    * integer weights 10^6 div (1+d²), one shuffle, join back to
+    * occupied cells. */
+  private[graft] def idwOf(base: DataFrame, n: Long): DataFrame = {
+    val scat = base
+      .withColumn("dx", explode(sequence(lit(-2L), lit(2L))))
+      .withColumn("dy", explode(sequence(lit(-2L), lit(2L))))
+      .select((col("ix") + col("dx")).as("tx"), (col("iy") + col("dy")).as("ty"),
+        col("cnt"), (col("dx") * col("dx") + col("dy") * col("dy")).as("d2"))
+      .filter(col("tx") >= 0 && col("tx") < n && col("ty") >= 0 && col("ty") < n)
+      .select(col("tx"), col("ty"),
+        (col("cnt") * expr("1000000 div (1 + d2)")).as("wv"),
+        expr("1000000 div (1 + d2)").as("w"))
+    val agg = scat.groupBy(col("tx"), col("ty"))
+      .agg(sum(col("wv")).as("num"), sum(col("w")).as("den"))
+    base.join(agg, base("ix") === agg("tx") && base("iy") === agg("ty"))
+      .select(col("ix"), col("iy"), col("cnt"), col("num"), col("den"),
+        expr("1000 * num div den").as("idw_milli"))
+  }
+
+  /** q163's exact-integer global Moran's I over an arbitrary
+    * occupied-cell table (ix, iy, cnt) — rook adjacency via the
+    * shifted-cell self-equi-join, DECIMAL(38,0) products, sign-split
+    * integral divide. */
+  private[graft] def moranOf(cells: DataFrame): DataFrame = {
+    val stats = cells.agg(count(lit(1)).as("nc"), sum(col("cnt")).as("s"))
+    val d = cells.crossJoin(broadcast(stats))
+      .select(col("ix"), col("iy"), (col("nc") * col("cnt") - col("s")).as("d"),
+        col("nc"))
+    val right = d.select((col("ix") + 1).as("ix"), col("iy"), col("d").as("d2"))
+    val up = d.select(col("ix"), (col("iy") + 1).as("iy"), col("d").as("d2"))
+    val adj = d.join(right.unionByName(up), Seq("ix", "iy"))
+      .agg(sum(col("d").cast("decimal(38,0)") * col("d2")).as("p_half"),
+        count(lit(1)).as("w_half"), first(col("nc")).as("nc"))
+    val den = d.agg(sum(col("d").cast("decimal(38,0)") * col("d")).as("dd"))
+    adj.crossJoin(broadcast(den))
+      .select(col("nc").as("n_cells"), (col("w_half") * 2).as("w_pairs"),
+        (col("p_half") * 2).as("num"), col("dd").as("den"),
+        (when(col("p_half") < 0, -1L).otherwise(1L) *
+          expr("abs(1000000 * nc * p_half * 2) div (w_half * 2 * dd)"))
+          .as("moran_ppm"))
+      .select(col("n_cells"), col("w_pairs"),
+        col("num").cast("string").as("num"), col("den").cast("string").as("den"),
+        col("moran_ppm"))
+  }
+
   /** Exact rectangle-union (dissolved) area per group by integer
     * strip decomposition — input (grp, x010, y0i, w10, h10) with
     * integral coords, output (grp, area_e2). Each rect explodes into
