@@ -75,7 +75,7 @@ object Bench {
     "q168_collocation_lift", "q169_session_paths",
     "q170_emerging_hotspot", "q171_incremental_cooccurrence",
     "q172_personalized_pagerank", "q173_degree_assortativity",
-    "q174_trending_terms")
+    "q174_trending_terms", "q175_interpolate")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

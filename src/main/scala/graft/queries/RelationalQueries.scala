@@ -203,6 +203,46 @@ object RelationalQueries {
           coalesce(col("n"), lit(0L)).as("n_events"),
           coalesce(col("v"), lit(0L)).as("v_bp"))
     }),
+    "q175_interpolate" -> ((s, dir) => {
+      // time-series IMPUTATION by linear interpolation — q102's
+      // gap-fill twin for metrics where zero is wrong (sensor sums):
+      // a missing day takes v0 + (v1−v0)·(d−d0)/(d1−d0) between its
+      // neighboring present days, leading/trailing gaps carry the
+      // nearest value. Same one user shuffle as q102: the
+      // neighbor lookup is two ignore-nulls windows over the SAME
+      // (user, day) order (one exchange, two sorts fused), never a
+      // self-join. Exact integers: the slope divide is sign-split
+      // (abs div, then ±) so Spark trunc == DuckDB floor.
+      val daily = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+          Tables.bp(col("value")).as("vb"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("vb")).as("v"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("v0", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("dd0", last(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("v1", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("dd1", first(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("day"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("v0").isNull, col("v1"))
+            .when(col("v1").isNull, col("v0"))
+            .otherwise(col("v0") +
+              when(col("v1") >= col("v0"), 1L).otherwise(-1L) *
+                expr("(abs(v1 - v0) * (day - dd0)) div (dd1 - dd0)"))
+            .as("v_bp"))
+    }),
     "q09b_topk_agg" -> ((s, dir) => {
       // q09's per-group top-k through the BOUNDED-STATE native
       // aggregate (functions.TopKAgg) instead of the window: the
@@ -966,6 +1006,40 @@ object RelationalQueries {
         |SELECT e.event_id, e.user_id, s.state_bp
         |FROM evs e ASOF LEFT JOIN states s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+    // two ignore-nulls windows locate the neighboring present days;
+    // the slope divide is sign-split so `//` (floor) == `div` (trunc)
+    "q175_interpolate" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(SUM(CAST(ROUND(value*10000, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+        |  FROM p GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+        |  FROM span),
+        |g AS (SELECT grid.user_id, grid.day, p.v
+        |  FROM grid LEFT JOIN p ON grid.user_id = p.user_id
+        |    AND grid.day = p.day),
+        |w AS (SELECT user_id, day, v,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wp AS v0,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS dd0,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wn AS v1,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS dd1
+        |  FROM g
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN v IS NOT NULL THEN v
+        |       WHEN v0 IS NULL THEN v1
+        |       WHEN v1 IS NULL THEN v0
+        |       ELSE v0 + (CASE WHEN v1 >= v0 THEN 1 ELSE -1 END)
+        |         * ((abs(v1 - v0) * (day - dd0)) // (dd1 - dd0))
+        |       END AS BIGINT) AS v_bp
+        |FROM w""".stripMargin,
     // q63's session recurrence + per-session first-5 path + top 20;
     // row_number caps the path at 5 events, ties break on path
     "q169_session_paths" ->
