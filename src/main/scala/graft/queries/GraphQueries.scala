@@ -219,9 +219,78 @@ object GraphQueries {
       graft.operators.IncrementalPageRank.maintain(
         postDocs, baseLinks, postLinks, touched, rank1Stored, rank2Stored)
     }),
+    "q176_hits" -> ((s, dir) => {
+      // HITS hubs & authorities (Kleinberg) — PageRank's bipartite
+      // twin, the other classic link-quality signal a crawl pipeline
+      // computes: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v),
+      // two full mutual-reinforcement iterations. EXACT integers: h0 =
+      // 10^6 and every step is a pure edge-sum (no normalization — the
+      // unnormalized 2-iteration scores are BIGINT-safe: ≤ deg⁴·10^6,
+      // and order-insensitive because addition commutes), so Spark's
+      // and DuckDB's aggregation schedules cannot diverge. Each
+      // half-step is ONE equi-join rank⋈edges + one map-side-combined
+      // sum — the identical shuffle shape as q90, and at scale the
+      // edge table stays hash-partitioned on the probed endpoint
+      // across all four half-steps. The hub edges doc → doc%10 (q173)
+      // make the degree sequence heterogeneous so authorities actually
+      // separate; the base closed-form graph alone is in-regular.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = links(docs, n)
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 10).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      def authOf(h: DataFrame): DataFrame =
+        docs.join(
+          e.join(h, e("src") === h("doc_id"))
+            .groupBy(col("dst")).agg(sum(col("r")).as("sr")),
+          col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"), coalesce(col("sr"), lit(0L)).as("r"))
+      def hubOf(a: DataFrame): DataFrame =
+        docs.join(
+          e.join(a, e("dst") === a("doc_id"))
+            .groupBy(col("src")).agg(sum(col("r")).as("sr")),
+          col("doc_id") === col("src"), "left")
+          .select(col("doc_id"), coalesce(col("sr"), lit(0L)).as("r"))
+      val h0 = docs.select(col("doc_id"), lit(1000000L).as("r"))
+      val a1 = authOf(h0); val h1 = hubOf(a1)
+      val a2 = authOf(h1); val h2 = hubOf(a2)
+      a2.withColumnRenamed("r", "auth")
+        .join(h2.withColumnRenamed("r", "hub"), "doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // unnormalized 2-iteration HITS is pure edge-sums — engine-identical
+    "q176_hits" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id % 10 AS dst FROM documents),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |a1 AS (SELECT d.doc_id, CAST(COALESCE(s.sr, 0) AS BIGINT) AS r
+        |  FROM documents d LEFT JOIN (
+        |    SELECT dst, SUM(1000000) AS sr FROM e GROUP BY dst) s
+        |  ON d.doc_id = s.dst),
+        |h1 AS (SELECT d.doc_id, CAST(COALESCE(s.sr, 0) AS BIGINT) AS r
+        |  FROM documents d LEFT JOIN (
+        |    SELECT e.src, SUM(a1.r) AS sr FROM e JOIN a1 ON e.dst = a1.doc_id
+        |    GROUP BY e.src) s
+        |  ON d.doc_id = s.src),
+        |a2 AS (SELECT d.doc_id, CAST(COALESCE(s.sr, 0) AS BIGINT) AS r
+        |  FROM documents d LEFT JOIN (
+        |    SELECT e.dst, SUM(h1.r) AS sr FROM e JOIN h1 ON e.src = h1.doc_id
+        |    GROUP BY e.dst) s
+        |  ON d.doc_id = s.dst),
+        |h2 AS (SELECT d.doc_id, CAST(COALESCE(s.sr, 0) AS BIGINT) AS r
+        |  FROM documents d LEFT JOIN (
+        |    SELECT e.src, SUM(a2.r) AS sr FROM e JOIN a2 ON e.dst = a2.doc_id
+        |    GROUP BY e.src) s
+        |  ON d.doc_id = s.src)
+        |SELECT a2.doc_id, a2.r AS auth, h2.r AS hub
+        |FROM a2 JOIN h2 ON a2.doc_id = h2.doc_id""".stripMargin,
     "q107_triangles" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM documents),
         |links AS (

@@ -1219,6 +1219,64 @@ object SpatialQueries {
         .select(col("bx"), col("by"), col("mcase"),
           when(col("mcase").isin(5L, 10L), 2L).otherwise(1L).as("n_segs"))
     }),
+    "q177_hausdorff" -> ((s, dir) => {
+      // symmetric Hausdorff distance between co-traveler candidate
+      // track pairs — the trajectory-similarity verify stage: the
+      // candidate set comes from q158's shared-tile prefilter (>= 30
+      // shared res-5 tiles, so the exact quadratic work runs ONLY on
+      // pairs that already co-occur), then H(A,B) = max(h(A→B),
+      // h(B→A)) with h(A→B) = max_{a∈A} min_{b∈B} d²(a,b), computed
+      // EXACTLY in squared milli-degree integers (coords are integer
+      // milli-degrees by construction, so d² is a closed-form BIGINT —
+      // no float, no sqrt; the monotone sqrt is the caller's concern).
+      // Shape: per-pair vertex blocks co-locate on the pair key; each
+      // joined row explodes into its two directed (pivot-vertex) rows
+      // ONCE, so both directions ride a single min-then-max aggregate
+      // pass (two map-side-combined shuffles) instead of two scans of
+      // the pair-block join. Per-pair cost is |A|·|B| with bounded
+      // track lengths (decimation — q114 — bounds them upstream at
+      // scale); total cost is candidate-pairs-bounded, never
+      // all-pairs.
+      val pos = Tables.events(s, dir).select(col("user_id"),
+          (col("event_id") * 17 % 320000 - 160000).as("x"),
+          (col("event_id") * 23 % 150000 - 75000).as("y"))
+        .distinct() // Hausdorff is over point SETS
+      // res-5 tile straight from integer milli-degrees: exact int div
+      val tiles = pos.select(col("user_id"),
+          (lit(5L << graft.geo.CellIndex.ResShift)
+            .bitwiseOR(shiftleft(expr("(x + 180000) * 32 div 360000"),
+              graft.geo.CellIndex.XShift))
+            .bitwiseOR(expr("(y + 90000) * 32 div 180000"))).as("tile"))
+        .distinct()
+      val pairs = tiles.as("a").join(tiles.as("b"),
+          col("a.tile") === col("b.tile") && col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+        .agg(count(lit(1)).as("ns")).filter(col("ns") >= 30)
+        .select(col("user_a"), col("user_b"))
+      val ta = pos.select(col("user_id").as("user_a"),
+        col("x").as("ax"), col("y").as("ay"))
+      val tb = pos.select(col("user_id").as("user_b"),
+        col("x").as("qx"), col("y").as("qy"))
+      val joined = pairs.join(ta, "user_a").join(tb, "user_b")
+        .withColumn("d2",
+          (col("ax") - col("qx")) * (col("ax") - col("qx")) +
+            (col("ay") - col("qy")) * (col("ay") - col("qy")))
+      val tagged = joined.select(col("user_a"), col("user_b"), col("d2"),
+          explode(array(
+            struct(lit(0).as("dir"), col("ax").as("vx"), col("ay").as("vy")),
+            struct(lit(1).as("dir"), col("qx").as("vx"), col("qy").as("vy")))).as("v"))
+        .select(col("user_a"), col("user_b"),
+          col("v.dir").as("dir"), col("v.vx").as("vx"), col("v.vy").as("vy"),
+          col("d2"))
+      tagged.groupBy(col("user_a"), col("user_b"),
+          col("dir"), col("vx"), col("vy"))
+        .agg(min(col("d2")).as("md"))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(max(when(col("dir") === 0, col("md"))).as("h2_ab"),
+          max(when(col("dir") === 1, col("md"))).as("h2_ba"))
+        .select(col("user_a"), col("user_b"), col("h2_ab"), col("h2_ba"),
+          greatest(col("h2_ab"), col("h2_ba")).as("h2_sym"))
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -2053,6 +2111,35 @@ object SpatialQueries {
          |    PARTITION BY tile ORDER BY n DESC, entity ASC) AS INT) AS rank
          |  FROM t)
          |WHERE rank <= 3""".stripMargin,
+    // exact integer milli-degree coords → d² is a closed-form BIGINT;
+    // min-then-max per direction mirrors the tagged single-pass fold
+    "q177_hausdorff" ->
+      s"""WITH pos AS (SELECT DISTINCT user_id,
+         |    event_id*17 % 320000 - 160000 AS x,
+         |    event_id*23 % 150000 - 75000 AS y
+         |  FROM events),
+         |t AS (SELECT DISTINCT user_id,
+         |    ((5::BIGINT << ${graft.geo.CellIndex.ResShift})
+         |      | (((x + 180000) * 32 // 360000) << ${graft.geo.CellIndex.XShift})
+         |      | ((y + 90000) * 32 // 180000)) AS tile
+         |  FROM pos),
+         |p AS (SELECT a.user_id AS user_a, b.user_id AS user_b
+         |  FROM t a JOIN t b ON a.tile = b.tile AND a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 30),
+         |j AS (SELECT p.user_a, p.user_b,
+         |    a.x AS ax, a.y AS ay, b.x AS qx, b.y AS qy,
+         |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+         |  FROM p JOIN pos a ON a.user_id = p.user_a
+         |         JOIN pos b ON b.user_id = p.user_b),
+         |ma AS (SELECT user_a, user_b, ax, ay, MIN(d2) AS md
+         |  FROM j GROUP BY 1, 2, 3, 4),
+         |ha AS (SELECT user_a, user_b, MAX(md) AS h2_ab FROM ma GROUP BY 1, 2),
+         |mb AS (SELECT user_a, user_b, qx, qy, MIN(d2) AS md
+         |  FROM j GROUP BY 1, 2, 3, 4),
+         |hb AS (SELECT user_a, user_b, MAX(md) AS h2_ba FROM mb GROUP BY 1, 2)
+         |SELECT user_a, user_b, h2_ab, h2_ba,
+         |  GREATEST(h2_ab, h2_ba) AS h2_sym
+         |FROM ha JOIN hb USING (user_a, user_b)""".stripMargin,
   ) ++ tileOracles
 
   /** One oracle for both kNN paths — the ring path must reproduce the

@@ -936,6 +936,59 @@ object TextQueries {
         .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
         .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
     }),
+    "q178_trigram_backoff" -> ((s, dir) => {
+      // trigram Stupid-Backoff scoring over a HELD-OUT split — q151's
+      // production-shaped upgrade: the model trains on doc_id%5≠0 and
+      // scores doc_id%5=0, so unseen trigrams genuinely fire the
+      // backoff chain (scoring the training corpus never would).
+      // S(w3|w1w2) = c3/c2(w1w2) if the trigram was seen, else
+      // 0.4·c2(w2w3)/c1(w2), else 0.4²·c1(w3)/T — all in exact integer
+      // ppm (10⁶/4·10⁵/1.6·10⁵ numerators, truncated div), the KenLM
+      // trick without logs or floats. All four count tables are
+      // vocabulary-bounded → broadcast; the scoring pass is a narrow
+      // broadcast-join chain over the held-out trigram stream, ONE
+      // corpus-side shuffle (the per-doc fold). At 100 TB the count
+      // tables shuffle-join instead — same plan minus the hints.
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val uni = train.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val tot = uni.agg(sum(col("cu")).as("tt"))
+      val c2 = train.filter(size(col("ts")) >= 2)
+        .select(col("ts"), explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+        .select(element_at(col("ts"), col("i")).as("w1"),
+          element_at(col("ts"), col("i") + 1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c3 = train.filter(size(col("ts")) >= 3)
+        .select(col("ts"), explode(sequence(lit(1), size(col("ts")) - 2)).as("i"))
+        .select(element_at(col("ts"), col("i")).as("w1"),
+          element_at(col("ts"), col("i") + 1).as("w2"),
+          element_at(col("ts"), col("i") + 2).as("w3"))
+        .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+      val st = docs.filter(col("doc_id") % 5 === 0)
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1), size(col("ts")) - 2)).as("i"))
+        .select(col("doc_id"),
+          element_at(col("ts"), col("i")).as("w1"),
+          element_at(col("ts"), col("i") + 1).as("w2"),
+          element_at(col("ts"), col("i") + 2).as("w3"))
+      st.join(broadcast(c3), Seq("w1", "w2", "w3"), "left")
+        .join(broadcast(c2.toDF("w1", "w2", "c2a")), Seq("w1", "w2"), "left")
+        .join(broadcast(c2.toDF("w2", "w3", "c2b")), Seq("w2", "w3"), "left")
+        .join(broadcast(uni.toDF("w2", "cu2")), Seq("w2"), "left")
+        .join(broadcast(uni.toDF("w3", "cu3")), Seq("w3"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("s_ppm",
+          when(col("c3").isNotNull, expr("1000000 * c3 div c2a"))
+            .when(col("c2b").isNotNull, expr("400000 * c2b div cu2"))
+            .when(col("cu3").isNotNull, expr("160000 * cu3 div tt"))
+            .otherwise(lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"), sum(col("s_ppm")).as("sum_ppm"))
+        .withColumn("avg_ppm", expr("sum_ppm div n_tri"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -1455,6 +1508,47 @@ object TextQueries {
         |  CAST(SUM(c2.c2 * 1000000 // c1.c1) // COUNT(*) AS BIGINT) AS avg_ppm
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin,
+    // held-out split: unseen trigrams exercise every backoff tier
+    "q178_trigram_backoff" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents),
+        |tr AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+        |u AS (SELECT unnest(ts) AS w FROM tr),
+        |cu AS (SELECT w, COUNT(*) AS cu FROM u GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS tt FROM u),
+        |bg AS (SELECT
+        |    unnest([ts[i] for i in range(1, len(ts))]) AS w1,
+        |    unnest([ts[i+1] for i in range(1, len(ts))]) AS w2
+        |  FROM tr WHERE len(ts) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |tg AS (SELECT
+        |    unnest([ts[i] for i in range(1, len(ts)-1)]) AS w1,
+        |    unnest([ts[i+1] for i in range(1, len(ts)-1)]) AS w2,
+        |    unnest([ts[i+2] for i in range(1, len(ts)-1)]) AS w3
+        |  FROM tr WHERE len(ts) >= 3),
+        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+        |st AS (SELECT doc_id,
+        |    unnest([ts[i] for i in range(1, len(ts)-1)]) AS w1,
+        |    unnest([ts[i+1] for i in range(1, len(ts)-1)]) AS w2,
+        |    unnest([ts[i+2] for i in range(1, len(ts)-1)]) AS w3
+        |  FROM toks WHERE doc_id % 5 = 0 AND len(ts) >= 3),
+        |sc AS (SELECT st.doc_id,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN 1000000 * c3.c3 // a.c2
+        |         WHEN b.c2 IS NOT NULL THEN 400000 * b.c2 // cu2.cu
+        |         WHEN cu3.cu IS NOT NULL THEN 160000 * cu3.cu // tt.tt
+        |         ELSE 0 END AS s_ppm
+        |  FROM st
+        |  LEFT JOIN c3 ON c3.w1 = st.w1 AND c3.w2 = st.w2 AND c3.w3 = st.w3
+        |  LEFT JOIN c2 a ON a.w1 = st.w1 AND a.w2 = st.w2
+        |  LEFT JOIN c2 b ON b.w1 = st.w2 AND b.w2 = st.w3
+        |  LEFT JOIN cu cu2 ON cu2.w = st.w2
+        |  LEFT JOIN cu cu3 ON cu3.w = st.w3
+        |  CROSS JOIN tt)
+        |SELECT doc_id, COUNT(*) AS n_tri,
+        |  CAST(SUM(s_ppm) AS BIGINT) AS sum_ppm,
+        |  CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS avg_ppm
+        |FROM sc GROUP BY doc_id""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =

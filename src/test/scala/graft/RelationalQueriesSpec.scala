@@ -9,7 +9,10 @@ class RelationalQueriesSpec extends SparkTestBase {
     // q158's >= 20-shared-tiles bar is empty below sf0.01 (10.9k
     // pairs there — the threshold is oracle semantics, not tunable).
     val mayBeEmpty = Set("q05_antijoin_customers_without_orders",
-      "q158_cotraveler_pairs")
+      "q158_cotraveler_pairs",
+      // q177 verifies q158-style candidates (>= 30 shared tiles):
+      // none exist below sf0.01 for the same density reason.
+      "q177_hausdorff")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfSmoke).count()
       assert(mayBeEmpty(name) || n > 0, s"$name returned 0 rows")
