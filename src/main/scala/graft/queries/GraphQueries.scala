@@ -258,9 +258,54 @@ object GraphQueries {
       a2.withColumnRenamed("r", "auth")
         .join(h2.withColumnRenamed("r", "hub"), "doc_id")
     }),
+    "q182_link_prediction" -> ((s, dir) => {
+      // link prediction by common-neighbor count + resource-allocation
+      // index (Zhou/Lü/Zhang) — the crawl-frontier ranking signal:
+      // which unlinked page pairs share many (low-degree) neighbors.
+      // RA in exact ppm: Σ_{z ∈ Γ(a)∩Γ(b)} 10^6 div deg(z) — truncated
+      // integer division, engine-identical. The wedge self-join pivots
+      // every path a—z—b on z, so work is Σ deg(z)² — bounded here
+      // (symmetrized 3-out graph, max deg ~12) and at crawl scale the
+      // q107b degree-orientation treatment applies verbatim; the
+      // existing-edge anti-join and the cn >= 2 floor keep the output
+      // candidate-sized. One shuffle per stage, all equi-joins.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e0 = links(docs, n).filter(col("src") =!= col("dst"))
+      val sym = e0.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e0.select(col("dst").as("u"), col("src").as("v")))
+        .distinct()
+      val deg = sym.groupBy(col("u").as("z")).agg(count(lit(1)).as("dz"))
+      val wedges = sym.select(col("v").as("z"), col("u").as("a"))
+        .join(sym.select(col("v").as("z"), col("u").as("b")), "z")
+        .filter(col("a") < col("b"))
+        .join(deg, "z")
+      wedges.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cn"),
+          sum(expr("1000000 div dz")).as("ra_ppm"))
+        .join(sym.toDF("a", "b"), Seq("a", "b"), "left_anti")
+        .filter(col("cn") >= 2)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // wedge pivot + truncated-div RA; NOT EXISTS mirrors the anti-join
+    "q182_link_prediction" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |sym AS (SELECT src AS u, dst AS v FROM e1
+        |  UNION SELECT dst, src FROM e1),
+        |deg AS (SELECT u AS z, COUNT(*) AS dz FROM sym GROUP BY 1),
+        |w AS (SELECT x.u AS a, y.u AS b, x.v AS z
+        |  FROM sym x JOIN sym y ON x.v = y.v AND x.u < y.u),
+        |sc AS (SELECT w.a, w.b, COUNT(*) AS cn,
+        |    CAST(SUM(1000000 // d.dz) AS BIGINT) AS ra_ppm
+        |  FROM w JOIN deg d ON d.z = w.z GROUP BY 1, 2)
+        |SELECT a, b, cn, ra_ppm FROM sc
+        |WHERE cn >= 2 AND NOT EXISTS (
+        |  SELECT 1 FROM sym WHERE sym.u = sc.a AND sym.v = sc.b)""".stripMargin,
     // unnormalized 2-iteration HITS is pure edge-sums — engine-identical
     "q176_hits" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM documents),

@@ -243,6 +243,63 @@ object RelationalQueries {
                 expr("(abs(v1 - v0) * (day - dd0)) div (dd1 - dd0)"))
             .as("v_bp"))
     }),
+    "q180_cusum" -> ((s, dir) => {
+      // two-sided CUSUM change-point statistic per user stream — the
+      // classic sequential drift detector a feed-quality monitor runs
+      // per source. The recurrence s_i = max(0, s_{i-1} + d_i) looks
+      // inherently sequential, but the Page/Lindley identity
+      // s_i = p_i − min(0, min_{j≤i} p_j) (p = running sum of drifted
+      // deviations) turns it into TWO stacked window passes over the
+      // same (user, ts, event_id) order — both shuffles partition by
+      // user_id, nothing is a global sort, and at 100 TB each source's
+      // stream folds independently. Exact integer bp units throughout;
+      // the up-side drifts at 55.0 (above the ~49.6 mean) and the
+      // down-side at 45.0, alarm threshold 200.0, so both statistics
+      // hover near zero and alarms mark genuine sustained excursions.
+      val ev = events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), Tables.bp(col("value")).as("vb"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prefixed = ev
+        .withColumn("pu", sum(col("vb") - lit(550000L)).over(w))
+        .withColumn("pd", sum(lit(450000L) - col("vb")).over(w))
+      val st = prefixed
+        .withColumn("su", col("pu") - least(min(col("pu")).over(w), lit(0L)))
+        .withColumn("sd", col("pd") - least(min(col("pd")).over(w), lit(0L)))
+      st.groupBy(col("user_id")).agg(
+        count(when(col("su") >= 2000000L, 1)).as("n_alarms_up"),
+        count(when(col("sd") >= 2000000L, 1)).as("n_alarms_dn"),
+        max(col("su")).as("max_s_up"),
+        max(col("sd")).as("max_s_dn"))
+    }),
+    "q181_retention" -> ((s, dir) => {
+      // weekly cohort retention matrix — the panel health readout for
+      // any source: cohort = a user's first active epoch-week, cell
+      // (cohort, offset) = how many of that cohort were active
+      // `offset` weeks later, plus retention in exact ppm of cohort
+      // size. Three user-keyed map-side-combined shuffles (distinct
+      // activity, per-user min, cohort re-agg) and a broadcast-sized
+      // cohort-total join; weeks are pure integer div of epoch-micros
+      // so no calendar library can disagree. The (user, week) distinct
+      // makes the final count a distinct-user count without a
+      // count_distinct shuffle.
+      val activity = events(s, dir).select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
+            .as("week"))
+        .distinct()
+      val firsts = activity.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort"))
+      val sizes = firsts.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("cohort_n"))
+      activity.join(firsts, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort")
+        .select(col("cohort"), col("offset"), col("n_active"),
+          col("cohort_n"),
+          expr("n_active * 1000000 div cohort_n").as("retention_ppm"))
+    }),
     "q09b_topk_agg" -> ((s, dir) => {
       // q09's per-group top-k through the BOUNDED-STATE native
       // aggregate (functions.TopKAgg) instead of the window: the
@@ -1040,6 +1097,39 @@ object RelationalQueries {
         |         * ((abs(v1 - v0) * (day - dd0)) // (dd1 - dd0))
         |       END AS BIGINT) AS v_bp
         |FROM w""".stripMargin,
+    // Page/Lindley identity: s_i = p_i - min(0, running-min of p)
+    "q180_cusum" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(ROUND(value*10000, 0) AS BIGINT) AS vb FROM events),
+        |pre AS (SELECT user_id, ts, event_id,
+        |    SUM(vb - 550000) OVER w AS pu,
+        |    SUM(450000 - vb) OVER w AS pd
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |st AS (SELECT user_id,
+        |    pu - LEAST(MIN(pu) OVER w, 0) AS su,
+        |    pd - LEAST(MIN(pd) OVER w, 0) AS sd
+        |  FROM pre WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id,
+        |  COUNT(CASE WHEN su >= 2000000 THEN 1 END) AS n_alarms_up,
+        |  COUNT(CASE WHEN sd >= 2000000 THEN 1 END) AS n_alarms_dn,
+        |  CAST(MAX(su) AS BIGINT) AS max_s_up,
+        |  CAST(MAX(sd) AS BIGINT) AS max_s_dn
+        |FROM st GROUP BY user_id""".stripMargin,
+    "q181_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+        |  FROM events),
+        |firsts AS (SELECT user_id, MIN(week) AS cohort FROM act GROUP BY 1),
+        |sizes AS (SELECT cohort, COUNT(*) AS cohort_n FROM firsts GROUP BY 1)
+        |SELECT f.cohort, a.week - f.cohort AS "offset",
+        |  COUNT(*) AS n_active, ANY_VALUE(s.cohort_n) AS cohort_n,
+        |  CAST(COUNT(*) * 1000000 // ANY_VALUE(s.cohort_n) AS BIGINT)
+        |    AS retention_ppm
+        |FROM act a JOIN firsts f USING (user_id)
+        |  JOIN sizes s ON s.cohort = f.cohort
+        |GROUP BY 1, 2""".stripMargin,
     // q63's session recurrence + per-session first-5 path + top 20;
     // row_number caps the path at 5 events, ties break on path
     "q169_session_paths" ->

@@ -1277,6 +1277,81 @@ object SpatialQueries {
         .select(col("user_a"), col("user_b"), col("h2_ab"), col("h2_ba"),
           greatest(col("h2_ab"), col("h2_ba")).as("h2_sym"))
     }),
+    "q179_dbscan" -> ((s, dir) => {
+      // exact grid-DBSCAN (eps=100, minPts=4) — density clustering for
+      // POI/geo-entity conflation, the operation that groups extracted
+      // page coordinates into places. EXACT, not approximate: the grid
+      // (cell side = eps) is only a neighbor-candidate prefilter —
+      // every true eps-neighbor pair shares adjacent cells, so the 3×3
+      // cell equi-join + integer d² refine finds the exact eps-graph.
+      // Cores = points with >= minPts-1 neighbors; clusters = connected
+      // components of the core-core eps-graph via the alternating-star
+      // operator (O(log n) rounds on ANY topology — a percolating
+      // density ridge is exactly where min-label propagation would need
+      // diameter rounds); borders attach to their min neighboring
+      // core's cluster; noise labels -1. The domain side m scales with
+      // sqrt(n) so density (and per-point candidate work) is
+      // scale-invariant: the cell join shuffles on cell keys and no
+      // stage is quadratic beyond the ~pi*eps^2*density = 3 true
+      // neighbors per point.
+      val ev = Tables.events(s, dir).select(col("event_id"))
+      val n = ev.count()
+      val m = math.ceil(math.sqrt(n.toDouble)).toLong * 100L
+      // quadratic mixer (i^2 mod P + i*A, all products < 2^63,
+      // identical BIGINT arithmetic in DuckDB): affine maps (i*A % P
+      // % m) are rank-1 lattices whose line structure clumps points
+      // (at some m EVERY point turns core and one component swallows
+      // the plane); the i^2 term is genuinely non-linear, measured
+      // Poisson at every sf (~63% cell occupancy, mean ~pi neighbors,
+      // max component ~170 of 100k points).
+      val P = 3037000493L
+      val pts = ev.select(col("event_id").as("id"),
+        ((col("event_id") * col("event_id") % P +
+          col("event_id") * lit(2654435761L)) % P % m).as("x"),
+        ((col("event_id") * col("event_id") % P * 2 +
+          col("event_id") * lit(2246822519L)) % P % m).as("y"))
+      val probe = pts.select(col("id").as("ida"), col("x").as("ax"),
+          col("y").as("ay"),
+          explode(sequence(lit(-1L), lit(1L))).as("dx"))
+        .select(col("ida"), col("ax"), col("ay"),
+          (expr("ax div 100") + col("dx")).as("cx"),
+          explode(sequence(lit(-1L), lit(1L))).as("dy"))
+        .select(col("ida"), col("ax"), col("ay"), col("cx"),
+          (expr("ay div 100") + col("dy")).as("cy"))
+      val build = pts.select(col("id").as("idb"),
+        expr("x div 100").as("cx"), expr("y div 100").as("cy"),
+        col("x").as("bx"), col("y").as("by"))
+      val cand = probe.join(build, Seq("cx", "cy"))
+        .filter(col("ida") =!= col("idb"))
+        .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= lit(10000L))
+        .select(col("ida"), col("idb"))
+      val cores = cand.groupBy(col("ida").as("id"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 3)
+        .select(col("id"))
+      val coreEdges = cand.filter(col("ida") < col("idb"))
+        .join(cores.withColumnRenamed("id", "ida"), Seq("ida"), "left_semi")
+        .join(cores.withColumnRenamed("id", "idb"), Seq("idb"), "left_semi")
+        .select(col("ida").as("u"), col("idb").as("v"))
+      val (ccLabels, _) = graft.operators.ConnectedComponents
+        .alternatingStar(coreEdges)
+      val coreLab = cores
+        .join(ccLabels.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cid"))
+      val borderLab = cand
+        .join(cores.withColumnRenamed("id", "ida"), Seq("ida"), "left_anti")
+        .join(coreLab.toDF("idb", "cid"), Seq("idb"))
+        .groupBy(col("ida").as("id")).agg(min(col("cid")).as("cid"))
+      pts.select(col("id").as("event_id"))
+        .join(coreLab.toDF("event_id", "core_cid"), Seq("event_id"), "left")
+        .join(borderLab.toDF("event_id", "border_cid"), Seq("event_id"), "left")
+        .select(col("event_id"),
+          when(col("core_cid").isNotNull, lit("core"))
+            .when(col("border_cid").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("core_cid"), col("border_cid"), lit(-1L))
+            .as("cluster_id"))
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -2140,6 +2215,47 @@ object SpatialQueries {
          |SELECT user_a, user_b, h2_ab, h2_ba,
          |  GREATEST(h2_ab, h2_ba) AS h2_sym
          |FROM ha JOIN hb USING (user_a, user_b)""".stripMargin,
+    // exact eps-graph via the same 3x3 grid prefilter; clusters by
+    // recursive reachability over core-core edges (self-loops on ALL
+    // cores make isolated cores label themselves)
+    "q179_dbscan" ->
+      """WITH RECURSIVE mm AS (
+        |  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) * 100 AS m FROM events),
+        |p AS (SELECT event_id AS id,
+        |    (event_id * event_id % 3037000493
+        |      + event_id * 2654435761) % 3037000493 % mm.m AS x,
+        |    (event_id * event_id % 3037000493 * 2
+        |      + event_id * 2246822519) % 3037000493 % mm.m AS y
+        |  FROM events CROSS JOIN mm),
+        |pr AS (SELECT id, x, y, (x // 100) + dx.g AS cx, (y // 100) + dy.g AS cy
+        |  FROM p, generate_series(-1, 1) dx(g), generate_series(-1, 1) dy(g)),
+        |cand AS (SELECT a.id AS ida, b.id AS idb
+        |  FROM pr a JOIN p b
+        |    ON a.cx = (b.x // 100) AND a.cy = (b.y // 100) AND a.id <> b.id
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000),
+        |core AS (SELECT ida AS id FROM cand GROUP BY 1 HAVING COUNT(*) >= 3),
+        |e0 AS (SELECT c.ida AS u, c.idb AS v FROM cand c
+        |  JOIN core ka ON ka.id = c.ida JOIN core kb ON kb.id = c.idb
+        |  WHERE c.ida < c.idb),
+        |edges AS (SELECT u AS src, v AS dst FROM e0
+        |  UNION SELECT v, u FROM e0
+        |  UNION SELECT id, id FROM core),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (SELECT src AS id, MIN(dst) AS cid FROM reach GROUP BY 1),
+        |bord AS (SELECT c.ida AS id, MIN(l.cid) AS cid
+        |  FROM cand c JOIN core k ON k.id = c.idb JOIN lab l ON l.id = c.idb
+        |  WHERE c.ida NOT IN (SELECT id FROM core)
+        |  GROUP BY 1)
+        |SELECT p.id AS event_id,
+        |  CASE WHEN lab.cid IS NOT NULL THEN 'core'
+        |       WHEN bord.cid IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(lab.cid, bord.cid, -1) AS cluster_id
+        |FROM p LEFT JOIN lab ON lab.id = p.id
+        |  LEFT JOIN bord ON bord.id = p.id""".stripMargin,
   ) ++ tileOracles
 
   /** One oracle for both kNN paths — the ring path must reproduce the
