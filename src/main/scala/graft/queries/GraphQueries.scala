@@ -286,9 +286,47 @@ object GraphQueries {
         .join(sym.toDF("a", "b"), Seq("a", "b"), "left_anti")
         .filter(col("cn") >= 2)
     }),
+    "q183_bellman_ford" -> ((s, dir) => {
+      // bounded-hop weighted shortest paths (4 rounds of Bellman-Ford
+      // relaxation) from a seed set — link-distance scoring from trusted
+      // crawl seeds, the weighted upgrade of q161's BFS hops. Exact DP:
+      // d_k(v) = min(d_{k-1}(v), min_u d_{k-1}(u) + w(u,v)) — each
+      // round is ONE equi-join dist⋈edges + one map-side-combined min,
+      // the same per-iteration shuffle shape as q90/q164, with state
+      // bounded at one row per reached vertex (never per path; the
+      // oracle's path enumeration is the test-only luxury). Weights
+      // 1 + (src+dst) % 7 are closed-form integers on both engines.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = links(docs, n)
+        .select(col("src"), col("dst"),
+          (lit(1L) + pmod(col("src") + col("dst"), lit(7))).as("w"))
+      var dist = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("v"), lit(0L).as("d"))
+      for (_ <- 1 to 4) {
+        val relax = dist.toDF("fv", "fd").join(e, col("fv") === col("src"))
+          .select(col("dst").as("v"), (col("fd") + col("w")).as("d"))
+        dist = dist.unionByName(relax)
+          .groupBy(col("v")).agg(min(col("d")).as("d"))
+      }
+      dist.select(col("v").as("doc_id"), col("d").as("dist"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // path enumeration to hop 4 then MIN — equals the relaxation DP
+    "q183_bellman_ford" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM documents),
+        |e AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k))),
+        |paths(v, d, h) AS (
+        |  SELECT doc_id, 0, 0 FROM documents WHERE doc_id % 100 = 0
+        |  UNION
+        |  SELECT e.dst, p.d + e.w, p.h + 1
+        |  FROM paths p JOIN e ON e.src = p.v WHERE p.h < 4)
+        |SELECT v AS doc_id, CAST(MIN(d) AS BIGINT) AS dist
+        |FROM paths GROUP BY v""".stripMargin,
     // wedge pivot + truncated-div RA; NOT EXISTS mirrors the anti-join
     "q182_link_prediction" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM documents),

@@ -300,6 +300,50 @@ object RelationalQueries {
           col("cohort_n"),
           expr("n_active * 1000000 div cohort_n").as("retention_ppm"))
     }),
+    "q184_seasonal_anomaly" -> ((s, dir) => {
+      // seasonal-baseline anomaly detection — the robust-statistics
+      // monitor for periodic feeds: each user-day's metric is compared
+      // to that user's SAME-WEEKDAY lower median, and a day flags when
+      // its absolute residual exceeds 3× the user's MAD (lower median
+      // of absolute residuals — q133's exact order-statistic treatment,
+      // no FP averaging anywhere). Two median passes + the final fold,
+      // every window partitioned by (user[, weekday]) with unique
+      // (value, day) sort keys, so ranks are total-ordered and nothing
+      // sorts globally; at 100 TB each source's seasonality profile
+      // computes independently.
+      val daily = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+            .as("day"),
+          Tables.bp(col("value")).as("vb"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("vb")).as("v"))
+        .withColumn("wd", pmod(col("day"), lit(7)))
+      val wB = Window.partitionBy(col("user_id"), col("wd"))
+        .orderBy(col("v"), col("day"))
+      val wBn = Window.partitionBy(col("user_id"), col("wd"))
+      val base = daily
+        .withColumn("rn", row_number().over(wB).cast("long"))
+        .withColumn("nn", count(lit(1)).over(wBn))
+        .filter(col("rn") === expr("(nn + 1) div 2"))
+        .select(col("user_id"), col("wd"), col("v").as("med"))
+      val resid = daily.join(base, Seq("user_id", "wd"))
+        .withColumn("ar", abs(col("v") - col("med")))
+      val wM = Window.partitionBy(col("user_id"))
+        .orderBy(col("ar"), col("day"))
+      val wMn = Window.partitionBy(col("user_id"))
+      val mad = resid
+        .withColumn("rn", row_number().over(wM).cast("long"))
+        .withColumn("nn", count(lit(1)).over(wMn))
+        .filter(col("rn") === expr("(nn + 1) div 2"))
+        .select(col("user_id"), col("ar").as("mad"))
+      resid.join(mad, "user_id")
+        .groupBy(col("user_id")).agg(
+          count(lit(1)).as("n_days"),
+          max(col("mad")).as("mad"),
+          count(when(col("ar") > col("mad") * 3, 1)).as("n_anom"),
+          max(col("ar")).as("max_abs_resid"))
+    }),
     "q09b_topk_agg" -> ((s, dir) => {
       // q09's per-group top-k through the BOUNDED-STATE native
       // aggregate (functions.TopKAgg) instead of the window: the
@@ -1130,6 +1174,33 @@ object RelationalQueries {
         |FROM act a JOIN firsts f USING (user_id)
         |  JOIN sizes s ON s.cohort = f.cohort
         |GROUP BY 1, 2""".stripMargin,
+    // same-weekday lower-median baseline; MAD = lower median of |resid|
+    "q184_seasonal_anomaly" ->
+      """WITH daily AS (SELECT user_id,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(SUM(CAST(ROUND(value*10000, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, day % 7 AS wd FROM daily),
+        |base AS (SELECT user_id, wd, v AS med FROM (
+        |  SELECT user_id, wd, v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, wd
+        |      ORDER BY v, day) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, wd) AS nn
+        |  FROM d2) WHERE rn = (nn + 1) // 2),
+        |resid AS (SELECT d2.user_id, d2.day, ABS(d2.v - base.med) AS ar
+        |  FROM d2 JOIN base USING (user_id, wd)),
+        |mad AS (SELECT user_id, ar AS mad FROM (
+        |  SELECT user_id, ar,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ar, day) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS nn
+        |  FROM resid) WHERE rn = (nn + 1) // 2)
+        |SELECT r.user_id, COUNT(*) AS n_days,
+        |  CAST(MAX(m.mad) AS BIGINT) AS mad,
+        |  COUNT(CASE WHEN r.ar > m.mad * 3 THEN 1 END) AS n_anom,
+        |  CAST(MAX(r.ar) AS BIGINT) AS max_abs_resid
+        |FROM resid r JOIN mad m USING (user_id)
+        |GROUP BY 1""".stripMargin,
     // q63's session recurrence + per-session first-5 path + top 20;
     // row_number caps the path at 5 events, ties break on path
     "q169_session_paths" ->
