@@ -75,7 +75,11 @@ object Bench {
     "q168_collocation_lift", "q169_session_paths",
     "q170_emerging_hotspot", "q171_incremental_cooccurrence",
     "q172_personalized_pagerank", "q173_degree_assortativity",
-    "q174_trending_terms", "q175_interpolate")
+    "q174_trending_terms", "q175_interpolate",
+    "q176_hits", "q177_hausdorff", "q178_trigram_backoff",
+    "q179_dbscan", "q180_cusum", "q181_retention",
+    "q182_link_prediction", "q183_bellman_ford",
+    "q184_seasonal_anomaly")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

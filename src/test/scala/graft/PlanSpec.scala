@@ -361,6 +361,34 @@ class PlanSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
+  test("q176-q184 plans: equi-joins only, partitioned windows") {
+    // the wave's graph/spatial/LM queries must stay equi-join shapes
+    // (q178's one-row total broadcast is the accepted crossJoin case),
+    // and every window the time-series pair plans must be partitioned
+    for (q <- Seq("q176_hits", "q181_retention", "q182_link_prediction",
+        "q183_bellman_ford")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+      Bench.clearState(spark)
+    }
+    for (q <- Seq("q177_hausdorff", "q179_dbscan")) {
+      val df = SparkEntry.queries(q)(spark, sfSmoke)
+      assert(!formatted(df).contains("CartesianProduct"),
+        s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+    for (q <- Seq("q180_cusum", "q184_seasonal_anomaly")) {
+      val df = SparkEntry.queries(q)(spark, sfSmoke)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+      assert(wins.nonEmpty && wins.forall(_.nonEmpty),
+        s"$q must plan only user-partitioned windows")
+      Bench.clearState(spark)
+    }
+  }
+
   test("q09b top-k carries at most k rows per group through the exchange") {
     // the partial aggregate must run BEFORE the shuffle (that is the
     // entire point vs the window formulation)
