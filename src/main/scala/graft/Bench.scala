@@ -79,7 +79,7 @@ object Bench {
     "q176_hits", "q177_hausdorff", "q178_trigram_backoff",
     "q179_dbscan", "q180_cusum", "q181_retention",
     "q182_link_prediction", "q183_bellman_ford",
-    "q184_seasonal_anomaly")
+    "q184_seasonal_anomaly", "q185_kanon_tiles", "q186_rolling_active")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -344,6 +344,27 @@ object RelationalQueries {
           count(when(col("ar") > col("mad") * 3, 1)).as("n_anom"),
           max(col("ar")).as("max_abs_resid"))
     }),
+    "q186_rolling_active" -> ((s, dir) => {
+      // rolling 4-week active users per observed week — the windowed
+      // COUNT DISTINCT every engagement dashboard needs, WITHOUT a
+      // range-window distinct (Spark has none): each distinct
+      // (user, week) activity row scatters to the 4 target weeks it
+      // keeps the user "active" in, then one count_distinct per target
+      // (partial aggregation dedups map-side). The 4× explode is the
+      // whole cost — constant fan-out, no self-join over the window,
+      // no global sort; a semi-join keeps only weeks that really
+      // occur, so sparse calendars don't emit phantom rows.
+      val act = events(s, dir).select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
+            .as("week"))
+        .distinct()
+      val weeks = act.select(col("week")).distinct()
+      act.select(col("user_id"),
+          explode(sequence(col("week"), col("week") + 3)).as("tw"))
+        .join(weeks.withColumnRenamed("week", "tw"), Seq("tw"), "left_semi")
+        .groupBy(col("tw").as("week"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+    }),
     "q09b_topk_agg" -> ((s, dir) => {
       // q09's per-group top-k through the BOUNDED-STATE native
       // aggregate (functions.TopKAgg) instead of the window: the
@@ -1174,6 +1195,18 @@ object RelationalQueries {
         |FROM act a JOIN firsts f USING (user_id)
         |  JOIN sizes s ON s.cohort = f.cohort
         |GROUP BY 1, 2""".stripMargin,
+    // scatter each activity to its 4 covered target weeks, then
+    // count distinct users per observed target week
+    "q186_rolling_active" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+        |  FROM events),
+        |wk AS (SELECT DISTINCT week FROM act),
+        |sc AS (SELECT a.user_id, a.week + g.g AS tw
+        |  FROM act a, generate_series(0, 3) g(g))
+        |SELECT sc.tw AS week, COUNT(DISTINCT sc.user_id) AS mau
+        |FROM sc JOIN wk ON wk.week = sc.tw
+        |GROUP BY 1""".stripMargin,
     // same-weekday lower-median baseline; MAD = lower median of |resid|
     "q184_seasonal_anomaly" ->
       """WITH daily AS (SELECT user_id,

@@ -1352,6 +1352,42 @@ object SpatialQueries {
           coalesce(col("core_cid"), col("border_cid"), lit(-1L))
             .as("cluster_id"))
     }),
+    "q185_kanon_tiles" -> ((s, dir) => {
+      // k-anonymous tile publishing (k=10) — the privacy gate any
+      // public heat-map derived from user positions must pass: a fine
+      // cell publishes only if its count reaches k; suppressed mass
+      // rolls into the 2×2 parent, which publishes the ROLLED mass if
+      // that reaches k; what still fails aggregates into one residual
+      // row, so published counts always sum to n (nothing silently
+      // vanishes) and no published row describes < k people-points.
+      // Two map-side-combined groupBys + a union — no joins, no
+      // windows; the same quadratic point cloud as q179 (fixed n-scaled
+      // domain) so fine cells genuinely straddle the k threshold.
+      val ev = Tables.events(s, dir).select(col("event_id"))
+      val n = ev.count()
+      val m = math.ceil(math.sqrt(n.toDouble)).toLong * 100L
+      val P = 3037000493L
+      val pts = ev.select(
+        ((col("event_id") * col("event_id") % P +
+          col("event_id") * lit(2654435761L)) % P % m).as("x"),
+        ((col("event_id") * col("event_id") % P * 2 +
+          col("event_id") * lit(2246822519L)) % P % m).as("y"))
+      val fine = pts.select(expr("x div 400").as("fx"), expr("y div 400").as("fy"))
+        .groupBy(col("fx"), col("fy")).agg(count(lit(1)).as("cnt"))
+      val pub = fine.filter(col("cnt") >= 10)
+        .select(lit("fine").as("level"), col("fx").as("cx"),
+          col("fy").as("cy"), col("cnt").as("n"))
+      val rolled = fine.filter(col("cnt") < 10)
+        .groupBy(expr("fx div 2").as("cx"), expr("fy div 2").as("cy"))
+        .agg(sum(col("cnt")).as("n"))
+      val pubParent = rolled.filter(col("n") >= 10)
+        .select(lit("parent").as("level"), col("cx"), col("cy"), col("n"))
+      val residual = rolled.filter(col("n") < 10)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+        .select(lit("residual").as("level"), lit(-1L).as("cx"),
+          lit(-1L).as("cy"), col("n"))
+      pub.unionByName(pubParent).unionByName(residual)
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -2256,6 +2292,29 @@ object SpatialQueries {
         |  COALESCE(lab.cid, bord.cid, -1) AS cluster_id
         |FROM p LEFT JOIN lab ON lab.id = p.id
         |  LEFT JOIN bord ON bord.id = p.id""".stripMargin,
+    // publish >= k, roll < k into 2x2 parent, residual keeps the sum
+    "q185_kanon_tiles" ->
+      """WITH mm AS (
+        |  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) * 100 AS m FROM events),
+        |p AS (SELECT
+        |    (event_id * event_id % 3037000493
+        |      + event_id * 2654435761) % 3037000493 % mm.m AS x,
+        |    (event_id * event_id % 3037000493 * 2
+        |      + event_id * 2246822519) % 3037000493 % mm.m AS y
+        |  FROM events CROSS JOIN mm),
+        |fine AS (SELECT x // 400 AS fx, y // 400 AS fy, COUNT(*) AS cnt
+        |  FROM p GROUP BY 1, 2),
+        |pub AS (SELECT 'fine' AS level, fx AS cx, fy AS cy, cnt AS n
+        |  FROM fine WHERE cnt >= 10),
+        |rolled AS (SELECT fx // 2 AS cx, fy // 2 AS cy,
+        |    CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM fine WHERE cnt < 10 GROUP BY 1, 2),
+        |pp AS (SELECT 'parent' AS level, cx, cy, n FROM rolled WHERE n >= 10),
+        |res AS (SELECT 'residual' AS level, -1 AS cx, -1 AS cy,
+        |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n
+        |  FROM rolled WHERE n < 10)
+        |SELECT * FROM pub UNION ALL SELECT * FROM pp
+        |UNION ALL SELECT * FROM res""".stripMargin,
   ) ++ tileOracles
 
   /** One oracle for both kNN paths — the ring path must reproduce the
