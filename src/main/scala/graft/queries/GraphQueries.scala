@@ -224,10 +224,14 @@ object GraphQueries {
       // twin, the other classic link-quality signal a crawl pipeline
       // computes: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v),
       // two full mutual-reinforcement iterations. EXACT integers: h0 =
-      // 10^6 and every step is a pure edge-sum (no normalization — the
-      // unnormalized 2-iteration scores are BIGINT-safe: ≤ deg⁴·10^6,
-      // and order-insensitive because addition commutes), so Spark's
-      // and DuckDB's aggregation schedules cannot diverge. Each
+      // 10^6 and every step is a pure edge-sum (no normalization), and
+      // order-insensitive because addition commutes, so Spark's and
+      // DuckDB's aggregation schedules cannot diverge. BIGINT bound:
+      // the doc→doc%10 hub edges give 10 nodes in-degree ~n/10, so the
+      // 2-iteration scores grow ~n²·10⁴ — safe to n ≈ 3·10⁷ documents;
+      // past that this EXACT variant must widen to DECIMAL(38,0)
+      // (or normalize per iteration and leave the integer contract),
+      // which ANSI mode enforces loudly rather than wrapping. Each
       // half-step is ONE equi-join rank⋈edges + one map-side-combined
       // sum — the identical shuffle shape as q90, and at scale the
       // edge table stays hash-partitioned on the probed endpoint

@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   import Tables._
 
+  /** Distinct (user_id, epoch-week) activity — the shared base of the
+    * engagement pair q181 (retention cohorts) and q186 (rolling
+    * actives): one bucketing expression so the two dashboards can
+    * never disagree on what a week is. */
+  private def weeklyActivity(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
+          .as("week"))
+      .distinct()
+
   /** q167's funnel fold over an arbitrary (user_id, ts, event_type)
     * frame — factored so FunnelPropSpec can drive random event streams
     * (including equal-timestamp ties) against brute force. Ties
@@ -284,10 +294,7 @@ object RelationalQueries {
       // so no calendar library can disagree. The (user, week) distinct
       // makes the final count a distinct-user count without a
       // count_distinct shuffle.
-      val activity = events(s, dir).select(col("user_id"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
-            .as("week"))
-        .distinct()
+      val activity = weeklyActivity(s, dir)
       val firsts = activity.groupBy(col("user_id"))
         .agg(min(col("week")).as("cohort"))
       val sizes = firsts.groupBy(col("cohort"))
@@ -354,10 +361,7 @@ object RelationalQueries {
       // whole cost — constant fan-out, no self-join over the window,
       // no global sort; a semi-join keeps only weeks that really
       // occur, so sparse calendars don't emit phantom rows.
-      val act = events(s, dir).select(col("user_id"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
-            .as("week"))
-        .distinct()
+      val act = weeklyActivity(s, dir)
       val weeks = act.select(col("week")).distinct()
       act.select(col("user_id"),
           explode(sequence(col("week"), col("week") + 3)).as("tw"))

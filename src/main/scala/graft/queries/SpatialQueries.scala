@@ -51,6 +51,40 @@ object SpatialQueries {
       .join(polys(s, dir), col("member_id") === col("way_id"))
       .select(col("rel_id"), col("pos"), col("role"), col("xs"), col("ys"))
 
+  /** q179/q185's shared synthetic point cloud: one point per event in
+    * a sqrt(n)-scaled square so density is scale-invariant (~10⁻⁴ per
+    * unit²). The QUADRATIC mixer (i² mod P + i·A, all products < 2⁶³,
+    * identical BIGINT arithmetic in DuckDB — [[quadCloudSql]] is the
+    * oracle-side copy, keep the two in lockstep) matters: affine maps
+    * (i·A % P % m) are rank-1 lattices whose line structure clumps
+    * points (at some m EVERY point turns DBSCAN-core and one component
+    * swallows the plane); the i² term is genuinely non-linear,
+    * measured Poisson at every sf (~63% cell occupancy, mean ~pi
+    * eps-neighbors, max component ~170 of 100k points). */
+  private def quadCloud(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"))
+    val n = ev.count()
+    val m = math.ceil(math.sqrt(n.toDouble)).toLong * 100L
+    val P = 3037000493L
+    ev.select(col("event_id").as("id"),
+      ((col("event_id") * col("event_id") % P +
+        col("event_id") * lit(2654435761L)) % P % m).as("x"),
+      ((col("event_id") * col("event_id") % P * 2 +
+        col("event_id") * lit(2246822519L)) % P % m).as("y"))
+  }
+
+  /** DuckDB face of [[quadCloud]] — `mm` (domain side) + `p (id,x,y)`
+    * CTEs; splice as `WITH [RECURSIVE] $quadCloudSql, ...`. */
+  private val quadCloudSql: String =
+    """mm AS (
+      |  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) * 100 AS m FROM events),
+      |p AS (SELECT event_id AS id,
+      |    (event_id * event_id % 3037000493
+      |      + event_id * 2654435761) % 3037000493 % mm.m AS x,
+      |    (event_id * event_id % 3037000493 * 2
+      |      + event_id * 2246822519) % 3037000493 % mm.m AS y
+      |  FROM events CROSS JOIN mm)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_extract_entities" -> ((s, dir) =>
       SynthUniverse.points(s, dir).select(
@@ -1294,22 +1328,7 @@ object SpatialQueries {
       // scale-invariant: the cell join shuffles on cell keys and no
       // stage is quadratic beyond the ~pi*eps^2*density = 3 true
       // neighbors per point.
-      val ev = Tables.events(s, dir).select(col("event_id"))
-      val n = ev.count()
-      val m = math.ceil(math.sqrt(n.toDouble)).toLong * 100L
-      // quadratic mixer (i^2 mod P + i*A, all products < 2^63,
-      // identical BIGINT arithmetic in DuckDB): affine maps (i*A % P
-      // % m) are rank-1 lattices whose line structure clumps points
-      // (at some m EVERY point turns core and one component swallows
-      // the plane); the i^2 term is genuinely non-linear, measured
-      // Poisson at every sf (~63% cell occupancy, mean ~pi neighbors,
-      // max component ~170 of 100k points).
-      val P = 3037000493L
-      val pts = ev.select(col("event_id").as("id"),
-        ((col("event_id") * col("event_id") % P +
-          col("event_id") * lit(2654435761L)) % P % m).as("x"),
-        ((col("event_id") * col("event_id") % P * 2 +
-          col("event_id") * lit(2246822519L)) % P % m).as("y"))
+      val pts = quadCloud(s, dir)
       val probe = pts.select(col("id").as("ida"), col("x").as("ax"),
           col("y").as("ay"),
           explode(sequence(lit(-1L), lit(1L))).as("dx"))
@@ -1363,15 +1382,7 @@ object SpatialQueries {
       // Two map-side-combined groupBys + a union — no joins, no
       // windows; the same quadratic point cloud as q179 (fixed n-scaled
       // domain) so fine cells genuinely straddle the k threshold.
-      val ev = Tables.events(s, dir).select(col("event_id"))
-      val n = ev.count()
-      val m = math.ceil(math.sqrt(n.toDouble)).toLong * 100L
-      val P = 3037000493L
-      val pts = ev.select(
-        ((col("event_id") * col("event_id") % P +
-          col("event_id") * lit(2654435761L)) % P % m).as("x"),
-        ((col("event_id") * col("event_id") % P * 2 +
-          col("event_id") * lit(2246822519L)) % P % m).as("y"))
+      val pts = quadCloud(s, dir)
       val fine = pts.select(expr("x div 400").as("fx"), expr("y div 400").as("fy"))
         .groupBy(col("fx"), col("fy")).agg(count(lit(1)).as("cnt"))
       val pub = fine.filter(col("cnt") >= 10)
@@ -2255,14 +2266,7 @@ object SpatialQueries {
     // recursive reachability over core-core edges (self-loops on ALL
     // cores make isolated cores label themselves)
     "q179_dbscan" ->
-      """WITH RECURSIVE mm AS (
-        |  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) * 100 AS m FROM events),
-        |p AS (SELECT event_id AS id,
-        |    (event_id * event_id % 3037000493
-        |      + event_id * 2654435761) % 3037000493 % mm.m AS x,
-        |    (event_id * event_id % 3037000493 * 2
-        |      + event_id * 2246822519) % 3037000493 % mm.m AS y
-        |  FROM events CROSS JOIN mm),
+      s"""WITH RECURSIVE $quadCloudSql,
         |pr AS (SELECT id, x, y, (x // 100) + dx.g AS cx, (y // 100) + dy.g AS cy
         |  FROM p, generate_series(-1, 1) dx(g), generate_series(-1, 1) dy(g)),
         |cand AS (SELECT a.id AS ida, b.id AS idb
@@ -2294,14 +2298,7 @@ object SpatialQueries {
         |  LEFT JOIN bord ON bord.id = p.id""".stripMargin,
     // publish >= k, roll < k into 2x2 parent, residual keeps the sum
     "q185_kanon_tiles" ->
-      """WITH mm AS (
-        |  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) * 100 AS m FROM events),
-        |p AS (SELECT
-        |    (event_id * event_id % 3037000493
-        |      + event_id * 2654435761) % 3037000493 % mm.m AS x,
-        |    (event_id * event_id % 3037000493 * 2
-        |      + event_id * 2246822519) % 3037000493 % mm.m AS y
-        |  FROM events CROSS JOIN mm),
+      s"""WITH $quadCloudSql,
         |fine AS (SELECT x // 400 AS fx, y // 400 AS fy, COUNT(*) AS cnt
         |  FROM p GROUP BY 1, 2),
         |pub AS (SELECT 'fine' AS level, fx AS cx, fy AS cy, cnt AS n

@@ -32,10 +32,13 @@ object DriftStream {
   def monitor(readings: Dataset[Reading], upDrift: Long, dnDrift: Long,
       threshold: Long, watermarkDelayMs: Long = 0L): Dataset[Alarm] = {
     import readings.sparkSession.implicits._
-    val src =
-      if (readings.isStreaming)
-        readings.withWatermark("ts", s"$watermarkDelayMs milliseconds")
-      else readings
+    // batch input would crash at getCurrentWatermarkMs (no watermark
+    // exists without a streaming plan) — the batch face of this
+    // monitor is q180's window identity; fail loud, not at runtime
+    // inside the first group
+    require(readings.isStreaming,
+      "DriftStream.monitor needs a streaming Dataset; use q180_cusum for batch")
+    val src = readings.withWatermark("ts", s"$watermarkDelayMs milliseconds")
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState[DriftState, Alarm](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

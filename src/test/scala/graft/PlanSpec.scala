@@ -361,12 +361,12 @@ class PlanSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
-  test("q176-q184 plans: equi-joins only, partitioned windows") {
+  test("q176-q186 plans: equi-joins only, partitioned windows") {
     // the wave's graph/spatial/LM queries must stay equi-join shapes
     // (q178's one-row total broadcast is the accepted crossJoin case),
     // and every window the time-series pair plans must be partitioned
     for (q <- Seq("q176_hits", "q181_retention", "q182_link_prediction",
-        "q183_bellman_ford")) {
+        "q183_bellman_ford", "q185_kanon_tiles", "q186_rolling_active")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
