@@ -1399,6 +1399,106 @@ object SpatialQueries {
           lit(-1L).as("cy"), col("n"))
       pub.unionByName(pubParent).unionByName(residual)
     }),
+    "q187_getis_hotspot" -> ((s, dir) => {
+      // Getis-Ord Gi*-style LOCAL hot-spot detection over the point-
+      // density raster — the local companion to q163's global Moran's
+      // I. Population = the FULL res-7 lattice (empty cells carry
+      // x = 0; conditioning on occupied cells only would make the
+      // uniform-jitter clusters self-referential and nothing would
+      // ever be significant); binary 3x3 weights including self;
+      // border windows partial, W derived from the coordinates (no
+      // per-cell neighbor count needed). Emitted rows = cells whose
+      // window touches any mass (the scatter targets) — everything
+      // else has wsum = 0 and an identical trivially-'none' verdict.
+      // The |z| > 2 test is exact-integer: with T = Σx, N = n², S2N =
+      // N·Σx² − T², num = N·Σ_w x − T·W, z² > 4 becomes
+      //   num²·(N−1) > 4·S2N·(N·W − W²)
+      // in DECIMAL(38,0)/HUGEINT (q173's determinism trick — the
+      // squares overflow BIGINT at scale). No sqrt, no float: Spark
+      // and DuckDB cannot diverge by an ulp. Plan: one groupBy builds
+      // the raster; the 3x3 window is q125's join-free scatter; the
+      // target's own count comes back by ONE left join; the three
+      // global scalars ride in as a broadcast one-row cross join.
+      val n = graft.geo.CellIndex.width(7)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      val base = SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
+        .cache()
+      val stats = base.agg(sum(col("cnt")).as("tt"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      val nbr = base
+        .select(col("ix"), col("iy"), col("cnt"),
+          explode(sequence(lit(-1), lit(1))).as("dx"))
+        .select((col("ix") + col("dx")).as("tx"), col("iy"), col("cnt"),
+          explode(sequence(lit(-1), lit(1))).as("dy"))
+        .select(col("tx"), (col("iy") + col("dy")).as("ty"), col("cnt"))
+        .filter(col("tx") >= 0 && col("tx") < n && col("ty") >= 0 && col("ty") < n)
+        .groupBy(col("tx"), col("ty"))
+        .agg(sum(col("cnt")).as("wsum"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val bigN = lit(n * n)
+      val w = (least(col("tx") + 1, lit(n - 1)) - greatest(col("tx") - 1, lit(0L)) + 1) *
+        (least(col("ty") + 1, lit(n - 1)) - greatest(col("ty") - 1, lit(0L)) + 1)
+      nbr
+        .join(base, col("tx") === col("ix") && col("ty") === col("iy"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("w", w)
+        .withColumn("num", bigN * col("wsum") - col("tt") * col("w"))
+        .withColumn("hot2",
+          dec(col("num")) * dec(col("num")) * dec(bigN - 1) >
+            dec(lit(4)) * (dec(bigN) * dec(col("ss")) - dec(col("tt")) * dec(col("tt"))) *
+              dec(bigN * col("w") - col("w") * col("w")))
+        .select(col("tx"), col("ty"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+          col("w"), col("wsum"),
+          when(col("num") > 0 && col("hot2"), lit("hot"))
+            .when(col("num") < 0 && col("hot2"), lit("cold"))
+            .otherwise(lit("none")).as("flag"))
+    }),
+    "q189_adaptive_tiles" -> ((s, dir) => {
+      // Adaptive quadtree binning across the north star's res 7..12
+      // band: every occupied res-12 cell resolves to the COARSEST
+      // resolution whose covering cell holds <= 16 points (else it
+      // stays at 12) — the variable-resolution tiling a vector-tile
+      // publisher uses so dense cores split fine while empty ocean
+      // stays coarse. The point stream is scanned ONCE (the res-12
+      // aggregate); every coarser count ROLLS UP from the cell-count
+      // frame below it (q131's pyramid shape — never re-reads points),
+      // and the decision is five equi-joins of shrinking aggregates on
+      // the ancestor key (all broadcast-size next to the res-12 frame).
+      // A res-12 cell has exactly one ancestor per level, so the CASE
+      // picks a unique leaf and the leaf counts partition the corpus.
+      val maxPts = 16
+      val c12 = SynthUniverse.points(s, dir)
+        .select(GeoFunctions.cellAt(col("lon"), col("lat"), 12).as("c12"))
+        .groupBy(col("c12")).agg(count(lit(1)).as("cnt12"))
+        .cache() // 5 broadcast rollups + the probe side reuse ONE point scan
+      val ups = (11 to 7 by -1).foldLeft(Map(12 -> c12)) { (m, r) =>
+        val finer = m(r + 1)
+        m + (r -> finer.groupBy(
+            GeoFunctions.parentAt(col(s"c${r + 1}"), r + 1, r).as(s"c$r"))
+          .agg(sum(col(s"cnt${r + 1}")).as(s"cnt$r")))
+      }
+      val joined = (7 to 11).foldLeft(c12) { (df, r) =>
+        df.join(broadcast(ups(r)),
+          GeoFunctions.parentAt(col("c12"), 12, r) === col(s"c$r"))
+      }
+      val leafRes = (7 to 11).foldLeft(when(lit(false), lit(12))) { (c, r) =>
+        c.when(col(s"cnt$r") <= maxPts, lit(r))
+      }.otherwise(lit(12))
+      val leafCell = (7 to 11).foldLeft(when(lit(false), col("c12"))) { (c, r) =>
+        c.when(col(s"cnt$r") <= maxPts, col(s"c$r"))
+      }.otherwise(col("c12"))
+      joined
+        .select(leafRes.cast("long").as("leaf_res"), leafCell.as("cell"),
+          col("cnt12"))
+        .groupBy(col("leaf_res"), col("cell"))
+        .agg(sum(col("cnt12")).as("n_points"))
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -2312,6 +2412,73 @@ object SpatialQueries {
         |  FROM rolled WHERE n < 10)
         |SELECT * FROM pub UNION ALL SELECT * FROM pp
         |UNION ALL SELECT * FROM res""".stripMargin,
+    "q187_getis_hotspot" -> {
+      val n = graft.geo.CellIndex.width(7)
+      val bigN = n * n
+      s"""WITH ${SynthSql.pointsCte},
+         |b AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy
+         |  FROM points),
+         |c AS (SELECT ix, iy, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |g AS (SELECT SUM(cnt) AS tt, SUM(cnt*cnt) AS ss FROM c),
+         |nbr AS (SELECT ix + dx AS tx, iy + dy AS ty,
+         |    CAST(SUM(cnt) AS BIGINT) AS wsum
+         |  FROM c, range(-1, 2) t1(dx), range(-1, 2) t2(dy)
+         |  WHERE ix + dx BETWEEN 0 AND ${n - 1} AND iy + dy BETWEEN 0 AND ${n - 1}
+         |  GROUP BY 1, 2),
+         |j AS (SELECT nbr.tx, nbr.ty, COALESCE(c.cnt, 0) AS cnt, nbr.wsum,
+         |    (LEAST(nbr.tx + 1, ${n - 1}) - GREATEST(nbr.tx - 1, 0) + 1)
+         |      * (LEAST(nbr.ty + 1, ${n - 1}) - GREATEST(nbr.ty - 1, 0) + 1) AS w,
+         |    g.tt, g.ss
+         |  FROM nbr LEFT JOIN c ON c.ix = nbr.tx AND c.iy = nbr.ty CROSS JOIN g),
+         |k AS (SELECT tx, ty, cnt, w, wsum,
+         |    $bigN * wsum - tt * w AS num,
+         |    CAST($bigN * wsum - tt * w AS HUGEINT)
+         |      * CAST($bigN * wsum - tt * w AS HUGEINT)
+         |      * ${bigN - 1}::HUGEINT >
+         |    4::HUGEINT * ($bigN::HUGEINT * CAST(ss AS HUGEINT)
+         |        - CAST(tt AS HUGEINT) * CAST(tt AS HUGEINT))
+         |      * CAST($bigN * w - w * w AS HUGEINT) AS hot2
+         |  FROM j)
+         |SELECT tx, ty, cnt, w, wsum,
+         |  CASE WHEN num > 0 AND hot2 THEN 'hot'
+         |       WHEN num < 0 AND hot2 THEN 'cold'
+         |       ELSE 'none' END AS flag
+         |FROM k""".stripMargin
+    },
+    "q189_adaptive_tiles" -> {
+      val n12 = graft.geo.CellIndex.width(12)
+      def pack(r: Int, x: String, y: String): String =
+        s"((${r.toLong << graft.geo.CellIndex.ResShift}::BIGINT) | (($x) << ${graft.geo.CellIndex.XShift}) | ($y))"
+      val ups = (11 to 7 by -1).map { r =>
+        val sh = 12 - r
+        s"c$r AS (SELECT x12 >> $sh AS x, y12 >> $sh AS y, CAST(SUM(cnt) AS BIGINT) AS cnt$r FROM c12 GROUP BY 1, 2)"
+      }.mkString(",\n")
+      val joins = (7 to 11).map { r =>
+        val sh = 12 - r
+        s"JOIN c$r ON c12.x12 >> $sh = c$r.x AND c12.y12 >> $sh = c$r.y"
+      }.mkString("\n")
+      val resCase = (7 to 11).map(r => s"WHEN cnt$r <= 16 THEN $r").mkString(" ")
+      val cellCase = (7 to 11).map { r =>
+        s"WHEN cnt$r <= 16 THEN ${pack(r, s"x12 >> ${12 - r}", s"y12 >> ${12 - r}")}"
+      }.mkString(" ")
+      s"""WITH ${SynthSql.pointsCte},
+         |b AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n12) AS BIGINT), 0), ${n12 - 1}) AS x12,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n12) AS BIGINT), 0), ${n12 - 1}) AS y12
+         |  FROM points),
+         |c12 AS (SELECT x12, y12, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |$ups,
+         |d AS (SELECT c12.x12, c12.y12, c12.cnt,
+         |    CASE $resCase ELSE 12 END AS leaf_res,
+         |    CASE $cellCase ELSE ${pack(12, "x12", "y12")} END AS cell
+         |  FROM c12
+         |$joins)
+         |SELECT CAST(leaf_res AS BIGINT) AS leaf_res, cell,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_points
+         |FROM d GROUP BY 1, 2""".stripMargin
+    },
   ) ++ tileOracles
 
   /** One oracle for both kNN paths — the ring path must reproduce the
