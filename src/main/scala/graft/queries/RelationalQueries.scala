@@ -369,6 +369,68 @@ object RelationalQueries {
         .groupBy(col("tw").as("week"))
         .agg(countDistinct(col("user_id")).as("mau"))
     }),
+    "q188_acf" -> ((s, dir) => {
+      // lag-k autocorrelation of per-cohort daily activity (k = 1, 2)
+      // — the stationarity probe a forecasting pipeline runs before
+      // fitting anything. Pairs are (x = count(day − k), y =
+      // count(day)) over days where BOTH are present (lag window + a
+      // gap check — well-defined on sparse calendars with no gap-fill
+      // pass); Pearson r rides q173's exact-integer cancellation:
+      // num = m·Σxy − Σx·Σy, den² factors likewise, emitted as SIGNED
+      // r² in ppm with DECIMAL(38,0) products (num² overflows BIGINT
+      // at corpus scale). ONE exchange on cohort builds the daily
+      // rollup; both lags fold from the same two windows; cohorts with
+      // a degenerate den (constant series) drop — r is undefined there.
+      val w = Window.partitionBy(col("cohort")).orderBy(col("day"))
+      val daily = events(s, dir)
+        .select((col("user_id") % 100).as("cohort"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+        .groupBy(col("cohort"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      val lagged = daily
+        .withColumn("x1", when(lag(col("day"), 1).over(w) === col("day") - 1,
+          lag(col("y"), 1).over(w)))
+        .withColumn("x2", when(lag(col("day"), 2).over(w) === col("day") - 2,
+          lag(col("y"), 2).over(w)))
+      Seq(1, 2).map { k =>
+        lagged.filter(col(s"x$k").isNotNull)
+          .groupBy(col("cohort"))
+          .agg(count(lit(1)).as("m"),
+            sum(col(s"x$k")).as("sx"), sum(col("y")).as("sy"),
+            sum(col(s"x$k") * col("y")).as("sxy"),
+            sum(col(s"x$k") * col(s"x$k")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("cohort"), lit(k.toLong).as("lag"), col("m"),
+            (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("m") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+            (col("m") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      }.reduce(_ unionByName _)
+        .filter(col("den_x") > 0 && col("den_y") > 0)
+        .select(col("cohort"), col("lag"), col("m"), col("num"),
+          (when(col("num") < 0, -1L).otherwise(1L) *
+            expr("(CAST(1000000 AS DECIMAL(38,0)) * num * num)" +
+              " div (CAST(den_x AS DECIMAL(38,0)) * den_y)"))
+            .as("acf2_ppm_signed"))
+    }),
+    "q190_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS ((type, bucket), (type), ()) — the
+      // irregular multi-level aggregate completing q69's ROLLUP / CUBE
+      // family (a dashboard rarely wants the full cube; this shape
+      // prices exactly the three levels it reads). One pass, Spark's
+      // native Expand; grouping nulls coalesced to sentinels and the
+      // grouping id emitted so rows from different sets never collide.
+      events(s, dir)
+        .withColumn("ub", col("user_id") % 10)
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("ub")), Seq(col("event_type")), Seq()),
+          col("event_type"), col("ub"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.bp(col("value"))).as("v_bp"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("ub"), lit(-1L)).as("ub"), col("gid"), col("n"),
+          col("v_bp"))
+    }),
     "q09b_topk_agg" -> ((s, dir) => {
       // q09's per-group top-k through the BOUNDED-STATE native
       // aggregate (functions.TopKAgg) instead of the window: the
@@ -1211,6 +1273,47 @@ object RelationalQueries {
         |SELECT sc.tw AS week, COUNT(DISTINCT sc.user_id) AS mau
         |FROM sc JOIN wk ON wk.week = sc.tw
         |GROUP BY 1""".stripMargin,
+    "q188_acf" ->
+      """WITH daily AS (SELECT user_id % 100 AS cohort,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (SELECT cohort, day, y,
+        |    CASE WHEN LAG(day, 1) OVER w = day - 1
+        |         THEN LAG(y, 1) OVER w END AS x1,
+        |    CASE WHEN LAG(day, 2) OVER w = day - 2
+        |         THEN LAG(y, 2) OVER w END AS x2
+        |  FROM daily WINDOW w AS (PARTITION BY cohort ORDER BY day)),
+        |s1 AS (SELECT cohort, 1 AS lag, COUNT(*) AS m,
+        |    CAST(SUM(x1) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x1*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x1*x1) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM lagged WHERE x1 IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT cohort, 2 AS lag, COUNT(*) AS m,
+        |    CAST(SUM(x2) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x2*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x2*x2) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM lagged WHERE x2 IS NOT NULL GROUP BY 1),
+        |f AS (SELECT cohort, lag, m,
+        |    m*sxy - sx*sy AS num, m*sxx - sx*sx AS den_x,
+        |    m*syy - sy*sy AS den_y
+        |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2))
+        |SELECT cohort, CAST(lag AS BIGINT) AS lag, m, num,
+        |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |    * ((CAST(1000000 AS HUGEINT) * num * num)
+        |       // (CAST(den_x AS HUGEINT) * den_y)) AS BIGINT)
+        |    AS acf2_ppm_signed
+        |FROM f WHERE den_x > 0 AND den_y > 0""".stripMargin,
+    "q190_grouping_sets" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(ub, -1) AS ub,
+        |  CAST(GROUPING(event_type, ub) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*10000, 0) AS BIGINT)) AS BIGINT) AS v_bp
+        |FROM (SELECT event_type, user_id % 10 AS ub, value FROM events)
+        |GROUP BY GROUPING SETS ((event_type, ub), (event_type), ())""".stripMargin,
     // same-weekday lower-median baseline; MAD = lower median of |resid|
     "q184_seasonal_anomaly" ->
       """WITH daily AS (SELECT user_id,
