@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics over a deterministic hyperlink graph derived
@@ -315,9 +316,104 @@ object GraphQueries {
       }
       dist.select(col("v").as("doc_id"), col("d").as("dist"))
     }),
+    "q191_kcore" -> ((s, dir) => {
+      // k-core membership (k = 5) via graft.operators.KCore — the
+      // crawl-graph denoising primitive (strip pages that only hang off
+      // the fringe; what survives is the densely-linked center). The
+      // fixed-out-degree base graph is too regular to peel (every
+      // vertex has degree ~7 and nothing cascades), so this query's
+      // graph varies out-degree with the vertex: doc i emits
+      // 1 + i % 6 links to (i*31 + 7k + k²) % N — degrees 2..12, and
+      // the k=5 peel genuinely cascades (8-9 rounds measured at
+      // sf0.01/sf0.1) before fixpoint. The oracle unrolls 14 peel
+      // rounds (safe: the peel is idempotent at the fixpoint); the
+      // operator fails loud past 14, so a graph change that breaks the
+      // bound surfaces as an error, never a silent mismatch.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = docs.select(col("doc_id").as("src"),
+          explode(filter(array((1 to 6).map(k =>
+            when(lit(k) <= col("doc_id") % 6 + 1,
+              pmod(col("doc_id") * 31 + k * 7 + k * k, lit(n)))): _*),
+            c => c.isNotNull)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      graft.operators.KCore.membership(e, k = 5, maxRounds = 14)
+    }),
+    "q192_anchor_terms" -> ((s, dir) => {
+      // inbound anchor-text aggregation — the web-retrieval signal
+      // (what do OTHER pages call this page?): every link carries an
+      // anchor term drawn deterministically from its SOURCE document's
+      // tokens, and each target page keeps its top-3 anchor terms
+      // (count DESC, term ASC). One narrow join of links to the source
+      // token array (the anchor pick is an element_at, never an
+      // explode of the whole corpus), one map-side-combined count on
+      // (dst, term), one rank window partitioned by dst — at crawl
+      // scale the only global exchanges are the (dst, term) count and
+      // the per-target top-k, both key-partitioned.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"),
+        graft.text.TextFunctions.tokens(col("text")).as("ts"))
+      val anchors = toks.select(col("doc_id").as("src"), col("ts"),
+          explode(array((1 to 3).map(lit(_)): _*)).as("k"))
+        .select(pmod(col("src") * 31 + col("k") * 7, lit(n)).as("dst"),
+          element_at(col("ts"),
+            (pmod(col("k") * 7 + col("src"), size(col("ts")).cast("long")) + 1)
+              .cast("int")).as("term"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("cnt").desc, col("term"))
+      anchors.groupBy(col("dst"), col("term")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("dst"), col("rank").cast("long").as("rank"),
+          col("term"), col("cnt"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // 14 unrolled peel rounds — idempotent at the fixpoint, so equal to
+    // the operator's converge-then-stop as long as it converges by 14
+    // (the operator fails loud otherwise, never a silent mismatch)
+    "q191_kcore" -> {
+      val rounds = (1 to 14).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT x FROM (SELECT x, COUNT(*) AS d FROM (
+           |  SELECT e.u AS x FROM e JOIN s${i - 1} a ON e.u = a.x JOIN s${i - 1} b ON e.v = b.x
+           |  UNION ALL
+           |  SELECT e.v AS x FROM e JOIN s${i - 1} a ON e.u = a.x JOIN s${i - 1} b ON e.v = b.x)
+           |  GROUP BY 1) WHERE d >= 5)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+         |links AS (
+         |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k + k*k) % n.n AS dst
+         |  FROM documents d CROSS JOIN n, range(1, 7) t(k)
+         |  WHERE k <= 1 + d.doc_id % 6),
+         |e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |      FROM links WHERE src <> dst),
+         |s0 AS MATERIALIZED (SELECT DISTINCT x FROM (
+         |  SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)),
+         |$rounds
+         |SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |  SELECT e.u AS node FROM e JOIN s14 a ON e.u = a.x JOIN s14 b ON e.v = b.x
+         |  UNION ALL
+         |  SELECT e.v AS node FROM e JOIN s14 a ON e.u = a.x JOIN s14 b ON e.v = b.x)
+         |GROUP BY 1""".stripMargin
+    },
+    "q192_anchor_terms" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents),
+        |a AS (SELECT (t.doc_id*31 + 7*k) % n.n AS dst,
+        |    ts[CAST((k*7 + t.doc_id) % len(ts) AS BIGINT) + 1] AS term
+        |  FROM toks t CROSS JOIN n, range(1, 4) g(k)),
+        |c AS (SELECT dst, term, COUNT(*) AS cnt FROM a GROUP BY 1, 2),
+        |r AS (SELECT dst, term, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, term) AS rank
+        |  FROM c)
+        |SELECT dst, CAST(rank AS BIGINT) AS rank, term, cnt
+        |FROM r WHERE rank <= 3""".stripMargin,
     // path enumeration to hop 4 then MIN — equals the relaxation DP
     "q183_bellman_ford" ->
       """WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM documents),
