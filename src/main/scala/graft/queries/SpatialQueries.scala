@@ -1499,6 +1499,28 @@ object SpatialQueries {
         .groupBy(col("leaf_res"), col("cell"))
         .agg(sum(col("cnt12")).as("n_points"))
     }),
+    "q193_hilbert_order" -> ((s, dir) => {
+      // Hilbert-curve tile ordering — the write-locality upgrade over
+      // the z-order curve (geo/ZOrder): consecutive Hilbert positions
+      // are ALWAYS grid-adjacent, so a tile writer emitting in hkey
+      // order produces spatially-compact runs (HilbertSpec measures the
+      // locality win over z-order; the bijectivity/adjacency proofs
+      // live there too). The encode is graft.geo.HilbertIndexExpr —
+      // one static codegen call per OCCUPIED CELL (never per point:
+      // the raster groupBy runs first, the curve prices |cells| rows).
+      val n = graft.geo.CellIndex.width(8)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("n_points"))
+        .select(col("ix"), col("iy"),
+          graft.geo.Hilbert.indexCol(8, col("ix"), col("iy")).as("hkey"),
+          col("n_points"))
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -2478,6 +2500,18 @@ object SpatialQueries {
          |SELECT CAST(leaf_res AS BIGINT) AS leaf_res, cell,
          |  CAST(SUM(cnt) AS BIGINT) AS n_points
          |FROM d GROUP BY 1, 2""".stripMargin
+    },
+    "q193_hilbert_order" -> {
+      val n = graft.geo.CellIndex.width(8)
+      val grid =
+        s"""(SELECT
+           |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+           |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy,
+           |    COUNT(*) AS n_points
+           |  FROM points GROUP BY 1, 2)""".stripMargin
+      s"""WITH ${SynthSql.pointsCte}
+         |SELECT ix, iy, hd AS hkey, n_points
+         |FROM ${graft.geo.Hilbert.xy2dSql(8, "ix", "iy", grid)}""".stripMargin
     },
   ) ++ tileOracles
 

@@ -989,6 +989,24 @@ object TextQueries {
         .agg(count(lit(1)).as("n_tri"), sum(col("s_ppm")).as("sum_ppm"))
         .withColumn("avg_ppm", expr("sum_ppm div n_tri"))
     }),
+    "q194_feature_hash" -> ((s, dir) => {
+      // feature-hashed bag-of-words (the hashing trick): each token
+      // occurrence lands in dim = hash(term) % 16 with a second
+      // independent hash bit as its sign, summed per (doc, dim) — the
+      // fixed-width integer document vector that feeds linear/ANN
+      // models WITHOUT any vocabulary build (no global window, no
+      // fitted dictionary to ship; collisions are the accepted noise
+      // of the method). hash60 is the engine's shared md5-based
+      // cross-engine hash; dim and sign use DISJOINT bit ranges. One
+      // narrow explode + one map-side-combined shuffle on (doc, dim).
+      import graft.text.TextFunctions.{hash60, tokens}
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .withColumn("h", hash60(col("term")))
+        .groupBy(col("doc_id"), pmod(col("h"), lit(16L)).as("dim"))
+        .agg(sum(when(pmod(expr("h div 16"), lit(2L)) === 0, 1L)
+          .otherwise(-1L)).as("val"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -1549,6 +1567,13 @@ object TextQueries {
         |  CAST(SUM(s_ppm) AS BIGINT) AS sum_ppm,
         |  CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS avg_ppm
         |FROM sc GROUP BY doc_id""".stripMargin,
+    "q194_feature_hash" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(unnest(string_split_regex(lower(text), '\s+'))), 1, 15) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 16 AS dim,
+        |  CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val
+        |FROM t GROUP BY 1, 2""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =
