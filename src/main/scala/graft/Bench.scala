@@ -79,7 +79,10 @@ object Bench {
     "q176_hits", "q177_hausdorff", "q178_trigram_backoff",
     "q179_dbscan", "q180_cusum", "q181_retention",
     "q182_link_prediction", "q183_bellman_ford",
-    "q184_seasonal_anomaly", "q185_kanon_tiles", "q186_rolling_active")
+    "q184_seasonal_anomaly", "q185_kanon_tiles", "q186_rolling_active",
+    "q187_getis_hotspot", "q188_acf", "q189_adaptive_tiles",
+    "q190_grouping_sets", "q191_kcore", "q192_anchor_terms",
+    "q193_hilbert_order", "q194_feature_hash")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

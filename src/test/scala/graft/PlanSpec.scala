@@ -389,6 +389,42 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q187-q194 plans: scatter/equi shapes, partitioned windows, codegen hilbert") {
+    // q187/q189/q192: equi-joins only (q187's one-row stats broadcast
+    // is the accepted crossJoin case — assert it stays a 1-row
+    // BROADCAST, never a cartesian product)
+    for (q <- Seq("q187_getis_hotspot", "q189_adaptive_tiles",
+        "q192_anchor_terms")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+    // windows in q188/q192 must be key-partitioned
+    for (q <- Seq("q188_acf", "q192_anchor_terms")) {
+      val df = SparkEntry.queries(q)(spark, sfSmoke)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+      assert(wins.nonEmpty && wins.forall(_.nonEmpty),
+        s"$q must plan only key-partitioned windows")
+      Bench.clearState(spark)
+    }
+    // q190 is one Expand + one aggregate: no join anywhere
+    val gsPlan = formatted(SparkEntry.queries("q190_grouping_sets")(spark, sfSmoke))
+    assert(gsPlan.contains("Expand"), gsPlan.linesIterator.take(20).mkString("\n"))
+    assert(!gsPlan.contains("Join"), "grouping sets must not plan a join")
+    Bench.clearState(spark)
+    // q193/q194: join-free, window-free; the hilbert encode is native
+    val hPlan = formatted(SparkEntry.queries("q193_hilbert_order")(spark, sfSmoke))
+    assert(hPlan.contains("hilbert_index"), "native hilbert expression missing")
+    assert(!hPlan.contains("Join") && !hPlan.contains("Window"), hPlan.linesIterator.take(20).mkString("\n"))
+    Bench.clearState(spark)
+    val fPlan = formatted(SparkEntry.queries("q194_feature_hash")(spark, sfSmoke))
+    assert(!fPlan.contains("Join") && !fPlan.contains("Window"),
+      "feature hashing must stay one narrow pass + one aggregate")
+    Bench.clearState(spark)
+  }
+
   test("q09b top-k carries at most k rows per group through the exchange") {
     // the partial aggregate must run BEFORE the shuffle (that is the
     // entire point vs the window formulation)
