@@ -82,7 +82,8 @@ object Bench {
     "q184_seasonal_anomaly", "q185_kanon_tiles", "q186_rolling_active",
     "q187_getis_hotspot", "q188_acf", "q189_adaptive_tiles",
     "q190_grouping_sets", "q191_kcore", "q192_anchor_terms",
-    "q193_hilbert_order", "q194_feature_hash")
+    "q193_hilbert_order", "q194_feature_hash", "q195_block_dedup",
+    "q196_mis", "q197_zonal_stats", "q198_incremental_adaptive")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -352,6 +352,54 @@ object DedupQueries {
         .distinct()
       verifiedPairs(cand, shingleSetsOf(docs), shingleSetsOf(bench))
     }),
+    "q195_block_dedup" -> ((s, dir) => {
+      // sorted-neighborhood (blocking) dedup — the THIRD candidate-
+      // generation family beside probabilistic banding (q13) and exact
+      // prefix filtering (q142): records sort under a cheap BLOCK key
+      // and only window-adjacent pairs (w = 3) are ever compared. The
+      // sort is PER BLOCK (window partitioned by the 16-char prefix —
+      // never a global sort; at corpus scale block sizes are the
+      // method's skew knob and a hot block would widen its key), the
+      // edit-distance verify prices <= 2 neighbors per row on 40-char
+      // prefixes. Pairs whose texts diverge after char 16 but agree on
+      // the block are exactly what SNM exists to catch.
+      // input = corpus ∪ planted near-dup variants (docs with id%11=7
+      // re-enter at id+10n with chars 25-26 mutated): the corpus's own
+      // duplicates are EXACT (dist 0), so without the variants the
+      // window-adjacency + edit-verify path would never see a nonzero
+      // accept — the variants land in the same block (prefix intact)
+      // at dist 2.
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("key"))
+      val nDocs = base.count()
+      val variants = base.filter(col("doc_id") % 11 === 7)
+        .select((col("doc_id") + 10 * nDocs).as("doc_id"),
+          concat(substring(col("key"), 1, 24), lit("zq"),
+            substring(col("key"), 27, 1000000)).as("key"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("blk")).orderBy(col("key"), col("doc_id"))
+      val d = base.unionByName(variants)
+        .withColumn("blk", substring(col("key"), 1, 16))
+      val lagged = d
+        .withColumn("p1_id", lag(col("doc_id"), 1).over(w))
+        .withColumn("p1_key", lag(col("key"), 1).over(w))
+        .withColumn("p2_id", lag(col("doc_id"), 2).over(w))
+        .withColumn("p2_key", lag(col("key"), 2).over(w))
+      val cand = lagged.filter(col("p1_id").isNotNull)
+        .select(col("p1_id").as("pid"), col("p1_key").as("pkey"),
+          col("doc_id"), col("key"))
+        .unionByName(lagged.filter(col("p2_id").isNotNull)
+          .select(col("p2_id").as("pid"), col("p2_key").as("pkey"),
+            col("doc_id"), col("key")))
+      cand
+        .withColumn("edit_dist",
+          levenshtein(substring(col("pkey"), 1, 40),
+            substring(col("key"), 1, 40)).cast("long"))
+        .filter(col("edit_dist") <= 6)
+        .select(least(col("pid"), col("doc_id")).as("id_a"),
+          greatest(col("pid"), col("doc_id")).as("id_b"),
+          col("edit_dist"))
+    }),
   )
 
   /** q152's id offset for the planted benchmark corpus — larger than
@@ -695,5 +743,29 @@ object DedupQueries {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    "q195_block_dedup" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |b0 AS (SELECT doc_id, lower(text) AS key FROM documents),
+        |d0 AS (SELECT doc_id, key FROM b0
+        |  UNION ALL
+        |  SELECT doc_id + 10*n.n AS doc_id,
+        |    substr(key, 1, 24) || 'zq' || substr(key, 27) AS key
+        |  FROM b0 CROSS JOIN n WHERE doc_id % 11 = 7),
+        |d AS (SELECT doc_id, key, substr(key, 1, 16) AS blk FROM d0),
+        |l AS (SELECT blk, doc_id, key,
+        |    LAG(doc_id, 1) OVER w AS p1_id, LAG(key, 1) OVER w AS p1_key,
+        |    LAG(doc_id, 2) OVER w AS p2_id, LAG(key, 2) OVER w AS p2_key
+        |  FROM d WINDOW w AS (PARTITION BY blk ORDER BY key, doc_id)),
+        |c AS (SELECT p1_id AS pid, p1_key AS pkey, doc_id, key FROM l
+        |    WHERE p1_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT p2_id, p2_key, doc_id, key FROM l WHERE p2_id IS NOT NULL),
+        |v AS (SELECT pid, doc_id,
+        |    CAST(levenshtein(substr(pkey, 1, 40), substr(key, 1, 40)) AS BIGINT)
+        |      AS edit_dist
+        |  FROM c)
+        |SELECT LEAST(pid, doc_id) AS id_a, GREATEST(pid, doc_id) AS id_b,
+        |  edit_dist
+        |FROM v WHERE edit_dist <= 6""".stripMargin,
   )
 }

@@ -371,6 +371,28 @@ object GraphQueries {
         .select(col("dst"), col("rank").cast("long").as("rank"),
           col("term"), col("cnt"))
     }),
+    "q196_mis" -> ((s, dir) => {
+      // maximal independent set via graft.operators.Mis (deterministic
+      // fixed-priority Luby) — the distributed symmetry-breaker behind
+      // canonical-pick and scheduling steps. Same variable-out-degree
+      // graph as q191 (the peel family's heterogeneous fixture);
+      // converges in 5 rounds at every sf (measured), fail-loud bound
+      // 8, oracle unrolls the identical 8 rounds MATERIALIZED (winners
+      // are disjoint across rounds and empty after the fixpoint, so
+      // the unroll equals the converge-then-stop exactly).
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = docs.select(col("doc_id").as("src"),
+          explode(filter(array((1 to 6).map(k =>
+            when(lit(k) <= col("doc_id") % 6 + 1,
+              pmod(col("doc_id") * 31 + k * 7 + k * k, lit(n)))): _*),
+            c => c.isNotNull)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      graft.operators.Mis.of(e, maxRounds = 8)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -400,6 +422,42 @@ object GraphQueries {
          |  UNION ALL
          |  SELECT e.v AS node FROM e JOIN s14 a ON e.u = a.x JOIN s14 b ON e.v = b.x)
          |GROUP BY 1""".stripMargin
+    },
+    // fixed-priority Luby unrolled: key(v) = pri(v)·n + v linearizes
+    // the (priority, id) lexicographic order (ids are 0..n-1)
+    "q196_mis" -> {
+      val rounds = (1 to 8).map { i =>
+        val a = s"a${i - 1}"
+        s"""ea$i AS MATERIALIZED (SELECT e.u, e.v FROM e
+           |  JOIN $a p ON e.u = p.x JOIN $a q ON e.v = q.x),
+           |nm$i AS MATERIALIZED (SELECT x, MIN(ko) AS nm FROM (
+           |  SELECT u AS x, ((v*2654435761) % 1000003)*n.n + v AS ko FROM ea$i CROSS JOIN n
+           |  UNION ALL
+           |  SELECT v AS x, ((u*2654435761) % 1000003)*n.n + u AS ko FROM ea$i CROSS JOIN n)
+           |  GROUP BY 1),
+           |w$i AS MATERIALIZED (SELECT a.x FROM $a a CROSS JOIN n
+           |  LEFT JOIN nm$i m ON a.x = m.x
+           |  WHERE m.nm IS NULL OR ((a.x*2654435761) % 1000003)*n.n + a.x < m.nm),
+           |k$i AS MATERIALIZED (SELECT DISTINCT x FROM (
+           |  SELECT ea.v AS x FROM ea$i ea JOIN w$i w ON ea.u = w.x
+           |  UNION ALL
+           |  SELECT ea.u AS x FROM ea$i ea JOIN w$i w ON ea.v = w.x)),
+           |a$i AS MATERIALIZED (SELECT x FROM $a
+           |  WHERE x NOT IN (SELECT x FROM w$i)
+           |    AND x NOT IN (SELECT x FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      val all = (1 to 8).map(i => s"SELECT x FROM w$i").mkString(" UNION ALL ")
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+         |links AS (
+         |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k + k*k) % n.n AS dst
+         |  FROM documents d CROSS JOIN n, range(1, 7) t(k)
+         |  WHERE k <= 1 + d.doc_id % 6),
+         |e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |      FROM links WHERE src <> dst),
+         |a0 AS MATERIALIZED (SELECT DISTINCT x FROM (
+         |  SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)),
+         |$rounds
+         |SELECT x AS node FROM ($all)""".stripMargin
     },
     "q192_anchor_terms" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM documents),

@@ -1521,6 +1521,98 @@ object SpatialQueries {
           graft.geo.Hilbert.indexCol(8, col("ix"), col("iy")).as("hkey"),
           col("n_points"))
     }),
+    "q197_zonal_stats" -> ((s, dir) => {
+      // zonal statistics — THE raster↔vector aggregation by name (per
+      // polygon zone: how many points, how many distinct documents,
+      // which entities): q30's cell-prefiltered broadcast PIP join
+      // feeds ONE map-side-combined aggregate keyed by the zone, so
+      // the only exchange beyond the join is the per-zone fold; at
+      // 100 TB the zone key is the natural partitioner and no
+      // per-point row ever leaves its join stage unaggregated.
+      SpatialJoin.pipJoin(SynthUniverse.points(s, dir), polys(s, dir), PipRes,
+          ringDict = "broadcast")
+        .groupBy(col("way_id"))
+        .agg(count(lit(1)).as("n_points"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("entity")).as("n_entities"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+    "q198_incremental_adaptive" -> ((s, dir) => {
+      // IVM of q189's adaptive quadtree under the standard document
+      // change batch — the adaptive-tiling member of the IVM family:
+      // res-12 counts are ADDITIVE (q136's counter-delta), and a leaf
+      // DECISION depends only on the cell's ancestor-chain counts, so
+      // after folding the count delta the decision recomputes ONLY
+      // inside res-7 subtrees the batch touched; every untouched
+      // subtree's stored leaf rows pass through by one anti-join.
+      // Per-batch cost O(affected docs + touched subtrees), never a
+      // corpus re-scan; the oracle rebuilds the whole adaptive tiling
+      // from the post-change corpus.
+      val maxPts = 16
+      def c12Of(pts: DataFrame): DataFrame = pts
+        .select(GeoFunctions.cellAt(col("lon"), col("lat"), 12).as("c12"))
+        .groupBy(col("c12")).agg(count(lit(1)).as("cnt12"))
+      def leavesOf(c12: DataFrame): DataFrame = {
+        val cached = c12.cache()
+        val ups = (11 to 7 by -1).foldLeft(Map(12 -> cached)) { (m, r) =>
+          m + (r -> m(r + 1).groupBy(
+              GeoFunctions.parentAt(col(s"c${r + 1}"), r + 1, r).as(s"c$r"))
+            .agg(sum(col(s"cnt${r + 1}")).as(s"cnt$r")))
+        }
+        val joined = (7 to 11).foldLeft(cached) { (df, r) =>
+          df.join(broadcast(ups(r)),
+            GeoFunctions.parentAt(col("c12"), 12, r) === col(s"c$r"))
+        }
+        val leafRes = (7 to 11).foldLeft(when(lit(false), lit(12))) { (c, r) =>
+          c.when(col(s"cnt$r") <= maxPts, lit(r))
+        }.otherwise(lit(12))
+        val leafCell = (7 to 11).foldLeft(when(lit(false), col("c12"))) { (c, r) =>
+          c.when(col(s"cnt$r") <= maxPts, col(s"c$r"))
+        }.otherwise(col("c12"))
+        joined.select(leafRes.cast("long").as("leaf_res"), leafCell.as("cell"),
+            col("cnt12"),
+            GeoFunctions.parentAt(col("c12"), 12, 7).as("sub7"))
+          .groupBy(col("leaf_res"), col("cell"))
+          .agg(sum(col("cnt12")).as("n_points"), first(col("sub7")).as("sub7"))
+      }
+      // LOCALIZED change batch (%97/%89, not the family's %7/%13):
+      // the standard batch touches 43/44 res-7 subtrees (its 20% of
+      // docs spread jitter over the whole space) and the IVM would be
+      // a disguised full rebuild; %97/%89 batches share their jitter
+      // coordinate by construction, so they touch ~25/44 subtrees —
+      // the localized-update regime adaptive-tile IVM exists for.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val updated = docs.filter(col("doc_id") % 97 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 89 === 5).select(col("doc_id"))
+      val affected = updated.select(col("doc_id")).union(deletedIds).distinct()
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      // stored stand-ins: the pre-change res-12 counter table + leaves
+      val storedC12 = c12Of(SynthUniverse.points(s, dir))
+      val storedLeaves = leavesOf(storedC12)
+      // counter delta folded in ONE aggregate (q136's shape)
+      val delta = c12Of(SynthUniverse.points(s, dir)
+          .join(affected, Seq("doc_id"), "left_semi"))
+        .select(col("c12"), (-col("cnt12")).as("d"))
+        .unionByName(c12Of(SynthUniverse.pointsOf(updatedLive))
+          .select(col("c12"), col("cnt12").as("d")))
+      val newC12 = storedC12.select(col("c12"), col("cnt12").as("d"))
+        .unionByName(delta)
+        .groupBy(col("c12")).agg(sum(col("d")).as("cnt12"))
+        .filter(col("cnt12") > 0)
+      // touched res-7 subtrees: wherever any res-12 count changed
+      val touched = delta.select(
+        GeoFunctions.parentAt(col("c12"), 12, 7).as("sub7")).distinct()
+      val rebuilt = leavesOf(newC12
+          .join(broadcast(touched),
+            GeoFunctions.parentAt(col("c12"), 12, 7) === col("sub7"), "left_semi"))
+        .drop("sub7")
+      val kept = storedLeaves
+        .join(broadcast(touched), Seq("sub7"), "left_anti")
+        .drop("sub7")
+      kept.unionByName(rebuilt)
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -2512,6 +2604,52 @@ object SpatialQueries {
       s"""WITH ${SynthSql.pointsCte}
          |SELECT ix, iy, hd AS hkey, n_points
          |FROM ${graft.geo.Hilbert.xy2dSql(8, "ix", "iy", grid)}""".stripMargin
+    },
+    "q197_zonal_stats" ->
+      s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte}
+         |SELECT way_id, COUNT(*) AS n_points,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(DISTINCT entity) AS n_entities,
+         |  MAX(doc_id) AS max_doc
+         |FROM points JOIN ways
+         |  ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h
+         |GROUP BY 1""".stripMargin,
+    "q198_incremental_adaptive" -> {
+      val n12 = graft.geo.CellIndex.width(12)
+      def pack(r: Int, x: String, y: String): String =
+        s"((${r.toLong << graft.geo.CellIndex.ResShift}::BIGINT) | (($x) << ${graft.geo.CellIndex.XShift}) | ($y))"
+      val ups = (11 to 7 by -1).map { r =>
+        val sh = 12 - r
+        s"c$r AS (SELECT x12 >> $sh AS x, y12 >> $sh AS y, CAST(SUM(cnt) AS BIGINT) AS cnt$r FROM c12 GROUP BY 1, 2)"
+      }.mkString(",\n")
+      val joins = (7 to 11).map { r =>
+        val sh = 12 - r
+        s"JOIN c$r ON c12.x12 >> $sh = c$r.x AND c12.y12 >> $sh = c$r.y"
+      }.mkString("\n")
+      val resCase = (7 to 11).map(r => s"WHEN cnt$r <= 16 THEN $r").mkString(" ")
+      val cellCase = (7 to 11).map { r =>
+        s"WHEN cnt$r <= 16 THEN ${pack(r, s"x12 >> ${12 - r}", s"y12 >> ${12 - r}")}"
+      }.mkString(" ")
+      s"""WITH final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 97 = 3 THEN text || ' merge stream merge'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 89 <> 5),
+         |${SynthSql.pointsCte.replace("FROM documents", "FROM final")},
+         |b AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n12) AS BIGINT), 0), ${n12 - 1}) AS x12,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n12) AS BIGINT), 0), ${n12 - 1}) AS y12
+         |  FROM points),
+         |c12 AS (SELECT x12, y12, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |$ups,
+         |d AS (SELECT c12.x12, c12.y12, c12.cnt,
+         |    CASE $resCase ELSE 12 END AS leaf_res,
+         |    CASE $cellCase ELSE ${pack(12, "x12", "y12")} END AS cell
+         |  FROM c12
+         |$joins)
+         |SELECT CAST(leaf_res AS BIGINT) AS leaf_res, cell,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_points
+         |FROM d GROUP BY 1, 2""".stripMargin
     },
   ) ++ tileOracles
 

@@ -423,6 +423,20 @@ class PlanSpec extends SparkTestBase {
     assert(!fPlan.contains("Join") && !fPlan.contains("Window"),
       "feature hashing must stay one narrow pass + one aggregate")
     Bench.clearState(spark)
+    // q195's SNM window is block-partitioned (never a global sort);
+    // q197/q198 stay equi-join shapes
+    val snm = SparkEntry.queries("q195_block_dedup")(spark, sfSmoke)
+    val snmWins = snm.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(snmWins.nonEmpty && snmWins.forall(_.nonEmpty),
+      "SNM must sort per block, never globally")
+    Bench.clearState(spark)
+    for (q <- Seq("q197_zonal_stats", "q198_incremental_adaptive")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
   }
 
   test("q09b top-k carries at most k rows per group through the exchange") {
