@@ -77,4 +77,67 @@ object SetSimJoin {
       .filter(col("inter") * 10000L >= lit(t) * col("uni"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
+
+  /** Exact set-CONTAINMENT join: every (id_small, id_big) pair with
+    * set(small) ⊆ set(big), small and big drawn from `left` and
+    * `right` set tables (one row per id, `setCol: array<string>`,
+    * deduplicated here; ids shared across sides never self-pair).
+    *
+    * This is the t→1 limit of the prefix lemma, where the prefix
+    * collapses to a single token: a superset of r must contain ALL of
+    * r's tokens — in particular r's globally RAREST one — so the
+    * candidate join probes only that token's posting list (the PRETTI/
+    * PIEJoin token-ordering idea). Two further sound prunes cut the
+    * probe before the exact verify:
+    *   - length filter |big| >= |small|;
+    *   - POSITIONAL filter: with both sides sorted under the same
+    *     global (df ASC, token ASC) order, r's first token must sit at
+    *     position <= |s| − |r| + 1 in s (all of r's remaining |r|−1
+    *     tokens order strictly after it, so they need that much room).
+    * The exact verify (array_except = ∅) touches candidates only —
+    * never an all-pairs product. Shuffles: one global df aggregate
+    * over BOTH sides (the order must be shared), one re-sort aggregate
+    * per side, the posting equi-join, two id-keyed verify joins.
+    *
+    * Scale note: the candidate volume is Σ_small df(rarest token) —
+    * a small side whose rarest token is still a corpus-hot term is the
+    * skew case; the positional filter bounds it by the hot postings'
+    * tail, and a real deployment would widen the block to the k
+    * rarest tokens intersected. Empty small sets (trivially contained
+    * everywhere) are rejected — callers filter them deliberately. */
+  def containmentJoin(left: DataFrame, right: DataFrame,
+      idCol: String, setCol: String): DataFrame = {
+    def norm(d: DataFrame): DataFrame =
+      d.select(col(idCol).as("__id"), array_distinct(col(setCol)).as("__set"))
+        .withColumn("__n", size(col("__set")).cast("long"))
+        .filter(col("__n") >= 1L)
+    val l = norm(left)
+    val r = norm(right)
+    // one SHARED global order: df over the union of both sides
+    val dfreq = l.select(explode(col("__set")).as("__t"))
+      .unionAll(r.select(explode(col("__set")).as("__t")))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    def ordered(d: DataFrame): DataFrame =
+      d.select(col("__id"), col("__n"), explode(col("__set")).as("__t"))
+        .join(dfreq, "__t")
+        .groupBy(col("__id"), col("__n"))
+        .agg(expr("transform(sort_array(collect_list(struct(__df, __t))), x -> x.__t)")
+          .as("__ord"))
+    val probe = ordered(l).select(col("__id").as("id_small"),
+      col("__n").as("__ns"), col("__ord").getItem(0).as("__t"))
+    val postings = ordered(r).select(col("__id").as("id_big"),
+      col("__n").as("__nb"), posexplode(col("__ord")).as(Seq("__pos", "__t")))
+    val cand = probe.join(postings, Seq("__t"))
+      .filter(col("id_small") =!= col("id_big") &&
+        col("__nb") >= col("__ns") &&
+        // __pos is 0-based: r's first token at 0-based p leaves
+        // nb−1−p later slots for r's other ns−1 tokens → p <= nb−ns
+        col("__pos").cast("long") <= col("__nb") - col("__ns"))
+      .select(col("id_small"), col("id_big"))
+    cand
+      .join(l.select(col("__id").as("id_small"), col("__set").as("__ss")), "id_small")
+      .join(r.select(col("__id").as("id_big"), col("__set").as("__sb")), "id_big")
+      .filter(size(array_except(col("__ss"), col("__sb"))) === 0)
+      .select(col("id_small"), col("id_big"))
+  }
 }

@@ -400,6 +400,22 @@ object DedupQueries {
           greatest(col("pid"), col("doc_id")).as("id_b"),
           col("edit_dist"))
     }),
+    "q200_containment_join" -> ((s, dir) => {
+      // exact set-CONTAINMENT join (profile ⊆ document): which short
+      // token profiles (docs with <= 12 distinct tokens — the "query
+      // workload" side) are fully covered by which documents. The
+      // FOURTH exact set-join shape beside Jaccard prefix filtering
+      // (q142), banding (q13) and blocking (q195): candidates probe
+      // ONLY the small side's globally-rarest token with a positional
+      // prune (operators/SetSimJoin.containmentJoin — the t→1 prefix
+      // lemma), the array_except verify touches candidates alone; the
+      // oracle is the brute-force quadratic definition.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+      val small = toks.filter(size(col("tk")) <= 12)
+      graft.operators.SetSimJoin.containmentJoin(small, toks, "doc_id", "tk")
+        .select(col("id_small"), col("id_big"))
+    }),
   )
 
   /** q152's id offset for the planted benchmark corpus — larger than
@@ -767,5 +783,13 @@ object DedupQueries {
         |SELECT LEAST(pid, doc_id) AS id_a, GREATEST(pid, doc_id) AS id_b,
         |  edit_dist
         |FROM v WHERE edit_dist <= 6""".stripMargin,
+    "q200_containment_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+        |  FROM documents),
+        |small AS (SELECT * FROM toks WHERE len(tk) <= 12)
+        |SELECT a.doc_id AS id_small, b.doc_id AS id_big
+        |FROM small a JOIN toks b ON a.doc_id != b.doc_id
+        |WHERE len(list_filter(a.tk, t -> NOT list_contains(b.tk, t))) = 0""".stripMargin,
   )
 }

@@ -1613,6 +1613,83 @@ object SpatialQueries {
         .drop("sub7")
       kept.unionByName(rebuilt)
     }),
+    "q199_dtw" -> ((s, dir) => {
+      // dynamic-time-warping trajectory similarity — the alignment-
+      // aware distance (q177's Hausdorff ignores ordering; DTW prices
+      // the warped step-by-step match map-matching and co-movement
+      // mining need). Tracks = each user's first 12 positions on the
+      // integer lattice (exact BIGINT costs, both engines identical);
+      // candidate pairs BLOCK on the track head's coarse cell (never
+      // all-pairs); the DP runs in spatial.DtwExpr on candidate pairs
+      // only — the paired oracle unrolls the same fixed 12x12 grid as
+      // 144 lateral-alias expressions. At corpus scale the block key
+      // widens with a time bucket exactly like q158's note.
+      val L = 12
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pos = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") * 17 % 320000).as("xi"),
+          (col("event_id") * 23 % 150000).as("yi"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= L)
+      val tracks = pos.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("np"),
+          sort_array(collect_list(struct(col("rn"), col("xi"), col("yi")))).as("t"))
+        .filter(col("np") === L)
+        .select(col("user_id"),
+          transform(col("t"), e => e.getField("xi")).as("xs"),
+          transform(col("t"), e => e.getField("yi")).as("ys"))
+        .withColumn("bx", expr("xs[0] div 20000"))
+        .withColumn("by", expr("ys[0] div 20000"))
+      val a = tracks.select(col("user_id").as("user_a"), col("xs").as("xa"),
+        col("ys").as("ya"), col("bx"), col("by"))
+      val b = tracks.select(col("user_id").as("user_b"), col("xs").as("xb"),
+        col("ys").as("yb"), col("bx"), col("by"))
+      a.join(b, Seq("bx", "by"))
+        .filter(col("user_a") < col("user_b"))
+        .select(col("user_a"), col("user_b"),
+          org.apache.spark.sql.GraftSqlShim.column(graft.spatial.DtwExpr(
+            org.apache.spark.sql.GraftSqlShim.expression(col("xa")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("ya")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("xb")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("yb")))).as("dtw_d2"))
+    }),
+    "q201_convex_hull" -> ((s, dir) => {
+      // per-track convex hull (roaming-extent summary): each user's
+      // first-12 lattice positions (q199's track convention) collapse
+      // to the hull's EXTREME points — count + coordinate sums, exact
+      // BIGINT. The monotone chain runs in spatial.ConvexHullExpr once
+      // per GROUP on the bounded collected track; the window and the
+      // groupBy share the user_id partitioning, so the whole query is
+      // ONE exchange. The oracle brute-forces the extreme-point
+      // predicate via Caratheodory (a non-extreme point lies on a
+      // segment of two others or inside-or-on a proper triangle of
+      // three others) — an independent O(n^4)-per-group definition the
+      // chain must reproduce exactly, collinear and duplicate points
+      // included.
+      val L = 12
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pos = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") * 17 % 320000).as("x"),
+          (col("event_id") * 23 % 150000).as("y"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= L)
+      val stats = org.apache.spark.sql.GraftSqlShim.column(
+        graft.spatial.ConvexHullExpr(
+          org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("ys"))))
+      pos.groupBy(col("user_id"))
+        .agg(collect_list(struct(col("x"), col("y"))).as("ps"))
+        .select(col("user_id"),
+          transform(col("ps"), p => p.getField("x")).as("xs"),
+          transform(col("ps"), p => p.getField("y")).as("ys"))
+        .withColumn("h", stats)
+        .select(col("user_id"), col("h").getItem(0).as("n_hull"),
+          col("h").getItem(1).as("hull_sum_x"), col("h").getItem(2).as("hull_sum_y"))
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -2605,6 +2682,76 @@ object SpatialQueries {
          |SELECT ix, iy, hd AS hkey, n_points
          |FROM ${graft.geo.Hilbert.xy2dSql(8, "ix", "iy", grid)}""".stripMargin
     },
+    // the full 12x12 DP grid as 144 CHAINED MATERIALIZED CTEs, one per
+    // cell (each adds one column referencing only materialized ones).
+    // A single SELECT with 144 lateral aliases is NOT usable: DuckDB
+    // inlines lateral column aliases textually, so the 3-way LEAST
+    // chain explodes to ~3^22 expression nodes and the planner hangs.
+    "q199_dtw" -> {
+      val L = 12
+      var prevCte = "p"
+      val cells = for (i <- 0 until L; j <- 0 until L) yield {
+        val cost = s"((xa[${i + 1}]-xb[${j + 1}])*(xa[${i + 1}]-xb[${j + 1}])" +
+          s" + (ya[${i + 1}]-yb[${j + 1}])*(ya[${i + 1}]-yb[${j + 1}]))"
+        val prev =
+          if (i == 0 && j == 0) "0"
+          else if (i == 0) s"c_0_${j - 1}"
+          else if (j == 0) s"c_${i - 1}_0"
+          else s"LEAST(c_${i - 1}_${j - 1}, c_${i - 1}_$j, c_${i}_${j - 1})"
+        val cte = s"d_${i}_$j AS MATERIALIZED (SELECT *, $cost + $prev AS c_${i}_$j FROM $prevCte)"
+        prevCte = s"d_${i}_$j"
+        cte
+      }
+      s"""WITH t AS (
+         |  SELECT user_id,
+         |    (list(xi ORDER BY ts, event_id))[1:$L] AS xs,
+         |    (list(yi ORDER BY ts, event_id))[1:$L] AS ys
+         |  FROM (SELECT user_id, ts, event_id,
+         |      event_id*17 % 320000 AS xi, event_id*23 % 150000 AS yi
+         |    FROM events)
+         |  GROUP BY 1 HAVING COUNT(*) >= $L),
+         |tb AS (SELECT user_id, xs, ys,
+         |    xs[1] // 20000 AS bx, ys[1] // 20000 AS by FROM t),
+         |p AS MATERIALIZED (SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |    a.xs AS xa, a.ys AS ya, b.xs AS xb, b.ys AS yb
+         |  FROM tb a JOIN tb b
+         |    ON a.bx = b.bx AND a.by = b.by AND a.user_id < b.user_id),
+         |${cells.mkString(",\n")}
+         |SELECT user_a, user_b, CAST(c_${L - 1}_${L - 1} AS BIGINT) AS dtw_d2
+         |FROM d_${L - 1}_${L - 1}""".stripMargin
+    },
+    // brute-force extreme-point predicate (Caratheodory): a point is a
+    // hull vertex iff it is NOT on a segment of two others and NOT
+    // inside-or-on a proper (ccw-ordered) triangle of three others.
+    "q201_convex_hull" ->
+      """WITH pos AS (
+        |  SELECT user_id, event_id*17 % 320000 AS x, event_id*23 % 150000 AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |pts AS (SELECT DISTINCT user_id, x, y FROM pos WHERE rn <= 12),
+        |vtx AS (
+        |  SELECT p.user_id, p.x, p.y FROM pts p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM pts a, pts b
+        |    WHERE a.user_id = p.user_id AND b.user_id = p.user_id
+        |      AND (a.x, a.y) <> (p.x, p.y) AND (b.x, b.y) <> (p.x, p.y)
+        |      AND (a.x, a.y) < (b.x, b.y)
+        |      AND (b.x - a.x)*(p.y - a.y) - (b.y - a.y)*(p.x - a.x) = 0
+        |      AND p.x BETWEEN LEAST(a.x, b.x) AND GREATEST(a.x, b.x)
+        |      AND p.y BETWEEN LEAST(a.y, b.y) AND GREATEST(a.y, b.y))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM pts a, pts b, pts c
+        |    WHERE a.user_id = p.user_id AND b.user_id = p.user_id
+        |      AND c.user_id = p.user_id
+        |      AND (a.x, a.y) <> (p.x, p.y) AND (b.x, b.y) <> (p.x, p.y)
+        |      AND (c.x, c.y) <> (p.x, p.y)
+        |      AND (b.x - a.x)*(c.y - a.y) - (b.y - a.y)*(c.x - a.x) > 0
+        |      AND (b.x - a.x)*(p.y - a.y) - (b.y - a.y)*(p.x - a.x) >= 0
+        |      AND (c.x - b.x)*(p.y - b.y) - (c.y - b.y)*(p.x - b.x) >= 0
+        |      AND (a.x - c.x)*(p.y - c.y) - (a.y - c.y)*(p.x - c.x) >= 0))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hull,
+        |  CAST(SUM(x) AS BIGINT) AS hull_sum_x, CAST(SUM(y) AS BIGINT) AS hull_sum_y
+        |FROM vtx GROUP BY 1""".stripMargin,
     "q197_zonal_stats" ->
       s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte}
          |SELECT way_id, COUNT(*) AS n_points,

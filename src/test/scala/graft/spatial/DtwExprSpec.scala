@@ -1,0 +1,57 @@
+package graft.spatial
+
+import graft.SparkTestBase
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.functions._
+
+/** DtwExpr vs an independent brute-force recursive DTW (memoised map,
+  * written differently from the expression's rolling two-row DP) on
+  * random integer tracks, plus degenerate shapes. */
+class DtwExprSpec extends SparkTestBase {
+
+  /** Textbook recursive DTW with memoisation — independent of the
+    * expression's iterative implementation. */
+  private def dtwRef(ax: Array[Long], ay: Array[Long],
+      bx: Array[Long], by: Array[Long]): Long = {
+    val memo = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    def cost(i: Int, j: Int): Long = {
+      val dx = ax(i) - bx(j); val dy = ay(i) - by(j)
+      dx * dx + dy * dy
+    }
+    def go(i: Int, j: Int): Long = memo.getOrElseUpdate((i, j), {
+      if (i == 0 && j == 0) cost(0, 0)
+      else if (i == 0) cost(i, j) + go(0, j - 1)
+      else if (j == 0) cost(i, j) + go(i - 1, 0)
+      else cost(i, j) + math.min(go(i - 1, j - 1), math.min(go(i - 1, j), go(i, j - 1)))
+    })
+    go(ax.length - 1, bx.length - 1)
+  }
+
+  private def dtwSpark(ax: Array[Long], ay: Array[Long],
+      bx: Array[Long], by: Array[Long]): Long = {
+    import spark.implicits._
+    val df = Seq((ax.toSeq, ay.toSeq, bx.toSeq, by.toSeq)).toDF("xa", "ya", "xb", "yb")
+    df.select(GraftSqlShim.column(DtwExpr(
+      GraftSqlShim.expression(col("xa")), GraftSqlShim.expression(col("ya")),
+      GraftSqlShim.expression(col("xb")), GraftSqlShim.expression(col("yb"))))
+      .as("d")).head().getLong(0)
+  }
+
+  test("matches memoised reference on 50 random track pairs, incl. unequal lengths") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(15); val m = 1 + rnd.nextInt(15)
+      val ax = Array.fill(n)(rnd.nextInt(1000).toLong)
+      val ay = Array.fill(n)(rnd.nextInt(1000).toLong)
+      val bx = Array.fill(m)(rnd.nextInt(1000).toLong)
+      val by = Array.fill(m)(rnd.nextInt(1000).toLong)
+      assert(dtwSpark(ax, ay, bx, by) === dtwRef(ax, ay, bx, by))
+    }
+  }
+
+  test("identical tracks have distance 0; single points are the squared distance") {
+    val xs = Array(1L, 5L, 9L); val ys = Array(2L, 4L, 8L)
+    assert(dtwSpark(xs, ys, xs, ys) === 0L)
+    assert(dtwSpark(Array(0L), Array(0L), Array(3L), Array(4L)) === 25L)
+  }
+}
