@@ -46,6 +46,37 @@ object SimilarityQueries {
   private def embAsDouble(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
+  /** The IVF coarse quantizer: the 16 lowest-id BASE vectors, collapsed
+    * to ONE broadcastable array row. Frozen from the base corpus — a
+    * change batch never retrains it (standard IVF practice, and what
+    * makes q202's incremental maintenance sound). */
+  private def baseCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+      .agg(sort_array(collect_list(struct(col("centroid_id"), col("cv")))).as("cs"))
+
+  /** q21's one-scan assignment, factored for reuse by the incremental
+    * index maintenance (q202): each vector folds a cosine argmax over
+    * the single broadcast centroid row — no xK candidate-row blowup,
+    * no window exchange. Adds `centroid_id` and the winning `cos` to
+    * any (vec_id, v[, payload]) frame. */
+  private def ivfAssign(vs: DataFrame, centArr: DataFrame): DataFrame = {
+    val best = aggregate(
+      transform(col("cs"), c =>
+        struct(cos(col("v"), c.getField("cv")).as("ccos"),
+          c.getField("centroid_id").as("cid"))),
+      struct(lit(Double.NegativeInfinity).as("ccos"), lit(Long.MaxValue).as("cid")),
+      (acc, x) => when(x.getField("ccos") > acc.getField("ccos") ||
+          (x.getField("ccos") === acc.getField("ccos") &&
+            x.getField("cid") < acc.getField("cid")), x)
+        .otherwise(acc))
+    val inCols = vs.columns
+    vs.crossJoin(broadcast(centArr))
+      .withColumn("best", best)
+      .select(inCols.map(col) :+ col("best.cid").as("centroid_id")
+        :+ col("best.ccos").as("cos"): _*)
+  }
+
   /** 2-iteration integer-grid Lloyd assignment (q76's machinery,
     * shared with q88): input carries `vec_id` and the quantized `vq`
     * (plus any payload columns, which ride through); output adds
@@ -140,25 +171,8 @@ object SimilarityQueries {
     }),
     "q21_ivf_ann" -> ((s, dir) => {
       val e = embAsDouble(s, dir)
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-      // one-scan assignment: the centroid set collapses to ONE broadcast
-      // array row and each vector folds an argmax over it in a single
-      // pass — no xK candidate-row blowup, no window exchange
-      val centArr = cents
-        .agg(sort_array(collect_list(struct(col("centroid_id"), col("cv")))).as("cs"))
-      val best = aggregate(
-        transform(col("cs"), c =>
-          struct(cos(col("v"), c.getField("cv")).as("ccos"),
-            c.getField("centroid_id").as("cid"))),
-        struct(lit(Double.NegativeInfinity).as("ccos"), lit(Long.MaxValue).as("cid")),
-        (acc, x) => when(x.getField("ccos") > acc.getField("ccos") ||
-            (x.getField("ccos") === acc.getField("ccos") &&
-              x.getField("cid") < acc.getField("cid")), x)
-          .otherwise(acc))
-      val assigned = e.crossJoin(broadcast(centArr))
-        .withColumn("best", best)
-        .select(col("vec_id"), col("v"), col("best.cid").as("centroid_id"))
+      val assigned = ivfAssign(e, baseCentroids(e))
+        .select(col("vec_id"), col("v"), col("centroid_id"))
       val q = assigned.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))
       val pairs = assigned.join(broadcast(q), "centroid_id")
@@ -236,6 +250,29 @@ object SimilarityQueries {
       assigned.join(removed.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cid").cast("long").as("cluster"),
           when(col("dup").isNotNull, 0L).otherwise(1L).as("kept"))
+    }),
+    "q202_incremental_ivf" -> ((s, dir) => {
+      // IVM of the IVF posting assignment (q21's index) under the
+      // standard embedding change batch — the ANN-side member of the
+      // IVM family (q101 MinHash, q110 SimHash, q95 inverted index).
+      // Updated vectors (vec_id%7=3: every dim shifted by
+      // (vec_id%5)/10) re-fold the FROZEN base quantizer's argmax;
+      // deleted (vec_id%13=5) drop their posting; every untouched
+      // posting passes through from the stored index — O(affected),
+      // never a corpus re-assignment. The oracle recomputes every
+      // assignment from the post-change corpus.
+      val e = embAsDouble(s, dir)
+      val cents = baseCentroids(e)
+      val touched = col("vec_id") % 7 === 3 || col("vec_id") % 13 === 5
+      val stored = ivfAssign(e, cents) // the stored posting index
+      val updated = e.filter(col("vec_id") % 7 === 3 && col("vec_id") % 13 =!= 5)
+        .select(col("vec_id"),
+          transform(col("v"),
+            x => x + (col("vec_id") % 5).cast("double") / 10.0).as("v"))
+      stored.filter(!touched)
+        .unionByName(ivfAssign(updated, cents))
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("cos") * 1e9, 0).cast("long").as("cos_ppb"))
     }),
   )
 
@@ -336,6 +373,26 @@ object SimilarityQueries {
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, CAST(ROUND(cos*1000000000,0) AS BIGINT) AS cos_ppb
          |FROM p WHERE cos >= 0.98""".stripMargin,
+    "q202_incremental_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+         |fin AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 7 = 3
+         |      THEN [v[i] + CAST(vec_id % 5 AS DOUBLE)/10.0
+         |            for i in range(1, len(v)+1)]
+         |      ELSE v END AS v
+         |  FROM e WHERE vec_id % 13 <> 5),
+         |p AS (
+         |  SELECT f.vec_id, c.centroid_id,
+         |    ${dotSql2("f.v", "c.cv")} / (${normSql("f", "v")} * ${normSql("c", "cv")}) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+         |      ${dotSql2("f.v", "c.cv")} / (${normSql("f", "v")} * ${normSql("c", "cv")}) DESC,
+         |      c.centroid_id ASC) AS crn
+         |  FROM fin f, c)
+         |SELECT vec_id, centroid_id,
+         |  CAST(ROUND(cos*1000000000,0) AS BIGINT) AS cos_ppb
+         |FROM p WHERE crn = 1""".stripMargin,
     "q76_kmeans_assign" ->
       s"""WITH q AS (
          |  SELECT vec_id,

@@ -1690,6 +1690,60 @@ object SpatialQueries {
         .select(col("user_id"), col("h").getItem(0).as("n_hull"),
           col("h").getItem(1).as("hull_sum_x"), col("h").getItem(2).as("hull_sum_y"))
     }),
+    "q203_flow_accum" -> ((s, dir) => {
+      // D8 flow routing over the event-density raster (hydrology-style
+      // drainage on a density surface): each occupied cell drains to
+      // its steepest STRICTLY-lower 8-neighbor (tie-break (z, nx, ny)),
+      // and `acc` counts the cells whose drainage path reaches it
+      // within K=6 hops. Neighbor candidates come from a JOIN-FREE
+      // 8-offset scatter (q125's focal pattern — never a quadratic
+      // cell×cell distance join, which is what the oracle runs as the
+      // independent definition); out-degree <= 1 makes every routing
+      // round ONE equi-join + map-side count with row count bounded by
+      // the live-path frontier — at 100 TB both legs shuffle on the
+      // cell key and K bounds the iteration depth.
+      val K = 6
+      val cells = Tables.events(s, dir)
+        .select(expr("(event_id * 17 % 320000) div 4000").as("cx"),
+          expr("(event_id * 23 % 150000) div 4000").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("z"))
+      val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+        (1, -1), (1, 0), (1, 1))
+      // scatter each cell's z to its 8 neighbors: the receiving cell
+      // collects candidate (nz, nx, ny) rows by equi-join on its own key
+      val scattered = cells.select(
+        explode(array(offsets.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("tcx"), (col("cy") + dy).as("tcy"))
+        }: _*)).as("t"),
+        col("cx").as("nx"), col("cy").as("ny"), col("z").as("nz"))
+        .select(col("t.tcx").as("cx"), col("t.tcy").as("cy"),
+          col("nx"), col("ny"), col("nz"))
+      val flow = cells.join(scattered, Seq("cx", "cy"))
+        .filter(col("nz") < col("z"))
+        .groupBy(col("cx"), col("cy"))
+        .agg(min(struct(col("nz"), col("nx"), col("ny"))).as("m"))
+        .select(col("cx"), col("cy"),
+          col("m.nx").as("nx"), col("m.ny").as("ny"))
+        .cache()
+      // route each cell's unit contribution K hops downstream; paths
+      // are unique (out-degree <= 1) so no dedup is ever needed
+      var frontier = flow.select(col("cx").as("acx"), col("cy").as("acy"),
+        col("nx").as("cx"), col("ny").as("cy"))
+      var reached = frontier
+      for (_ <- 2 to K) {
+        frontier = frontier.join(flow, Seq("cx", "cy"))
+          .select(col("acx"), col("acy"),
+            col("nx").as("cx"), col("ny").as("cy"))
+        reached = reached.unionByName(frontier)
+      }
+      val acc = reached.groupBy(col("cx"), col("cy"))
+        .agg(count(lit(1)).as("acc"))
+      cells.join(flow.withColumnRenamed("nx", "fx").withColumnRenamed("ny", "fy"),
+          Seq("cx", "cy"), "left")
+        .join(acc, Seq("cx", "cy"), "left")
+        .select(col("cx"), col("cy"), col("z"), col("fx"), col("fy"),
+          coalesce(col("acc"), lit(0L)).as("acc"))
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -2752,6 +2806,37 @@ object SpatialQueries {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hull,
         |  CAST(SUM(x) AS BIGINT) AS hull_sum_x, CAST(SUM(y) AS BIGINT) AS hull_sum_y
         |FROM vtx GROUP BY 1""".stripMargin,
+    // independent definition: quadratic cell×cell neighbor join (the
+    // Spark side scatters 8 offsets instead) + a depth-bounded
+    // recursive path enumeration (out-degree <= 1 keeps it linear).
+    "q203_flow_accum" ->
+      """WITH RECURSIVE cells AS (
+        |  SELECT (event_id*17 % 320000) // 4000 AS cx,
+        |         (event_id*23 % 150000) // 4000 AS cy, COUNT(*) AS z
+        |  FROM events GROUP BY 1, 2),
+        |nbr AS (
+        |  SELECT c.cx, c.cy, n.cx AS nx, n.cy AS ny, n.z AS nz
+        |  FROM cells c JOIN cells n
+        |    ON abs(n.cx - c.cx) <= 1 AND abs(n.cy - c.cy) <= 1
+        |   AND NOT (n.cx = c.cx AND n.cy = c.cy)
+        |   AND n.z < c.z),
+        |flow AS (
+        |  SELECT cx, cy, nx, ny FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cx, cy
+        |      ORDER BY nz, nx, ny) AS rn FROM nbr)
+        |  WHERE rn = 1),
+        |rr(acx, acy, cx, cy, k) AS (
+        |  SELECT cx, cy, nx, ny, 1 FROM flow
+        |  UNION ALL
+        |  SELECT rr.acx, rr.acy, f.nx, f.ny, rr.k + 1
+        |  FROM rr JOIN flow f ON rr.cx = f.cx AND rr.cy = f.cy
+        |  WHERE rr.k < 6),
+        |r AS (SELECT cx, cy, COUNT(*) AS acc FROM rr GROUP BY 1, 2)
+        |SELECT c.cx, c.cy, CAST(c.z AS BIGINT) AS z, f.nx AS fx, f.ny AS fy,
+        |  CAST(COALESCE(r.acc, 0) AS BIGINT) AS acc
+        |FROM cells c
+        |LEFT JOIN flow f ON c.cx = f.cx AND c.cy = f.cy
+        |LEFT JOIN r ON c.cx = r.cx AND c.cy = r.cy""".stripMargin,
     "q197_zonal_stats" ->
       s"""WITH ${SynthSql.waysCte}, ${SynthSql.pointsCte}
          |SELECT way_id, COUNT(*) AS n_points,
