@@ -85,7 +85,8 @@ object Bench {
     "q193_hilbert_order", "q194_feature_hash", "q195_block_dedup",
     "q196_mis", "q197_zonal_stats", "q198_incremental_adaptive",
     "q199_dtw", "q200_containment_join", "q201_convex_hull",
-    "q202_incremental_ivf", "q203_flow_accum")
+    "q202_incremental_ivf", "q203_flow_accum", "q204_frechet",
+    "q205_longest_streak")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -860,6 +860,27 @@ object RelationalQueries {
       // A5: osm2rdf:facts — count of fact rows per object.
       events(s, dir).groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("facts"))),
+    "q205_longest_streak" -> ((s, dir) => {
+      // longest consecutive-day activity streak per user — the classic
+      // gaps-and-islands arithmetic (island key = day − rank), NO
+      // self-join; both windows and both aggregates share ONE user_id
+      // exchange, and days are integer days-since-epoch so the whole
+      // query is exact BIGINT. Ties on length break to the EARLIEST
+      // streak via one argmax struct fold (no second window).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("len"), (-col("start_day")).as("ns"))).as("m"))
+        .select(col("user_id"), col("m.len").as("best_streak"),
+          (-col("m.ns")).as("start_days"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1386,5 +1407,21 @@ object RelationalQueries {
         |  COUNT(*) AS n_events,
         |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q205_longest_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) - DATE '1970-01-01' AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+        |    MIN(day) AS start_day
+        |  FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, len AS best_streak, CAST(start_day AS BIGINT) AS start_days
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY len DESC, start_day ASC) AS rn FROM st)
+        |WHERE rn = 1""".stripMargin,
   )
 }

@@ -28,6 +28,89 @@ object SpatialQueries {
     * ('window', 'row' — ~780 points at sf0.01). */
   val Q82Box = (-12.0, 29.0, -36.0, 4.0)
 
+  /** q199/q204's candidate track pairs: each user's first-12 lattice
+    * positions (exact-BIGINT coordinates), blocked on the track head's
+    * coarse cell — never all-pairs. At corpus scale the block key
+    * widens with a time bucket exactly like q158's note. Columns:
+    * (user_a, user_b, xa, ya, xb, yb). */
+  private def trackPairs12(s: SparkSession, dir: String): DataFrame = {
+    val L = 12
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pos = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_id") * 17 % 320000).as("xi"),
+        (col("event_id") * 23 % 150000).as("yi"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= L)
+    val tracks = pos.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("np"),
+        sort_array(collect_list(struct(col("rn"), col("xi"), col("yi")))).as("t"))
+      .filter(col("np") === L)
+      .select(col("user_id"),
+        transform(col("t"), e => e.getField("xi")).as("xs"),
+        transform(col("t"), e => e.getField("yi")).as("ys"))
+      .withColumn("bx", expr("xs[0] div 20000"))
+      .withColumn("by", expr("ys[0] div 20000"))
+    val a = tracks.select(col("user_id").as("user_a"), col("xs").as("xa"),
+      col("ys").as("ya"), col("bx"), col("by"))
+    val b = tracks.select(col("user_id").as("user_b"), col("xs").as("xb"),
+      col("ys").as("yb"), col("bx"), col("by"))
+    a.join(b, Seq("bx", "by"))
+      .filter(col("user_a") < col("user_b"))
+  }
+
+  /** q199/q204's oracle: the full 12x12 DP grid as 144 CHAINED
+    * MATERIALIZED CTEs, one per cell (each adds one column referencing
+    * only materialized ones). A single SELECT with 144 lateral aliases
+    * is NOT usable: DuckDB inlines lateral column aliases textually,
+    * so the 3-way LEAST chain explodes to ~3^22 expression nodes and
+    * the planner hangs. `frechet` swaps the summed-cost fold for the
+    * bottleneck fold GREATEST(cost, LEAST(...)). */
+  private def trackDpOracle(frechet: Boolean): String = {
+    val L = 12
+    var prevCte = "p"
+    val cells = for (i <- 0 until L; j <- 0 until L) yield {
+      val cost = s"((xa[${i + 1}]-xb[${j + 1}])*(xa[${i + 1}]-xb[${j + 1}])" +
+        s" + (ya[${i + 1}]-yb[${j + 1}])*(ya[${i + 1}]-yb[${j + 1}]))"
+      val cell =
+        if (frechet) {
+          if (i == 0 && j == 0) cost
+          else if (i == 0) s"GREATEST(c_0_${j - 1}, $cost)"
+          else if (j == 0) s"GREATEST(c_${i - 1}_0, $cost)"
+          else s"GREATEST($cost, LEAST(c_${i - 1}_${j - 1}, c_${i - 1}_$j, c_${i}_${j - 1}))"
+        } else {
+          val prev =
+            if (i == 0 && j == 0) "0"
+            else if (i == 0) s"c_0_${j - 1}"
+            else if (j == 0) s"c_${i - 1}_0"
+            else s"LEAST(c_${i - 1}_${j - 1}, c_${i - 1}_$j, c_${i}_${j - 1})"
+          s"$cost + $prev"
+        }
+      val cte = s"d_${i}_$j AS MATERIALIZED (SELECT *, $cell AS c_${i}_$j FROM $prevCte)"
+      prevCte = s"d_${i}_$j"
+      cte
+    }
+    val outCol = if (frechet) "frechet_d2" else "dtw_d2"
+    s"""WITH t AS (
+       |  SELECT user_id,
+       |    (list(xi ORDER BY ts, event_id))[1:$L] AS xs,
+       |    (list(yi ORDER BY ts, event_id))[1:$L] AS ys
+       |  FROM (SELECT user_id, ts, event_id,
+       |      event_id*17 % 320000 AS xi, event_id*23 % 150000 AS yi
+       |    FROM events)
+       |  GROUP BY 1 HAVING COUNT(*) >= $L),
+       |tb AS (SELECT user_id, xs, ys,
+       |    xs[1] // 20000 AS bx, ys[1] // 20000 AS by FROM t),
+       |p AS MATERIALIZED (SELECT a.user_id AS user_a, b.user_id AS user_b,
+       |    a.xs AS xa, a.ys AS ya, b.xs AS xb, b.ys AS yb
+       |  FROM tb a JOIN tb b
+       |    ON a.bx = b.bx AND a.by = b.by AND a.user_id < b.user_id),
+       |${cells.mkString(",\n")}
+       |SELECT user_a, user_b, CAST(c_${L - 1}_${L - 1} AS BIGINT) AS $outCol
+       |FROM d_${L - 1}_${L - 1}""".stripMargin
+  }
+
   private def polys(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.polygons(SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
 
@@ -1624,36 +1707,28 @@ object SpatialQueries {
       // only — the paired oracle unrolls the same fixed 12x12 grid as
       // 144 lateral-alias expressions. At corpus scale the block key
       // widens with a time bucket exactly like q158's note.
-      val L = 12
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val pos = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") * 17 % 320000).as("xi"),
-          (col("event_id") * 23 % 150000).as("yi"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= L)
-      val tracks = pos.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("np"),
-          sort_array(collect_list(struct(col("rn"), col("xi"), col("yi")))).as("t"))
-        .filter(col("np") === L)
-        .select(col("user_id"),
-          transform(col("t"), e => e.getField("xi")).as("xs"),
-          transform(col("t"), e => e.getField("yi")).as("ys"))
-        .withColumn("bx", expr("xs[0] div 20000"))
-        .withColumn("by", expr("ys[0] div 20000"))
-      val a = tracks.select(col("user_id").as("user_a"), col("xs").as("xa"),
-        col("ys").as("ya"), col("bx"), col("by"))
-      val b = tracks.select(col("user_id").as("user_b"), col("xs").as("xb"),
-        col("ys").as("yb"), col("bx"), col("by"))
-      a.join(b, Seq("bx", "by"))
-        .filter(col("user_a") < col("user_b"))
+      trackPairs12(s, dir)
         .select(col("user_a"), col("user_b"),
           org.apache.spark.sql.GraftSqlShim.column(graft.spatial.DtwExpr(
             org.apache.spark.sql.GraftSqlShim.expression(col("xa")),
             org.apache.spark.sql.GraftSqlShim.expression(col("ya")),
             org.apache.spark.sql.GraftSqlShim.expression(col("xb")),
             org.apache.spark.sql.GraftSqlShim.expression(col("yb")))).as("dtw_d2"))
+    }),
+    "q204_frechet" -> ((s, dir) => {
+      // discrete Frechet distance — the BOTTLENECK companion to q199's
+      // summed DTW cost ("shortest dog leash": minimum over monotone
+      // couplings of the MAXIMUM squared step). Same blocked candidate
+      // pairs, same exact-BIGINT per-pair DP in spatial.FrechetExpr;
+      // the oracle swaps the unrolled grid's fold to
+      // GREATEST(cost, LEAST(...)) with max-propagating borders.
+      trackPairs12(s, dir)
+        .select(col("user_a"), col("user_b"),
+          org.apache.spark.sql.GraftSqlShim.column(graft.spatial.FrechetExpr(
+            org.apache.spark.sql.GraftSqlShim.expression(col("xa")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("ya")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("xb")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("yb")))).as("frechet_d2"))
     }),
     "q201_convex_hull" -> ((s, dir) => {
       // per-track convex hull (roaming-extent summary): each user's
@@ -2741,39 +2816,8 @@ object SpatialQueries {
     // A single SELECT with 144 lateral aliases is NOT usable: DuckDB
     // inlines lateral column aliases textually, so the 3-way LEAST
     // chain explodes to ~3^22 expression nodes and the planner hangs.
-    "q199_dtw" -> {
-      val L = 12
-      var prevCte = "p"
-      val cells = for (i <- 0 until L; j <- 0 until L) yield {
-        val cost = s"((xa[${i + 1}]-xb[${j + 1}])*(xa[${i + 1}]-xb[${j + 1}])" +
-          s" + (ya[${i + 1}]-yb[${j + 1}])*(ya[${i + 1}]-yb[${j + 1}]))"
-        val prev =
-          if (i == 0 && j == 0) "0"
-          else if (i == 0) s"c_0_${j - 1}"
-          else if (j == 0) s"c_${i - 1}_0"
-          else s"LEAST(c_${i - 1}_${j - 1}, c_${i - 1}_$j, c_${i}_${j - 1})"
-        val cte = s"d_${i}_$j AS MATERIALIZED (SELECT *, $cost + $prev AS c_${i}_$j FROM $prevCte)"
-        prevCte = s"d_${i}_$j"
-        cte
-      }
-      s"""WITH t AS (
-         |  SELECT user_id,
-         |    (list(xi ORDER BY ts, event_id))[1:$L] AS xs,
-         |    (list(yi ORDER BY ts, event_id))[1:$L] AS ys
-         |  FROM (SELECT user_id, ts, event_id,
-         |      event_id*17 % 320000 AS xi, event_id*23 % 150000 AS yi
-         |    FROM events)
-         |  GROUP BY 1 HAVING COUNT(*) >= $L),
-         |tb AS (SELECT user_id, xs, ys,
-         |    xs[1] // 20000 AS bx, ys[1] // 20000 AS by FROM t),
-         |p AS MATERIALIZED (SELECT a.user_id AS user_a, b.user_id AS user_b,
-         |    a.xs AS xa, a.ys AS ya, b.xs AS xb, b.ys AS yb
-         |  FROM tb a JOIN tb b
-         |    ON a.bx = b.bx AND a.by = b.by AND a.user_id < b.user_id),
-         |${cells.mkString(",\n")}
-         |SELECT user_a, user_b, CAST(c_${L - 1}_${L - 1} AS BIGINT) AS dtw_d2
-         |FROM d_${L - 1}_${L - 1}""".stripMargin
-    },
+    "q199_dtw" -> trackDpOracle(frechet = false),
+    "q204_frechet" -> trackDpOracle(frechet = true),
     // brute-force extreme-point predicate (Caratheodory): a point is a
     // hull vertex iff it is NOT on a segment of two others and NOT
     // inside-or-on a proper (ccw-ordered) triangle of three others.

@@ -58,3 +58,49 @@ case class DtwExpr(first: Expression, second: Expression,
       f: Expression, s: Expression, t: Expression, q: Expression): DtwExpr =
     copy(first = f, second = s, third = t, fourth = q)
 }
+
+/** Discrete Fréchet distance (squared) between two integer
+  * trajectories — the bottleneck companion to [[DtwExpr]]'s summed
+  * cost: the minimum over monotone couplings of the MAXIMUM squared
+  * step cost ("shortest dog leash"). Same two-row rolling DP, same
+  * exact-BIGINT lattice arithmetic, recurrence
+  * c(i,j) = max(cost(i,j), min(c(i−1,j), c(i,j−1), c(i−1,j−1))) with
+  * max-propagating borders. */
+case class FrechetExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "frechet_d2"
+
+  override def nullSafeEval(xa: Any, ya: Any, xb: Any, yb: Any): Any = {
+    val axs = xa.asInstanceOf[ArrayData]; val ays = ya.asInstanceOf[ArrayData]
+    val bxs = xb.asInstanceOf[ArrayData]; val bys = yb.asInstanceOf[ArrayData]
+    val n = axs.numElements(); val m = bxs.numElements()
+    require(n > 0 && m > 0, "frechet_d2 requires non-empty tracks")
+    val prev = new Array[Long](m)
+    val cur = new Array[Long](m)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        val dx = axs.getLong(i) - bxs.getLong(j)
+        val dy = ays.getLong(i) - bys.getLong(j)
+        val cost = dx * dx + dy * dy
+        cur(j) =
+          if (i == 0 && j == 0) cost
+          else if (i == 0) math.max(cur(j - 1), cost)
+          else if (j == 0) math.max(prev(j), cost)
+          else math.max(cost,
+            math.min(prev(j - 1), math.min(prev(j), cur(j - 1))))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m)
+      i += 1
+    }
+    prev(m - 1)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): FrechetExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+}

@@ -54,4 +54,53 @@ class DtwExprSpec extends SparkTestBase {
     assert(dtwSpark(xs, ys, xs, ys) === 0L)
     assert(dtwSpark(Array(0L), Array(0L), Array(3L), Array(4L)) === 25L)
   }
+
+  /** Independent memoised recursive discrete Frechet. */
+  private def frechetRef(ax: Array[Long], ay: Array[Long],
+      bx: Array[Long], by: Array[Long]): Long = {
+    val memo = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    def cost(i: Int, j: Int): Long = {
+      val dx = ax(i) - bx(j); val dy = ay(i) - by(j)
+      dx * dx + dy * dy
+    }
+    def go(i: Int, j: Int): Long = memo.getOrElseUpdate((i, j), {
+      if (i == 0 && j == 0) cost(0, 0)
+      else if (i == 0) math.max(cost(0, j), go(0, j - 1))
+      else if (j == 0) math.max(cost(i, 0), go(i - 1, 0))
+      else math.max(cost(i, j),
+        math.min(go(i - 1, j - 1), math.min(go(i - 1, j), go(i, j - 1))))
+    })
+    go(ax.length - 1, bx.length - 1)
+  }
+
+  private def frechetSpark(ax: Array[Long], ay: Array[Long],
+      bx: Array[Long], by: Array[Long]): Long = {
+    import spark.implicits._
+    val df = Seq((ax.toSeq, ay.toSeq, bx.toSeq, by.toSeq)).toDF("xa", "ya", "xb", "yb")
+    df.select(GraftSqlShim.column(FrechetExpr(
+      GraftSqlShim.expression(col("xa")), GraftSqlShim.expression(col("ya")),
+      GraftSqlShim.expression(col("xb")), GraftSqlShim.expression(col("yb"))))
+      .as("d")).head().getLong(0)
+  }
+
+  test("Frechet matches memoised reference on 50 random pairs; bottleneck <= DTW sum") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(15); val m = 1 + rnd.nextInt(15)
+      val ax = Array.fill(n)(rnd.nextInt(1000).toLong)
+      val ay = Array.fill(n)(rnd.nextInt(1000).toLong)
+      val bx = Array.fill(m)(rnd.nextInt(1000).toLong)
+      val by = Array.fill(m)(rnd.nextInt(1000).toLong)
+      val f = frechetSpark(ax, ay, bx, by)
+      assert(f === frechetRef(ax, ay, bx, by))
+      assert(f <= dtwRef(ax, ay, bx, by)) // max step <= summed steps
+    }
+  }
+
+  test("Frechet of identical tracks is 0; offset parallel tracks hit the offset") {
+    val xs = Array(1L, 5L, 9L); val ys = Array(2L, 4L, 8L)
+    assert(frechetSpark(xs, ys, xs, ys) === 0L)
+    // b = a shifted by (3,4): every aligned step costs exactly 25
+    assert(frechetSpark(xs, ys, xs.map(_ + 3), ys.map(_ + 4)) === 25L)
+  }
 }
