@@ -416,6 +416,34 @@ object DedupQueries {
       graft.operators.SetSimJoin.containmentJoin(small, toks, "doc_id", "tk")
         .select(col("id_small"), col("id_big"))
     }),
+    "q207_split_overlap" -> ((s, dir) => {
+      // split-document detection (a crawl/shard boundary cuts one page
+      // into two records): doc B continues doc A when A's LAST 8
+      // tokens equal B's FIRST 8. Planted continuations (doc_id%25=0 →
+      // id+2000000 whose head is exactly that doc's tail — q22's
+      // planting pattern); candidates equi-join on xxhash64 of the
+      // boundary string, so only (id, 64-bit key) rows shuffle — never
+      // the token streams — and the string verify runs on candidates
+      // alone. The oracle joins the boundary STRINGS directly (the
+      // definition, no hashing).
+      val K = 8
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val planted = base.filter(col("doc_id") % 25 === 0 && size(col("tk")) >= K)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(slice(col("tk"), -K, K),
+            split(lit("and then it continued onward"), " ")).as("tk"))
+      val all = base.unionByName(planted).filter(size(col("tk")) >= K)
+      val tails = all.select(col("doc_id").as("id_tail"),
+          array_join(slice(col("tk"), -K, K), " ").as("tstr"))
+        .withColumn("h", xxhash64(col("tstr")))
+      val heads = all.select(col("doc_id").as("id_head"),
+          array_join(slice(col("tk"), 1, K), " ").as("hstr"))
+        .withColumn("h", xxhash64(col("hstr")))
+      tails.join(heads, Seq("h"))
+        .filter(col("id_tail") =!= col("id_head") && col("tstr") === col("hstr"))
+        .select(col("id_tail"), col("id_head"))
+    }),
   )
 
   /** q152's id offset for the planted benchmark corpus — larger than
@@ -791,5 +819,20 @@ object DedupQueries {
         |SELECT a.doc_id AS id_small, b.doc_id AS id_big
         |FROM small a JOIN toks b ON a.doc_id != b.doc_id
         |WHERE len(list_filter(a.tk, t -> NOT list_contains(b.tk, t))) = 0""".stripMargin,
+    "q207_split_overlap" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |planted AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    list_concat(list_slice(tk, len(tk)-7, len(tk)),
+        |      string_split('and then it continued onward', ' ')) AS tk
+        |  FROM base WHERE doc_id % 25 = 0 AND len(tk) >= 8),
+        |a AS (SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |      WHERE len(tk) >= 8),
+        |t AS (SELECT doc_id AS id_tail,
+        |    array_to_string(list_slice(tk, len(tk)-7, len(tk)), ' ') AS s FROM a),
+        |h AS (SELECT doc_id AS id_head,
+        |    array_to_string(list_slice(tk, 1, 8), ' ') AS s FROM a)
+        |SELECT id_tail, id_head FROM t JOIN h USING (s)
+        |WHERE id_tail <> id_head""".stripMargin,
   )
 }

@@ -1007,6 +1007,43 @@ object TextQueries {
         .agg(sum(when(pmod(expr("h div 16"), lit(2L)) === 0, 1L)
           .otherwise(-1L)).as("val"))
     }),
+    "q206_bpe_merge" -> ((s, dir) => {
+      // ONE byte-pair-encoding merge round (tokenizer training's inner
+      // step): the corpus-wide most frequent adjacent token pair
+      // (count DESC, pair ASC) merges LEFT-TO-RIGHT NON-OVERLAPPING in
+      // every document. The sequential "non-overlapping" rule is pure
+      // window arithmetic — overlapping matches only chain through
+      // runs of consecutive match positions, and within such an island
+      // exactly the even offsets merge — so no per-row UDF and no
+      // sequential scan: two doc_id-partitioned windows + one
+      // broadcast of the single winning pair. At vocab-training scale
+      // each round is two shuffles over the token stream; rounds
+      // iterate outside (cf. q178's LM counts).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      val top = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc, col("nxt").asc).limit(1)
+        .select(col("tok").as("ta"), col("nxt").as("tb"))
+      val matches = withNext.join(broadcast(top),
+          col("tok") === col("ta") && col("nxt") === col("tb"))
+        .select(col("doc_id"), col("pos"))
+        .withColumn("isl", col("pos") - row_number().over(w))
+      val applied = matches
+        .withColumn("off", col("pos") -
+          min(col("pos")).over(Window.partitionBy(col("doc_id"), col("isl"))))
+        .filter(pmod(col("off"), lit(2)) === 0)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_merges"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_before"))
+        .join(applied, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_before"),
+          coalesce(col("n_merges"), lit(0L)).as("n_merges"),
+          (col("n_before") - coalesce(col("n_merges"), lit(0L))).as("n_after"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -1574,6 +1611,32 @@ object TextQueries {
         |SELECT doc_id, h % 16 AS dim,
         |  CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val
         |FROM t GROUP BY 1, 2""".stripMargin,
+    "q206_bpe_merge" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(range(1, len(t)+1)) AS i, t
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |top AS (
+        |  SELECT t[i] AS ta, t[i+1] AS tb FROM toks WHERE i < len(t)
+        |  GROUP BY 1, 2 ORDER BY COUNT(*) DESC, ta, tb LIMIT 1),
+        |m AS (
+        |  SELECT doc_id, i AS pos FROM toks, top
+        |  WHERE i < len(t) AND t[i] = ta AND t[i+1] = tb),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM m),
+        |ap AS (
+        |  SELECT doc_id,
+        |    pos - MIN(pos) OVER (PARTITION BY doc_id, g) AS off
+        |  FROM isl),
+        |nm AS (SELECT doc_id, COUNT(*) AS n_merges FROM ap
+        |       WHERE off % 2 = 0 GROUP BY 1),
+        |cnt AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_before FROM documents)
+        |SELECT c.doc_id, CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(COALESCE(n_merges, 0) AS BIGINT) AS n_merges,
+        |  CAST(n_before - COALESCE(n_merges, 0) AS BIGINT) AS n_after
+        |FROM cnt c LEFT JOIN nm USING (doc_id)""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =
