@@ -86,7 +86,8 @@ object Bench {
     "q196_mis", "q197_zonal_stats", "q198_incremental_adaptive",
     "q199_dtw", "q200_containment_join", "q201_convex_hull",
     "q202_incremental_ivf", "q203_flow_accum", "q204_frechet",
-    "q205_longest_streak", "q206_bpe_merge", "q207_split_overlap")
+    "q205_longest_streak", "q206_bpe_merge", "q207_split_overlap",
+    "q208_viewshed", "q209_mutual_nn")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

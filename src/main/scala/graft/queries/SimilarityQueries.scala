@@ -274,6 +274,30 @@ object SimilarityQueries {
         .select(col("vec_id"), col("centroid_id"),
           round(col("cos") * 1e9, 0).cast("long").as("cos_ppb"))
     }),
+    "q209_mutual_nn" -> ((s, dir) => {
+      // mutual-nearest-neighbor pairs (the margin-free core of bitext/
+      // parallel-pair mining): each vector's 1-NN within its LSH
+      // bucket, kept only when the relation is SYMMETRIC — the
+      // standard high-precision filter before costly verification.
+      // Candidates never leave the bucket equi-join; the per-vector
+      // argmax is a bucket-bounded window and the mutuality check is a
+      // self-join on the (src, dst) pair — all shuffles on vec_id-size
+      // keys. Ties break (cos DESC, dst ASC) in both engines.
+      import org.apache.spark.sql.expressions.Window
+      val e = embAsDouble(s, dir).withColumn("bucket", signBucket(col("v")))
+      val a = e.select(col("bucket"), col("vec_id").as("src"), col("v").as("va"))
+      val b = e.select(col("bucket"), col("vec_id").as("dst"), col("v").as("vb"))
+      val pairs = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), cos(col("va"), col("vb")).as("cos"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+      val nn = pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("src"), col("dst"), col("cos"))
+      nn.join(nn.select(col("src").as("rdst"), col("dst").as("rsrc")),
+          col("src") === col("rsrc") && col("dst") === col("rdst"))
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("id_a"), col("dst").as("id_b"),
+          round(col("cos") * 1e9, 0).cast("long").as("cos_ppb"))
+    }),
   )
 
   private def dotSql2(x: String, y: String) =
@@ -393,6 +417,27 @@ object SimilarityQueries {
          |SELECT vec_id, centroid_id,
          |  CAST(ROUND(cos*1000000000,0) AS BIGINT) AS cos_ppb
          |FROM p WHERE crn = 1""".stripMargin,
+    "q209_mutual_nn" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, v,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |       for i in range(0, 6)]), (x,y) -> x+y) AS bucket
+         |  FROM e0),
+         |p AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${dotSql2("a.v", "b.v")} / (${normSql("a", "v")} * ${normSql("b", "v")}) AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |nn AS (
+         |  SELECT src, dst, cos FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst ASC) AS rn FROM p)
+         |  WHERE rn = 1)
+         |SELECT n1.src AS id_a, n1.dst AS id_b,
+         |  CAST(ROUND(n1.cos*1000000000,0) AS BIGINT) AS cos_ppb
+         |FROM nn n1 JOIN nn n2 ON n1.src = n2.dst AND n1.dst = n2.src
+         |WHERE n1.src < n1.dst""".stripMargin,
     "q76_kmeans_assign" ->
       s"""WITH q AS (
          |  SELECT vec_id,

@@ -60,6 +60,14 @@ object SpatialQueries {
       .filter(col("user_a") < col("user_b"))
   }
 
+  /** q203/q208's event-density raster: (cx, cy, z) — occupied 4000-unit
+    * lattice cells with their event counts as the elevation surface. */
+  private def densityCells(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(expr("(event_id * 17 % 320000) div 4000").as("cx"),
+        expr("(event_id * 23 % 150000) div 4000").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("z"))
+
   /** q199/q204's oracle: the full 12x12 DP grid as 144 CHAINED
     * MATERIALIZED CTEs, one per cell (each adds one column referencing
     * only materialized ones). A single SELECT with 144 lateral aliases
@@ -1778,10 +1786,7 @@ object SpatialQueries {
       // the live-path frontier — at 100 TB both legs shuffle on the
       // cell key and K bounds the iteration depth.
       val K = 6
-      val cells = Tables.events(s, dir)
-        .select(expr("(event_id * 17 % 320000) div 4000").as("cx"),
-          expr("(event_id * 23 % 150000) div 4000").as("cy"))
-        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("z"))
+      val cells = densityCells(s, dir)
       val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
         (1, -1), (1, 0), (1, 1))
       // scatter each cell's z to its 8 neighbors: the receiving cell
@@ -1818,6 +1823,48 @@ object SpatialQueries {
         .join(acc, Seq("cx", "cy"), "left")
         .select(col("cx"), col("cy"), col("z"), col("fx"), col("fy"),
           coalesce(col("acc"), lit(0L)).as("acc"))
+    }),
+    "q208_viewshed" -> ((s, dir) => {
+      // raster line-of-sight (viewshed): from the 5 highest-density
+      // cells, which cells within Chebyshev radius 6 are visible —
+      // blocked iff any strictly-intermediate cell on the discrete
+      // sight line is an obstacle (z > 1.5x the mean, compared as the
+      // EXACT integer inequality 2*z*n_cells > 3*sum_z). The line
+      // sample at step k of n is round-half-up(k*d/n), computed as
+      // floor((2kd+n)/(2n)) via pmod so Spark's truncating `div` and
+      // DuckDB's floor `//` agree on negative deltas. Viewpoints are a
+      // bounded top-k broadcast; samples scatter to an equi-join on
+      // the obstacle cell key — per (viewpoint, target) pair at most
+      // n-1 <= 5 sample rows, so the candidate stream is O(pairs),
+      // never a raster cross join.
+      val R = 6
+      val cells = densityCells(s, dir)
+      val tot = cells.agg(sum(col("z")).as("sz"), count(lit(1)).as("nc"))
+      val obst = cells.crossJoin(broadcast(tot))
+        .filter(col("z") * 2 * col("nc") > lit(3) * col("sz"))
+        .select(col("cx").as("sx"), col("cy").as("sy"))
+      val vp = cells.orderBy(col("z").desc, col("cx"), col("cy")).limit(5)
+        .select(col("cx").as("vx"), col("cy").as("vy"))
+      val pairs = cells.crossJoin(broadcast(vp))
+        .filter(abs(col("cx") - col("vx")) <= R &&
+          abs(col("cy") - col("vy")) <= R &&
+          !(col("cx") === col("vx") && col("cy") === col("vy")))
+        .select(col("vx"), col("vy"), col("cx").as("tx"), col("cy").as("ty"),
+          greatest(abs(col("cx") - col("vx")), abs(col("cy") - col("vy"))).as("n"))
+      val samples = pairs.filter(col("n") >= 2)
+        .select(col("vx"), col("vy"), col("tx"), col("ty"), col("n"),
+          explode(sequence(lit(1L), col("n") - 1)).as("k"))
+        .select(col("vx"), col("vy"), col("tx"), col("ty"),
+          (col("vx") + expr("(2*k*(tx-vx) + n - pmod(2*k*(tx-vx) + n, 2*n)) div (2*n)"))
+            .as("sx"),
+          (col("vy") + expr("(2*k*(ty-vy) + n - pmod(2*k*(ty-vy) + n, 2*n)) div (2*n)"))
+            .as("sy"))
+      val blocked = samples.join(obst, Seq("sx", "sy"))
+        .select(col("vx"), col("vy"), col("tx"), col("ty")).distinct()
+        .withColumn("b", lit(1L))
+      pairs.join(blocked, Seq("vx", "vy", "tx", "ty"), "left")
+        .select(col("vx"), col("vy"), col("tx"), col("ty"),
+          when(col("b").isNotNull, 0L).otherwise(1L).as("visible"))
     }),
   )
 
@@ -2818,6 +2865,39 @@ object SpatialQueries {
     // chain explodes to ~3^22 expression nodes and the planner hangs.
     "q199_dtw" -> trackDpOracle(frechet = false),
     "q204_frechet" -> trackDpOracle(frechet = true),
+    // same discrete-line sampling formula (the definition both engines
+    // share); floor division is spelled with a positive-mod adjustment
+    // because BOTH Spark's `div` and DuckDB's `//` truncate toward 0.
+    "q208_viewshed" ->
+      """WITH cells AS (
+        |  SELECT (event_id*17 % 320000) // 4000 AS cx,
+        |         (event_id*23 % 150000) // 4000 AS cy, COUNT(*) AS z
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT SUM(z) AS sz, COUNT(*) AS nc FROM cells),
+        |obst AS (SELECT cx AS sx, cy AS sy FROM cells, tot
+        |         WHERE z*2*nc > 3*sz),
+        |vp AS (SELECT cx AS vx, cy AS vy FROM cells
+        |       ORDER BY z DESC, cx, cy LIMIT 5),
+        |pr AS (
+        |  SELECT vx, vy, cx AS tx, cy AS ty,
+        |    GREATEST(abs(cx-vx), abs(cy-vy)) AS n
+        |  FROM cells, vp
+        |  WHERE abs(cx-vx) <= 6 AND abs(cy-vy) <= 6
+        |    AND NOT (cx = vx AND cy = vy)),
+        |smp AS (
+        |  SELECT vx, vy, tx, ty,
+        |    vx + (2*k*(tx-vx) + n
+        |      - ((((2*k*(tx-vx) + n) % (2*n)) + 2*n) % (2*n))) // (2*n) AS sx,
+        |    vy + (2*k*(ty-vy) + n
+        |      - ((((2*k*(ty-vy) + n) % (2*n)) + 2*n) % (2*n))) // (2*n) AS sy
+        |  FROM pr, UNNEST(range(1, n)) AS t(k)
+        |  WHERE n >= 2),
+        |blk AS (SELECT DISTINCT vx, vy, tx, ty
+        |        FROM smp JOIN obst USING (sx, sy))
+        |SELECT p.vx, p.vy, p.tx, p.ty,
+        |  CAST(CASE WHEN b.vx IS NULL THEN 1 ELSE 0 END AS BIGINT) AS visible
+        |FROM pr p LEFT JOIN blk b
+        |  ON p.vx = b.vx AND p.vy = b.vy AND p.tx = b.tx AND p.ty = b.ty""".stripMargin,
     // brute-force extreme-point predicate (Caratheodory): a point is a
     // hull vertex iff it is NOT on a segment of two others and NOT
     // inside-or-on a proper (ccw-ordered) triangle of three others.
