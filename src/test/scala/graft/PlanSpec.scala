@@ -439,6 +439,49 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q199-q209 wave: blocked equi-joins, partitioned windows, native DP exprs") {
+    // the trajectory-DP pair queries must plan the block equi-join
+    // (never all-pairs) with the native per-pair expression
+    for ((q, ex) <- Seq("q199_dtw" -> "dtw_d2", "q204_frechet" -> "frechet_d2")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q must block, not all-pairs")
+      assert(plan.contains(ex), s"$q native expression missing")
+      Bench.clearState(spark)
+    }
+    // set joins / dedup / routing / viewshed / mutual-NN: equi-shapes only
+    for (q <- Seq("q200_containment_join", "q202_incremental_ivf",
+        "q203_flow_accum", "q207_split_overlap", "q208_viewshed",
+        "q209_mutual_nn")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+    // q201's hull: native per-group expression, partitioned window, and
+    // the window/groupBy share ONE exchange (plus the scan spread)
+    val hull = SparkEntry.queries("q201_convex_hull")(spark, sfSmoke)
+    val hPlan = formatted(hull)
+    assert(hPlan.contains("convex_hull_stats"), "native hull expression missing")
+    val hWins = hull.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(hWins.nonEmpty && hWins.forall(_.nonEmpty), "hull window must be partitioned")
+    assert("(?m)^\\s*\\+- Exchange hashpartitioning".r.findAllIn(hPlan).size <= 1,
+      "hull window and groupBy must share the user_id exchange:\n" +
+        hPlan.linesIterator.take(40).mkString("\n"))
+    Bench.clearState(spark)
+    // q205/q206/q209: every window key-partitioned (no global sort)
+    for (q <- Seq("q205_longest_streak", "q206_bpe_merge", "q209_mutual_nn")) {
+      val df = SparkEntry.queries(q)(spark, sfSmoke)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+      assert(wins.nonEmpty && wins.forall(_.nonEmpty),
+        s"$q must plan only key-partitioned windows")
+      Bench.clearState(spark)
+    }
+  }
+
   test("q09b top-k carries at most k rows per group through the exchange") {
     // the partial aggregate must run BEFORE the shuffle (that is the
     // entire point vs the window formulation)
