@@ -60,6 +60,27 @@ object SpatialQueries {
       .filter(col("user_a") < col("user_b"))
   }
 
+  /** q201/q212's collected tracks: each user's first-12 lattice
+    * positions as aligned coordinate arrays (user_id, xs, ys) — the
+    * per-group input to the bounded hull/diameter expressions. The
+    * window and the downstream groupBy share the user_id partitioning,
+    * so consumers stay ONE exchange. */
+  private def trackPoints12(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_id") * 17 % 320000).as("x"),
+        (col("event_id") * 23 % 150000).as("y"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 12)
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("x"), col("y"))).as("ps"))
+      .select(col("user_id"),
+        transform(col("ps"), p => p.getField("x")).as("xs"),
+        transform(col("ps"), p => p.getField("y")).as("ys"))
+  }
+
   /** q203/q208's event-density raster: (cx, cy, z) — occupied 4000-unit
     * lattice cells with their event counts as the elevation surface. */
   private def densityCells(s: SparkSession, dir: String): DataFrame =
@@ -1751,24 +1772,11 @@ object SpatialQueries {
       // three others) — an independent O(n^4)-per-group definition the
       // chain must reproduce exactly, collinear and duplicate points
       // included.
-      val L = 12
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val pos = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") * 17 % 320000).as("x"),
-          (col("event_id") * 23 % 150000).as("y"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= L)
       val stats = org.apache.spark.sql.GraftSqlShim.column(
         graft.spatial.ConvexHullExpr(
           org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
           org.apache.spark.sql.GraftSqlShim.expression(col("ys"))))
-      pos.groupBy(col("user_id"))
-        .agg(collect_list(struct(col("x"), col("y"))).as("ps"))
-        .select(col("user_id"),
-          transform(col("ps"), p => p.getField("x")).as("xs"),
-          transform(col("ps"), p => p.getField("y")).as("ys"))
+      trackPoints12(s, dir)
         .withColumn("h", stats)
         .select(col("user_id"), col("h").getItem(0).as("n_hull"),
           col("h").getItem(1).as("hull_sum_x"), col("h").getItem(2).as("hull_sum_y"))
@@ -1865,6 +1873,41 @@ object SpatialQueries {
       pairs.join(blocked, Seq("vx", "vy", "tx", "ty"), "left")
         .select(col("vx"), col("vy"), col("tx"), col("ty"),
           when(col("b").isNotNull, 0L).otherwise(1L).as("visible"))
+    }),
+    "q210_gyration" -> ((s, dir) => {
+      // radius of gyration (the canonical human-mobility dispersion
+      // statistic): rg² = disp/n² with
+      // disp = n·Σ(x²+y²) − (Σx)² − (Σy)² — the WHOLE statistic folds
+      // in ONE map-side-combined aggregate, exact BIGINT: no centroid
+      // pre-pass, no second shuffle, no floats. Coordinates land on
+      // the /100 coarse lattice so disp stays far from Long range even
+      // at corpus-scale per-user histories.
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("(event_id * 17 % 320000) div 100").as("x"),
+          expr("(event_id * 23 % 150000) div 100").as("y"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x") + col("y") * col("y")).as("s2"))
+        .select(col("user_id"), col("n").as("n_points"),
+          (col("n") * col("s2") - col("sx") * col("sx")
+            - col("sy") * col("sy")).as("disp"))
+    }),
+    "q212_track_diameter" -> ((s, dir) => {
+      // squared track diameter (maximum displacement): the max pairwise
+      // squared distance of each user's first-12 positions, computed on
+      // the hull's EXTREME points only (the diameter is attained there)
+      // — spatial.DiameterExpr per group, O(h²) per track instead of
+      // O(n²), sharing q201's single-exchange collected-track shape.
+      // The oracle brute-forces ALL pairs — the independent definition
+      // the hull reduction must reproduce.
+      trackPoints12(s, dir)
+        .select(col("user_id"),
+          org.apache.spark.sql.GraftSqlShim.column(graft.spatial.DiameterExpr(
+            org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("ys"))))
+            .as("diam2"))
     }),
   )
 
@@ -2898,6 +2941,23 @@ object SpatialQueries {
         |  CAST(CASE WHEN b.vx IS NULL THEN 1 ELSE 0 END AS BIGINT) AS visible
         |FROM pr p LEFT JOIN blk b
         |  ON p.vx = b.vx AND p.vy = b.vy AND p.tx = b.tx AND p.ty = b.ty""".stripMargin,
+    "q210_gyration" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(COUNT(*)*SUM(x*x + y*y) - SUM(x)*SUM(x) - SUM(y)*SUM(y)
+        |    AS BIGINT) AS disp
+        |FROM (SELECT user_id, (event_id*17 % 320000) // 100 AS x,
+        |        (event_id*23 % 150000) // 100 AS y FROM events)
+        |GROUP BY 1""".stripMargin,
+    // brute-force all-pairs max — the hull-based engine path must agree
+    "q212_track_diameter" ->
+      """WITH pos AS (
+        |  SELECT user_id, event_id*17 % 320000 AS x, event_id*23 % 150000 AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |pts AS (SELECT user_id, x, y FROM pos WHERE rn <= 12)
+        |SELECT a.user_id,
+        |  CAST(MAX((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS BIGINT) AS diam2
+        |FROM pts a JOIN pts b USING (user_id) GROUP BY 1""".stripMargin,
     // brute-force extreme-point predicate (Caratheodory): a point is a
     // hull vertex iff it is NOT on a segment of two others and NOT
     // inside-or-on a proper (ccw-ordered) triangle of three others.

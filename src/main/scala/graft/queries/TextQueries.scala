@@ -1044,6 +1044,40 @@ object TextQueries {
           coalesce(col("n_merges"), lit(0L)).as("n_merges"),
           (col("n_before") - coalesce(col("n_merges"), lit(0L))).as("n_after"))
     }),
+    "q211_dist_match" -> ((s, dir) => {
+      // importance-resampling the source corpus (even doc_ids) to match
+      // the target corpus's (odd doc_ids) length distribution — domain
+      // rebalancing as a mixture pipeline runs it: per length-bucket
+      // keep-probability min(1, p_tgt/p_src), materialized as an EXACT
+      // integer ppm threshold against the deterministic per-doc hash —
+      // no RNG, no sort; the only driver-adjacent state is the
+      // ≤#buckets-row threshold table (broadcast), and acceptance is a
+      // narrow codegen filter. Completes q77/q93's fixed-ratio
+      // sampling with a DISTRIBUTION-targeted rule.
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("size(split(text, ' ')) div 10")
+          .cast("long").as("b"))
+      val src = d.filter(col("doc_id") % 2 === 0)
+      val tgt = d.filter(col("doc_id") % 2 === 1)
+      val c0 = src.groupBy(col("b")).agg(count(lit(1)).as("cnt0"))
+      val c1 = tgt.groupBy(col("b")).agg(count(lit(1)).as("cnt1"))
+      val tot = src.agg(count(lit(1)).as("tot0"))
+        .crossJoin(tgt.agg(count(lit(1)).as("tot1")))
+      val th = c0.join(c1, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"), col("cnt0"),
+          least(lit(1000000L),
+            expr("coalesce(cnt1, 0) * tot0 * 1000000 div (cnt0 * tot1)"))
+            .as("thresh_ppm"))
+      val kept = src
+        .join(broadcast(th.select(col("b"), col("thresh_ppm"))), Seq("b"))
+        .filter(pmod(hash60(concat(lit("dm:"), col("doc_id"))),
+          lit(1000000L)) < col("thresh_ppm"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n_kept"))
+      th.join(kept, Seq("b"), "left")
+        .select(col("b").as("bucket"), col("cnt0").as("n_src"),
+          col("thresh_ppm"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -1637,6 +1671,31 @@ object TextQueries {
         |  CAST(COALESCE(n_merges, 0) AS BIGINT) AS n_merges,
         |  CAST(n_before - COALESCE(n_merges, 0) AS BIGINT) AS n_after
         |FROM cnt c LEFT JOIN nm USING (doc_id)""".stripMargin,
+    "q211_dist_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) // 10 AS b
+        |  FROM documents),
+        |src AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+        |tgt AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+        |c0 AS (SELECT b, COUNT(*) AS cnt0 FROM src GROUP BY 1),
+        |c1 AS (SELECT b, COUNT(*) AS cnt1 FROM tgt GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM src) AS tot0,
+        |               (SELECT COUNT(*) FROM tgt) AS tot1),
+        |th AS (
+        |  SELECT c0.b, cnt0,
+        |    LEAST(1000000, COALESCE(cnt1, 0) * tot0 * 1000000 // (cnt0 * tot1))
+        |      AS thresh_ppm
+        |  FROM c0 LEFT JOIN c1 ON c0.b = c1.b, tot),
+        |kept AS (
+        |  SELECT s.b, COUNT(*) AS n_kept
+        |  FROM src s JOIN th ON s.b = th.b
+        |  WHERE CAST('0x' || substr(md5('dm:' || CAST(s.doc_id AS VARCHAR)), 1, 15)
+        |          AS BIGINT) % 1000000 < thresh_ppm
+        |  GROUP BY 1)
+        |SELECT th.b AS bucket, CAST(cnt0 AS BIGINT) AS n_src,
+        |  CAST(thresh_ppm AS BIGINT) AS thresh_ppm,
+        |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
+        |FROM th LEFT JOIN kept ON th.b = kept.b""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =

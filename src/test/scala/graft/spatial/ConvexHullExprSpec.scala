@@ -70,4 +70,25 @@ class ConvexHullExprSpec extends SparkTestBase {
     val sq = Seq((0L, 0L), (4L, 0L), (4L, 4L), (0L, 4L), (2L, 2L), (2L, 0L))
     assert(hullSpark(sq) === ((4L, 8L, 8L)))
   }
+
+  private def diamSpark(pts: Seq[(Long, Long)]): Long = {
+    import spark.implicits._
+    val df = Seq((pts.map(_._1), pts.map(_._2))).toDF("xs", "ys")
+    df.select(GraftSqlShim.column(DiameterExpr(
+      GraftSqlShim.expression(col("xs")),
+      GraftSqlShim.expression(col("ys")))).as("d")).head().getLong(0)
+  }
+
+  test("diameter via hull equals brute-force all-pairs max on 60 random sets") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 60) {
+      val range = if (trial % 3 == 0) 5 else 1000
+      val n = 1 + rnd.nextInt(16)
+      val pts = Seq.fill(n)((rnd.nextInt(range).toLong, rnd.nextInt(range).toLong))
+      val brute = (for (a <- pts; b <- pts) yield {
+        val dx = a._1 - b._1; val dy = a._2 - b._2; dx * dx + dy * dy
+      }).max
+      assert(diamSpark(pts) === brute, s"trial $trial pts=$pts")
+    }
+  }
 }
