@@ -88,7 +88,8 @@ object Bench {
     "q202_incremental_ivf", "q203_flow_accum", "q204_frechet",
     "q205_longest_streak", "q206_bpe_merge", "q207_split_overlap",
     "q208_viewshed", "q209_mutual_nn", "q210_gyration",
-    "q211_dist_match", "q212_track_diameter")
+    "q211_dist_match", "q212_track_diameter", "q213_ks_stat",
+    "q214_simpson")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

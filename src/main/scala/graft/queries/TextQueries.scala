@@ -1078,6 +1078,56 @@ object TextQueries {
         .select(col("b").as("bucket"), col("cnt0").as("n_src"),
           col("thresh_ppm"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
     }),
+    "q213_ks_stat" -> ((s, dir) => {
+      // two-sample Kolmogorov-Smirnov statistic between the even- and
+      // odd-id corpora's length distributions — the DISTANCE companion
+      // to q211's resampler and q109's TV drift: D = max_b |F0(b) −
+      // F1(b)|, carried as the EXACT integer numerator
+      // max |cum0·tot1 − cum1·tot0| (D = num/(tot0·tot1), no division
+      // ever). The cumulative walk folds over ONE collected
+      // ≤#buckets-row sorted array — join-free, window-free, nothing
+      // unbounded ever leaves the aggregate.
+      val cnt = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("size(split(text, ' ')) div 5").cast("long").as("b"))
+        .groupBy(col("b"))
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("c1"))
+      cnt.agg(sort_array(collect_list(struct(col("b"), col("c0"), col("c1"))))
+          .as("a"), sum(col("c0")).as("tot0"), sum(col("c1")).as("tot1"))
+        .select(
+          aggregate(col("a"),
+            struct(lit(0L).as("cum0"), lit(0L).as("cum1"), lit(0L).as("best")),
+            (acc, x) => {
+              val n0 = acc.getField("cum0") + x.getField("c0")
+              val n1 = acc.getField("cum1") + x.getField("c1")
+              struct(n0.as("cum0"), n1.as("cum1"),
+                greatest(acc.getField("best"),
+                  abs(n0 * col("tot1") - n1 * col("tot0"))).as("best"))
+            },
+            acc => acc.getField("best")).as("ks_num"),
+          col("tot0"), col("tot1"))
+    }),
+    "q214_simpson" -> ((s, dir) => {
+      // Simpson concentration of each user's visited-cell distribution
+      // (mobility predictability): Σ nᵢ(nᵢ−1) / n(n−1) as the exact
+      // integer pair (num, den) plus the floor-ppm ratio — two
+      // map-side-combined shuffles, (user, cell) then user, no window,
+      // no floats.
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("(event_id * 17 % 320000) div 4000").as("cx"),
+          expr("(event_id * 23 % 150000) div 4000").as("cy"))
+        .groupBy(col("user_id"), col("cx"), col("cy"))
+        .agg(count(lit(1)).as("ni"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("ni")).as("n"),
+          sum(col("ni") * (col("ni") - 1)).as("num"))
+        .filter(col("n") >= 2)
+        .select(col("user_id"), col("num"),
+          (col("n") * (col("n") - 1)).as("den"),
+          expr("num * 1000000 div (n * (n - 1))").as("simpson_ppm"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -1696,6 +1746,37 @@ object TextQueries {
         |  CAST(thresh_ppm AS BIGINT) AS thresh_ppm,
         |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
         |FROM th LEFT JOIN kept ON th.b = kept.b""".stripMargin,
+    // independent formulation: cumulative-sum windows over the bucket
+    // axis (the Spark side folds one collected sorted array instead)
+    "q213_ks_stat" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) // 5 AS b
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT b,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT SUM(c0) AS tot0, SUM(c1) AS tot1 FROM cnt),
+        |cum AS (
+        |  SELECT SUM(c0) OVER (ORDER BY b) AS cum0,
+        |         SUM(c1) OVER (ORDER BY b) AS cum1
+        |  FROM cnt)
+        |SELECT CAST(MAX(abs(cum0*tot1 - cum1*tot0)) AS BIGINT) AS ks_num,
+        |  CAST(tot0 AS BIGINT) AS tot0, CAST(tot1 AS BIGINT) AS tot1
+        |FROM cum, tot GROUP BY tot0, tot1""".stripMargin,
+    "q214_simpson" ->
+      """WITH c AS (
+        |  SELECT user_id, (event_id*17 % 320000) // 4000 AS cx,
+        |    (event_id*23 % 150000) // 4000 AS cy, COUNT(*) AS ni
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT user_id, SUM(ni) AS n, SUM(ni*(ni-1)) AS num
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, CAST(num AS BIGINT) AS num,
+        |  CAST(n*(n-1) AS BIGINT) AS den,
+        |  CAST(num * 1000000 // (n*(n-1)) AS BIGINT) AS simpson_ppm
+        |FROM g WHERE n >= 2""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =
