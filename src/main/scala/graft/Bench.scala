@@ -89,7 +89,7 @@ object Bench {
     "q205_longest_streak", "q206_bpe_merge", "q207_split_overlap",
     "q208_viewshed", "q209_mutual_nn", "q210_gyration",
     "q211_dist_match", "q212_track_diameter", "q213_ks_stat",
-    "q214_simpson")
+    "q214_simpson", "q215_transitions", "q216_cell_churn")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

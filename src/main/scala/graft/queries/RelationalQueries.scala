@@ -881,6 +881,26 @@ object RelationalQueries {
         .select(col("user_id"), col("m.len").as("best_streak"),
           (-col("m.ns")).as("start_days"))
     }),
+    "q215_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix over event types (the
+      // session-model fit q169's paths consume): per-user consecutive
+      // type pairs via ONE lag window on the user exchange, global
+      // (from, to) counts map-side-combined, and the row-normalized
+      // share as an exact floor-ppm against the from-state total —
+      // the total joins back on the tiny type key (broadcast), never
+      // a second pass over the event stream.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tr = events(s, dir)
+        .withColumn("t_to", lead(col("event_type"), 1).over(w))
+        .filter(col("t_to").isNotNull)
+        .groupBy(col("event_type").as("t_from"), col("t_to"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = tr.groupBy(col("t_from")).agg(sum(col("cnt")).as("tot"))
+      tr.join(broadcast(totals), Seq("t_from"))
+        .select(col("t_from"), col("t_to"), col("cnt"),
+          expr("cnt * 1000000 div tot").as("ppm"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1423,5 +1443,18 @@ object RelationalQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |        ORDER BY len DESC, start_day ASC) AS rn FROM st)
         |WHERE rn = 1""".stripMargin,
+    "q215_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS t_from,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS t_to
+        |  FROM events),
+        |c AS (
+        |  SELECT t_from, t_to, COUNT(*) AS cnt FROM tr
+        |  WHERE t_to IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT t_from, SUM(cnt) AS tot FROM c GROUP BY 1)
+        |SELECT c.t_from, c.t_to, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt * 1000000 // tot AS BIGINT) AS ppm
+        |FROM c JOIN tot USING (t_from)""".stripMargin,
   )
 }

@@ -1909,6 +1909,31 @@ object SpatialQueries {
             org.apache.spark.sql.GraftSqlShim.expression(col("ys"))))
             .as("diam2"))
     }),
+    "q216_cell_churn" -> ((s, dir) => {
+      // place churn: per density cell, Jaccard overlap of the user
+      // populations active in the first vs second half of the window
+      // (day < 15 vs day >= 15) — the spatial stability signal an
+      // emerging-hotspot monitor (q170) pairs with. ONE narrow pass
+      // flags each (cell, user) with period membership via two max
+      // aggregates, then a per-cell conditional count — two map-side-
+      // combined shuffles, exact floor-ppm, no window, no self-join
+      // of the event stream.
+      val flags = Tables.events(s, dir)
+        .select(expr("(event_id * 17 % 320000) div 4000").as("cx"),
+          expr("(event_id * 23 % 150000) div 4000").as("cy"),
+          col("user_id"),
+          when(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) < 15,
+            1L).otherwise(0L).as("ia"),
+          when(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) >= 15,
+            1L).otherwise(0L).as("ib"))
+        .groupBy(col("cx"), col("cy"), col("user_id"))
+        .agg(max(col("ia")).as("a"), max(col("ib")).as("b"))
+      flags.groupBy(col("cx"), col("cy"))
+        .agg(sum(col("a") * col("b")).as("inter"),
+          count(lit(1)).as("uni"))
+        .select(col("cx"), col("cy"), col("inter"), col("uni"),
+          expr("inter * 1000000 div uni").as("jaccard_ppm"))
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -2941,6 +2966,19 @@ object SpatialQueries {
         |  CAST(CASE WHEN b.vx IS NULL THEN 1 ELSE 0 END AS BIGINT) AS visible
         |FROM pr p LEFT JOIN blk b
         |  ON p.vx = b.vx AND p.vy = b.vy AND p.tx = b.tx AND p.ty = b.ty""".stripMargin,
+    "q216_cell_churn" ->
+      """WITH f AS (
+        |  SELECT (event_id*17 % 320000) // 4000 AS cx,
+        |    (event_id*23 % 150000) // 4000 AS cy, user_id,
+        |    MAX(CASE WHEN CAST(ts AS DATE) - DATE '2024-01-01' < 15
+        |        THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN CAST(ts AS DATE) - DATE '2024-01-01' >= 15
+        |        THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT cx, cy, CAST(SUM(a*b) AS BIGINT) AS inter,
+        |  CAST(COUNT(*) AS BIGINT) AS uni,
+        |  CAST(SUM(a*b) * 1000000 // COUNT(*) AS BIGINT) AS jaccard_ppm
+        |FROM f GROUP BY 1, 2""".stripMargin,
     "q210_gyration" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
         |  CAST(COUNT(*)*SUM(x*x + y*y) - SUM(x)*SUM(x) - SUM(y)*SUM(y)
