@@ -393,6 +393,43 @@ object GraphQueries {
         .distinct()
       graft.operators.Mis.of(e, maxRounds = 8)
     }),
+    "q218_label_prop" -> ((s, dir) => {
+      // synchronous label propagation (2 rounds, mode label) — the
+      // community-detection member of the graph family, next to CC
+      // (q49/q119: transitive min), k-core (q191: peel) and MIS (q196:
+      // priority). Each round is exactly TWO shuffles: one equi-join
+      // of the undirected neighbor list against the label table, one
+      // map-side-combined (v, label) count; the mode is an argmax
+      // STRUCT fold (cnt DESC, label ASC via max(struct(cnt, -label)))
+      // — no window, no per-node collect. At crawl scale labels are
+      // hash-partitioned on v once and every round reuses the
+      // exchange. A fixed round count keeps the unrolled plan
+      // bounded (the oracle mirrors each round as a CTE stage);
+      // isolated nodes (all three closed-form out-links self-loops)
+      // keep their own label via the left join's coalesce.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = links(docs, n).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      // both directions: u<v strictly, so the union is duplicate-free
+      val nbr = e.select(col("u").as("vid"), col("v").as("nb"))
+        .union(e.select(col("v").as("vid"), col("u").as("nb")))
+      def round(lbl: DataFrame): DataFrame = {
+        val mode = nbr
+          .join(lbl.select(col("vid").as("nb"), col("label").as("nl")), "nb")
+          .groupBy(col("vid"), col("nl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("vid"))
+          .agg(max(struct(col("cnt"), (-col("nl")).as("neg"))).as("m"))
+          .select(col("vid"), (-col("m.neg")).as("nlabel"))
+        lbl.join(mode, Seq("vid"), "left")
+          .select(col("vid"),
+            coalesce(col("nlabel"), col("label")).as("label"))
+      }
+      val l0 = docs.select(col("doc_id").as("vid"), col("doc_id").as("label"))
+      round(round(l0)).select(col("vid").as("doc_id"), col("label"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -672,5 +709,32 @@ object GraphQueries {
         |    FROM links l JOIN r1 r ON l.src = r.doc_id GROUP BY l.dst) c
         |  ON d.doc_id = c.dst)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank_micro FROM r2""".stripMargin,
+    // two synchronous mode-label rounds unrolled; ROW_NUMBER (cnt
+    // DESC, label ASC) mirrors the engine's max(struct(cnt, -label))
+    "q218_label_prop" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |links AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |      FROM links WHERE src <> dst),
+        |nbr AS (SELECT u AS vid, v AS nb FROM e
+        |        UNION ALL SELECT v AS vid, u AS nb FROM e),
+        |l0 AS (SELECT doc_id AS vid, doc_id AS label FROM documents),
+        |c1 AS (SELECT nbr.vid, l0.label, COUNT(*) AS cnt
+        |       FROM nbr JOIN l0 ON nbr.nb = l0.vid GROUP BY 1, 2),
+        |m1 AS (SELECT vid, label FROM (
+        |         SELECT vid, label, ROW_NUMBER() OVER (PARTITION BY vid
+        |           ORDER BY cnt DESC, label) AS rn FROM c1) WHERE rn = 1),
+        |l1 AS (SELECT l0.vid, COALESCE(m1.label, l0.label) AS label
+        |       FROM l0 LEFT JOIN m1 ON l0.vid = m1.vid),
+        |c2 AS (SELECT nbr.vid, l1.label, COUNT(*) AS cnt
+        |       FROM nbr JOIN l1 ON nbr.nb = l1.vid GROUP BY 1, 2),
+        |m2 AS (SELECT vid, label FROM (
+        |         SELECT vid, label, ROW_NUMBER() OVER (PARTITION BY vid
+        |           ORDER BY cnt DESC, label) AS rn FROM c2) WHERE rn = 1),
+        |l2 AS (SELECT l1.vid, COALESCE(m2.label, l1.label) AS label
+        |       FROM l1 LEFT JOIN m2 ON l1.vid = m2.vid)
+        |SELECT vid AS doc_id, CAST(label AS BIGINT) AS label FROM l2""".stripMargin,
   )
 }

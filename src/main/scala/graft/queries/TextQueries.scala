@@ -1128,6 +1128,78 @@ object TextQueries {
           (col("n") * (col("n") - 1)).as("den"),
           expr("num * 1000000 div (n * (n - 1))").as("simpson_ppm"))
     }),
+    "q217_cms_freq" -> ((s, dir) => {
+      // Count-Min sketch term-frequency estimation — the MERGEABLE
+      // bounded-state frequency summary next to KMV cardinality (q66/
+      // q165) and Misra-Gries heavy hitters (q84): d=4 hash rows ×
+      // w=256 buckets, built in ONE map-side-combined shuffle whose
+      // output is ≤ d·w = 1024 rows no matter the corpus size (the
+      // counter matrix is trivially mergeable across corpora /
+      // partitions — per-cell sum). Probes (the top-50 exact terms,
+      // bounded by TakeOrderedAndProject) join the BROADCAST counter
+      // matrix; est = min over the d rows, which can only OVERESTIMATE
+      // (est ≥ exact, asserted as over_bp ≥ 0 in the spec). Hash j is
+      // the engine's shared md5-based hash60 over "cms<j>:<term>", the
+      // same literal recipe injected into the oracle.
+      val D = 4; val W = 256L
+      val terms = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+      def cells(term: org.apache.spark.sql.Column) =
+        array((0 until D).map(j => struct(lit(j).as("j"),
+          pmod(hash60(concat(lit(s"cms$j:"), term)), lit(W)).as("bkt"))): _*)
+      val counters = terms
+        .select(explode(cells(col("term"))).as("c"))
+        .groupBy(col("c.j").as("j"), col("c.bkt").as("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("term").asc).limit(50)
+      exact
+        .select(col("term"), col("exact"), explode(cells(col("term"))).as("p"))
+        .select(col("term"), col("exact"),
+          col("p.j").as("j"), col("p.bkt").as("bkt"))
+        .join(broadcast(counters), Seq("j", "bkt"))
+        .groupBy(col("term"), col("exact"))
+        .agg(min(col("cnt")).as("est"))
+        .select(col("term"), col("exact"), col("est"),
+          expr("(est - exact) * 10000 div exact").as("over_bp"))
+    }),
+    "q219_vocab_growth" -> ((s, dir) => {
+      // Heaps-law vocabulary-growth curve: cumulative distinct
+      // vocabulary vs cumulative token count over the corpus in doc_id
+      // order at a FIXED bucket count (K=128, bucket = doc_id·K div
+      // (max_id+1) — the grain scales with the corpus, so the series
+      // is ≤K rows at any sf). A term's first appearance is one
+      // min-aggregate on the term key; per-bucket token totals are
+      // map-side sums; the prefix sums fold over ONE collected
+      // ≤K-row sorted array (q213's convention — join-free,
+      // window-free, nothing unbounded leaves an aggregate). The
+      // transform's slice-re-sum is O(K²) on a bounded K.
+      val K = 128
+      val docs = Tables.documents(s, dir)
+      val maxid = docs.agg(max(col("doc_id")).as("m"))
+      val d = docs.crossJoin(broadcast(maxid))
+        .select(col("doc_id"), tokens(col("text")).as("ts"),
+          expr(s"doc_id * $K div (m + 1)").as("bkt"))
+      val tokTot = d.groupBy(col("bkt"))
+        .agg(sum(size(col("ts")).cast("long")).as("toks"))
+      val firsts = d
+        .select(col("bkt"), explode(array_distinct(col("ts"))).as("term"))
+        .groupBy(col("term")).agg(min(col("bkt")).as("bkt"))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("newt"))
+      tokTot.join(firsts, Seq("bkt"), "left")
+        .select(col("bkt"), col("toks"),
+          coalesce(col("newt"), lit(0L)).as("newt"))
+        .agg(sort_array(collect_list(
+          struct(col("bkt"), col("toks"), col("newt")))).as("a"))
+        .select(explode(transform(col("a"), (x, i) => struct(
+          x.getField("bkt").as("bkt"),
+          aggregate(slice(col("a"), lit(1), i + 1), lit(0L),
+            (acc, y) => acc + y.getField("toks")).as("cum_tokens"),
+          aggregate(slice(col("a"), lit(1), i + 1), lit(0L),
+            (acc, y) => acc + y.getField("newt")).as("cum_vocab")))).as("r"))
+        .select(col("r.bkt").as("bkt"), col("r.cum_tokens").as("cum_tokens"),
+          col("r.cum_vocab").as("cum_vocab"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -1777,6 +1849,44 @@ object TextQueries {
         |  CAST(n*(n-1) AS BIGINT) AS den,
         |  CAST(num * 1000000 // (n*(n-1)) AS BIGINT) AS simpson_ppm
         |FROM g WHERE n >= 2""".stripMargin,
+    "q217_cms_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |counters AS (
+        |  SELECT j, CAST('0x' || substr(md5('cms' || j || ':' || term),1,15)
+        |      AS BIGINT) % 256 AS bkt, COUNT(*) AS cnt
+        |  FROM toks CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT term, COUNT(*) AS exact FROM toks GROUP BY 1
+        |  ORDER BY exact DESC, term LIMIT 50),
+        |probes AS (
+        |  SELECT term, exact, j,
+        |    CAST('0x' || substr(md5('cms' || j || ':' || term),1,15)
+        |      AS BIGINT) % 256 AS bkt
+        |  FROM ex CROSS JOIN range(0, 4) t(j))
+        |SELECT p.term, p.exact, MIN(c.cnt) AS est,
+        |  (MIN(c.cnt) - p.exact) * 10000 // p.exact AS over_bp
+        |FROM probes p JOIN counters c ON p.j = c.j AND p.bkt = c.bkt
+        |GROUP BY p.term, p.exact""".stripMargin,
+    "q219_vocab_growth" ->
+      """WITH m AS (SELECT MAX(doc_id) AS m FROM documents),
+        |d AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts,
+        |    doc_id * 128 // (m.m + 1) AS bkt
+        |  FROM documents CROSS JOIN m),
+        |tok AS (SELECT bkt, CAST(SUM(len(ts)) AS BIGINT) AS toks
+        |        FROM d GROUP BY 1),
+        |firsts AS (
+        |  SELECT MIN(bkt) AS bkt
+        |  FROM (SELECT bkt, unnest(ts) AS term FROM d) GROUP BY term),
+        |newt AS (SELECT bkt, COUNT(*) AS newt FROM firsts GROUP BY 1),
+        |series AS (
+        |  SELECT t.bkt, t.toks, COALESCE(n.newt, 0) AS newt
+        |  FROM tok t LEFT JOIN newt n ON t.bkt = n.bkt)
+        |SELECT bkt, CAST(SUM(toks) OVER (ORDER BY bkt) AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(newt) OVER (ORDER BY bkt) AS BIGINT) AS cum_vocab
+        |FROM series""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =
