@@ -430,6 +430,43 @@ object GraphQueries {
       val l0 = docs.select(col("doc_id").as("vid"), col("doc_id").as("label"))
       round(round(l0)).select(col("vid").as("doc_id"), col("label"))
     }),
+    "q223_random_walks" -> ((s, dir) => {
+      // deterministic hash-driven random walks (L=4) — the node2vec/
+      // DeepWalk sampling stage of a graph-embedding pipeline, RNG-
+      // free so the oracle replays every step exactly: step t moves
+      // from cur to its rank-(1 + h(cur,t) mod deg) neighbor in the
+      // SORTED DISTINCT out-neighbor list (self-loops dropped); a
+      // node with no live neighbors absorbs the walk (left join +
+      // coalesce). The neighbor list is ranked ONCE — rank and degree
+      // share a single src-partitioned exchange — and each of the 4
+      // unrolled steps hash-joins the walker frame against the edge
+      // table co-partitioned on src: L shuffles total, no state
+      // beyond the walker row, never a per-node collect. Walkers
+      // start from every 16th doc.
+      import graft.text.TextFunctions.hash60
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = links(docs, n).filter(col("src") =!= col("dst")).distinct()
+      val wsp = Window.partitionBy(col("src"))
+      val nbr = e
+        .withColumn("rk", row_number().over(wsp.orderBy(col("dst"))))
+        .withColumn("deg", count(lit(1)).over(wsp))
+      val start = docs.filter(col("doc_id") % 16 === 0)
+        .select(col("doc_id").as("walker"), col("doc_id").as("cur"),
+          col("doc_id").cast("string").as("path"))
+      val fin = (1 to 4).foldLeft(start) { case (wk, t) =>
+        wk.join(nbr,
+            wk("cur") === nbr("src") && nbr("rk") ===
+              pmod(hash60(concat(lit(s"walk$t:"), wk("cur"))), nbr("deg")) + 1,
+            "left")
+          .select(col("walker"),
+            coalesce(col("dst"), col("cur")).as("ncur"),
+            concat(col("path"), lit(">"),
+              coalesce(col("dst"), col("cur"))).as("path"))
+          .withColumnRenamed("ncur", "cur")
+      }
+      fin.select(col("walker"), col("cur").as("final_node"), col("path"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -736,5 +773,37 @@ object GraphQueries {
         |l2 AS (SELECT l1.vid, COALESCE(m2.label, l1.label) AS label
         |       FROM l1 LEFT JOIN m2 ON l1.vid = m2.vid)
         |SELECT vid AS doc_id, CAST(label AS BIGINT) AS label FROM l2""".stripMargin,
+    // four unrolled hash-driven steps; the md5 step hash mirrors the
+    // engine's shared hash60 recipe
+    "q223_random_walks" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |links AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |e AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst),
+        |nbr AS (SELECT src, dst,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rk,
+        |    COUNT(*) OVER (PARTITION BY src) AS deg
+        |  FROM e),
+        |w0 AS (SELECT doc_id AS walker, doc_id AS cur,
+        |         CAST(doc_id AS VARCHAR) AS path
+        |       FROM documents WHERE doc_id % 16 = 0),
+        |w1 AS (SELECT w.walker, COALESCE(b.dst, w.cur) AS cur,
+        |    w.path || '>' || COALESCE(b.dst, w.cur) AS path
+        |  FROM w0 w LEFT JOIN nbr b ON b.src = w.cur AND b.rk = 1 +
+        |    CAST('0x' || substr(md5('walk1:' || w.cur),1,15) AS BIGINT) % b.deg),
+        |w2 AS (SELECT w.walker, COALESCE(b.dst, w.cur) AS cur,
+        |    w.path || '>' || COALESCE(b.dst, w.cur) AS path
+        |  FROM w1 w LEFT JOIN nbr b ON b.src = w.cur AND b.rk = 1 +
+        |    CAST('0x' || substr(md5('walk2:' || w.cur),1,15) AS BIGINT) % b.deg),
+        |w3 AS (SELECT w.walker, COALESCE(b.dst, w.cur) AS cur,
+        |    w.path || '>' || COALESCE(b.dst, w.cur) AS path
+        |  FROM w2 w LEFT JOIN nbr b ON b.src = w.cur AND b.rk = 1 +
+        |    CAST('0x' || substr(md5('walk3:' || w.cur),1,15) AS BIGINT) % b.deg),
+        |w4 AS (SELECT w.walker, COALESCE(b.dst, w.cur) AS cur,
+        |    w.path || '>' || COALESCE(b.dst, w.cur) AS path
+        |  FROM w3 w LEFT JOIN nbr b ON b.src = w.cur AND b.rk = 1 +
+        |    CAST('0x' || substr(md5('walk4:' || w.cur),1,15) AS BIGINT) % b.deg)
+        |SELECT walker, cur AS final_node, path FROM w4""".stripMargin,
   )
 }

@@ -901,6 +901,50 @@ object RelationalQueries {
         .select(col("t_from"), col("t_to"), col("cnt"),
           expr("cnt * 1000000 div tot").as("ppm"))
     }),
+    "q220_incremental_sessions" -> ((s, dir) => {
+      // IVM of q63's gap sessionization under an EVENT change batch —
+      // the keyed-window re-solve flavor of the IVM family (q124
+      // re-solves a closed subgraph; here the closure is trivial
+      // because sessions are strictly per-user): a batch touches
+      // exactly the users it mentions, so stored sessions pass
+      // through untouched for every other user and the gap recurrence
+      // re-runs over the touched users' post-change history only —
+      // O(touched users' events), never an event-stream re-scan, and
+      // the rebuild window shuffles only the touched slice. Batch:
+      // event_id%13=5 rows deleted; each user_id%7=3 user appends one
+      // follow-up event 45 min after their last (a NEW session under
+      // the 30-min gap rule). The stored state is rebuilt in-query as
+      // oracle scaffolding (q52/q70 adjudication — production reads
+      // the stored session table); oracle = full q63 on the
+      // post-change stream.
+      val ev = events(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+      def sessionsOf(e: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        e.withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev").isNull ||
+              col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(w))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+              .as("duration_s"))
+      }
+      val stored = sessionsOf(ev)
+      val appended = ev.filter(col("user_id") % 7 === 3)
+        .groupBy(col("user_id")).agg(max(col("ts")).as("mts"))
+        .select(col("user_id"),
+          (col("user_id") + lit(1000000000L)).as("event_id"),
+          (col("mts") + expr("INTERVAL 45 MINUTES")).as("ts"))
+      val deleted = ev.filter(col("event_id") % 13 === 5)
+      val touched = deleted.select(col("user_id"))
+        .union(appended.select(col("user_id"))).distinct()
+      val post = ev.filter(col("event_id") % 13 =!= 5).unionByName(appended)
+      val rebuilt = sessionsOf(post.join(touched, Seq("user_id"), "left_semi"))
+      stored.join(touched, Seq("user_id"), "left_anti").unionByName(rebuilt)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1456,5 +1500,31 @@ object RelationalQueries {
         |SELECT c.t_from, c.t_to, CAST(cnt AS BIGINT) AS cnt,
         |  CAST(cnt * 1000000 // tot AS BIGINT) AS ppm
         |FROM c JOIN tot USING (t_from)""".stripMargin,
+    // full q63 sessionization over the post-change event stream: the
+    // IVM result must equal the one-shot recompute
+    "q220_incremental_sessions" ->
+      """WITH app AS (
+        |  SELECT user_id, user_id + 1000000000 AS event_id,
+        |    MAX(ts) + INTERVAL 45 MINUTE AS ts
+        |  FROM events WHERE user_id % 7 = 3 GROUP BY user_id),
+        |post AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_id % 13 <> 5
+        |  UNION ALL SELECT user_id, event_id, ts FROM app),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM post
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
   )
 }

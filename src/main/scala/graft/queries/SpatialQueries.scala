@@ -1934,6 +1934,49 @@ object SpatialQueries {
         .select(col("cx"), col("cy"), col("inter"), col("uni"),
           expr("inter * 1000000 div uni").as("jaccard_ppm"))
     }),
+    "q221_poly_centroid" -> ((s, dir) => {
+      // exact-integer shoelace centroid per assembled ring — the
+      // area-weighted centroid every label-placement / tile-anchor
+      // stage needs (the bbox-center centroids() is the cheap proxy;
+      // this is the true one). All arithmetic is BIGINT on e5-scaled
+      // coords TRANSLATED to a local frame first (v − array_min):
+      // local spans are ring-sized, so even the CUBIC centroid
+      // numerator terms (span³ ≤ (20°·1e5)³ = 8·10¹⁸-adjacent; real
+      // rings are ≪ 20° across, these are ≤ 5°) stay in int64 no
+      // matter where on the globe the ring sits — e7 coords would
+      // overflow the cubic, which is why the scale is e5 (~1 m,
+      // centroid-grade). The translation is exact, shifting the
+      // centroid by exactly (mx, my). One narrow codegen pass over
+      // the assembled ring arrays (the assembly groupBy is the only
+      // exchange); cx = mx + cx_num/(3·a2) with truncating div
+      // mirrored in the oracle, a2 = the signed doubled area in e5²
+      // units (ccw rings ⇒ a2 > 0).
+      val rings = SpatialJoin.polygons(
+        SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+      rings
+        .select(col("way_id"),
+          expr("transform(xs, v -> CAST(round(v * 1e5) AS BIGINT))").as("xe"),
+          expr("transform(ys, v -> CAST(round(v * 1e5) AS BIGINT))").as("ye"))
+        .select(col("way_id"),
+          array_min(col("xe")).as("mx"), array_min(col("ye")).as("my"),
+          col("xe"), col("ye"))
+        .select(col("way_id"), col("mx"), col("my"),
+          expr("transform(xe, v -> v - mx)").as("lx"),
+          expr("transform(ye, v -> v - my)").as("ly"))
+        .select(col("way_id"), col("mx"), col("my"),
+          expr("aggregate(sequence(0, size(lx) - 2), 0L, (acc, i) -> " +
+            "acc + lx[i]*ly[i+1] - lx[i+1]*ly[i])").as("a2"),
+          expr("aggregate(sequence(0, size(lx) - 2), 0L, (acc, i) -> " +
+            "acc + (lx[i] + lx[i+1]) * (lx[i]*ly[i+1] - lx[i+1]*ly[i]))")
+            .as("cx_num"),
+          expr("aggregate(sequence(0, size(lx) - 2), 0L, (acc, i) -> " +
+            "acc + (ly[i] + ly[i+1]) * (lx[i]*ly[i+1] - lx[i+1]*ly[i]))")
+            .as("cy_num"))
+        .filter(col("a2") =!= 0L)
+        .select(col("way_id"), col("a2"),
+          (col("mx") + expr("cx_num div (3 * a2)")).as("cx_e5"),
+          (col("my") + expr("cy_num div (3 * a2)")).as("cy_e5"))
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -3153,5 +3196,31 @@ object SpatialQueries {
          |  COUNT(*) AS n_polys,
          |  STRING_AGG(CAST(way_id AS VARCHAR), ';' ORDER BY way_id) AS poly_ids
          |FROM cents GROUP BY 1""".stripMargin,
+    // independent mechanism: the engine folds the assembled ring
+    // arrays; the oracle pairs consecutive vertices by a pos→pos+1
+    // self-join — same shoelace math, different decomposition
+    "q221_poly_centroid" ->
+      s"""WITH ${SynthSql.waysCte}, ${SynthSql.nodesCte}, ${SynthSql.wayMembersCte},
+         |ring AS (
+         |  SELECT wm.way_id, wm.pos,
+         |    CAST(round(n.lon * 1e5) AS BIGINT) AS xe,
+         |    CAST(round(n.lat * 1e5) AS BIGINT) AS ye
+         |  FROM way_members wm JOIN nodes n USING (node_id)),
+         |off AS (SELECT way_id, MIN(xe) AS mx, MIN(ye) AS my
+         |        FROM ring GROUP BY 1),
+         |lr AS (SELECT r.way_id, r.pos, r.xe - o.mx AS lx, r.ye - o.my AS ly
+         |       FROM ring r JOIN off o USING (way_id)),
+         |pairs AS (
+         |  SELECT a.way_id, a.lx AS x1, a.ly AS y1, b.lx AS x2, b.ly AS y2
+         |  FROM lr a JOIN lr b ON a.way_id = b.way_id AND b.pos = a.pos + 1),
+         |sums AS (SELECT way_id,
+         |    SUM(x1*y2 - x2*y1) AS a2,
+         |    SUM((x1 + x2) * (x1*y2 - x2*y1)) AS cx_num,
+         |    SUM((y1 + y2) * (x1*y2 - x2*y1)) AS cy_num
+         |  FROM pairs GROUP BY 1)
+         |SELECT s.way_id, CAST(a2 AS BIGINT) AS a2,
+         |  CAST(o.mx + cx_num // (3 * a2) AS BIGINT) AS cx_e5,
+         |  CAST(o.my + cy_num // (3 * a2) AS BIGINT) AS cy_e5
+         |FROM sums s JOIN off o USING (way_id) WHERE a2 <> 0""".stripMargin,
   )
 }

@@ -1200,6 +1200,104 @@ object TextQueries {
         .select(col("r.bkt").as("bkt"), col("r.cum_tokens").as("cum_tokens"),
           col("r.cum_vocab").as("cum_vocab"))
     }),
+    "q222_rrf_fusion" -> ((s, dir) => {
+      // reciprocal-rank fusion of two retrieval rankings — the hybrid
+      // search combiner (lexical ⊕ second signal) every RAG/eval
+      // pipeline runs downstream of q155. Ranking A = q155's summed
+      // integer bigram idf; ranking B = unigram-idf overlap (an
+      // independent lexical view: different vocabulary grain ranks
+      // different docs). Each ranking is its own broadcast-probe
+      // retrieval (queries ride to the posting streams, corpus never
+      // reshuffles); fusion is a full-outer join of two ≤10-row-per-
+      // query frames + the exact-integer RRF fold
+      // Σ 1000000 div (60 + rank), absent ranks contributing 0 — so
+      // the fusion stage is O(queries · k), independent of corpus
+      // size. Top-5 fused per query via the query-partitioned window.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + 1000000000L).as("query_id"),
+          concat(col("text"), lit(" eval")).as("text"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      def grams(d: DataFrame, idCol: String, bi: Boolean): DataFrame = {
+        val base = d.select(col(idCol), tokens(col("text")).as("ts"))
+        if (bi) base.filter(size(col("ts")) >= 2)
+          .select(col(idCol),
+            explode(sequence(lit(1), size(col("ts")) - 1)).as("i"), col("ts"))
+          .select(col(idCol),
+            concat_ws(" ", element_at(col("ts"), col("i")),
+              element_at(col("ts"), col("i") + 1)).as("g"))
+          .distinct()
+        else base.select(col(idCol), explode(array_distinct(col("ts"))).as("g"))
+      }
+      def ranked(bi: Boolean): DataFrame = {
+        val cg = grams(docs, "doc_id", bi)
+        val qg = grams(bench, "query_id", bi)
+        val dfreq = cg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        val qw = qg.join(dfreq, "g").crossJoin(n)
+          .select(col("query_id"), col("g"), expr("n * 1000 div df").as("w"))
+        val rk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        cg.join(broadcast(qw), "g")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("w")).as("score"))
+          .withColumn("rank", row_number().over(rk))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+      }
+      val a = ranked(bi = true).withColumnRenamed("rank", "rank_a")
+      val b = ranked(bi = false).withColumnRenamed("rank", "rank_b")
+      val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(expr("1000000 div (60 + rank_a)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rank_b)"), lit(0L))).as("rrf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      fused.withColumn("frank", row_number().over(w).cast("long"))
+        .filter(col("frank") <= 5)
+        .select(col("query_id"), col("doc_id"), col("rrf"), col("frank"))
+    }),
+    "q224_hll_cardinality" -> ((s, dir) => {
+      // HyperLogLog distinct-count sketch — the third mergeable
+      // bounded-state summary next to KMV (q66: order statistics) and
+      // CMS (q217: frequency): m=64 buckets keyed by the low 6 bits
+      // of the shared md5 hash60, register = leading-zero rank of the
+      // remaining 54 bits (capped at 30 so the power sum stays exact
+      // BIGINT: n_sum = Σ 2^(30−r) ≤ 64·2^30, est = α·m²·2^30/n_sum
+      // < 2^52 before the ppm fold). The whole corpus reduces to ONE
+      // map-side-combined 64-row aggregate (register max is
+      // trivially mergeable — per-bucket MAX across partitions /
+      // corpora), then a single-row fold; the exact count alongside
+      // is the oracle-grade reference the estimate is judged against
+      // (err_bp signed). No bias correction below 2.5m — mirrored
+      // arithmetic, documented regime (cardinality ≫ m here).
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(sequence(lit(1), size(col("ts")) - 1)).as("i"), col("ts"))
+        .select(concat_ws(" ", element_at(col("ts"), col("i")),
+          element_at(col("ts"), col("i") + 1)).as("bg"))
+      val hashed = bg.select(col("bg"),
+        hash60(concat(lit("hll:"), col("bg"))).as("h"))
+      val regs = hashed
+        .select((col("h") % 64).as("j"), expr("h div 64").as("rest"))
+        .select(col("j"),
+          when(col("rest") === 0L, lit(55L))
+            .otherwise(lit(55L) - length(bin(col("rest")))).as("r"))
+        .groupBy(col("j"))
+        .agg(least(max(col("r")), lit(30L)).as("rc"))
+      val nsum = regs
+        .select(expr("CAST(pow(2, 30 - rc) AS BIGINT)").as("p"))
+        .agg(sum(col("p")).as("n_sum"), count(lit(1)).as("m_used"))
+      val exact = hashed.select(col("bg")).distinct()
+        .agg(count(lit(1)).as("exact"))
+      nsum.crossJoin(exact)
+        .select(col("m_used"), col("n_sum"), col("exact"),
+          expr("709213 * (4398046511104 div n_sum) div 1000000").as("est"))
+        .select(col("m_used"), col("n_sum"), col("exact"), col("est"),
+          expr("(est - exact) * 10000 div exact").as("err_bp"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -1887,6 +1985,77 @@ object TextQueries {
         |SELECT bkt, CAST(SUM(toks) OVER (ORDER BY bkt) AS BIGINT) AS cum_tokens,
         |  CAST(SUM(newt) OVER (ORDER BY bkt) AS BIGINT) AS cum_vocab
         |FROM series""".stripMargin,
+    "q222_rrf_fusion" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |cb AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |        FROM documents),
+        |    LATERAL unnest(generate_series(1, len(ts) - 1)) AS g1(i)
+        |  WHERE len(ts) >= 2),
+        |qb AS (
+        |  SELECT DISTINCT doc_id + 1000000000 AS query_id,
+        |    ts[i] || ' ' || ts[i+1] AS g
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(text || ' eval'), '\s+') AS ts
+        |        FROM documents WHERE doc_id % 9 = 4),
+        |    LATERAL unnest(generate_series(1, len(ts) - 1)) AS g2(i)
+        |  WHERE len(ts) >= 2),
+        |cu AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS g
+        |  FROM documents),
+        |qu AS (SELECT DISTINCT doc_id + 1000000000 AS query_id,
+        |    unnest(string_split_regex(lower(text || ' eval'), '\s+')) AS g
+        |  FROM documents WHERE doc_id % 9 = 4),
+        |dfa AS (SELECT g, COUNT(*) AS df FROM cb GROUP BY 1),
+        |dfb AS (SELECT g, COUNT(*) AS df FROM cu GROUP BY 1),
+        |sa AS (SELECT qb.query_id, cb.doc_id,
+        |    SUM((SELECT n FROM n) * 1000 // dfa.df) AS score
+        |  FROM qb JOIN dfa USING (g) JOIN cb USING (g) GROUP BY 1, 2),
+        |ra AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank_a
+        |  FROM sa),
+        |sb AS (SELECT qu.query_id, cu.doc_id,
+        |    SUM((SELECT n FROM n) * 1000 // dfb.df) AS score
+        |  FROM qu JOIN dfb USING (g) JOIN cu USING (g) GROUP BY 1, 2),
+        |rb AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank_b
+        |  FROM sb),
+        |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+        |    COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    COALESCE(1000000 // (60 + a.rank_a), 0)
+        |      + COALESCE(1000000 // (60 + b.rank_b), 0) AS rrf
+        |  FROM (SELECT * FROM ra WHERE rank_a <= 10) a
+        |  FULL OUTER JOIN (SELECT * FROM rb WHERE rank_b <= 10) b
+        |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+        |SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf,
+        |  CAST(frank AS BIGINT) AS frank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY rrf DESC, doc_id) AS frank FROM f)
+        |WHERE frank <= 5""".stripMargin,
+    "q224_hll_cardinality" ->
+      """WITH bg AS (
+        |  SELECT ts[i] || ' ' || ts[i+1] AS bg
+        |  FROM (SELECT string_split_regex(lower(text), '\s+') AS ts
+        |        FROM documents),
+        |    LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        |  WHERE len(ts) >= 2),
+        |h AS (SELECT bg,
+        |    CAST('0x' || substr(md5('hll:' || bg), 1, 15) AS BIGINT) AS h
+        |  FROM bg),
+        |rr AS (SELECT h % 64 AS j, h // 64 AS rest FROM h),
+        |r2 AS (SELECT j, CASE WHEN rest = 0 THEN 55
+        |         ELSE 55 - length(bin(rest)) END AS r FROM rr),
+        |regs AS (SELECT j, LEAST(MAX(r), 30) AS rc FROM r2 GROUP BY 1),
+        |ns AS (SELECT CAST(SUM(CAST(pow(2, 30 - rc) AS BIGINT)) AS BIGINT)
+        |    AS n_sum, CAST(COUNT(*) AS BIGINT) AS m_used FROM regs),
+        |ex AS (SELECT CAST(COUNT(DISTINCT bg) AS BIGINT) AS exact FROM h)
+        |SELECT m_used, n_sum, exact,
+        |  CAST(709213 * (4398046511104 // n_sum) // 1000000 AS BIGINT)
+        |    AS est,
+        |  CAST((709213 * (4398046511104 // n_sum) // 1000000 - exact)
+        |    * 10000 // exact AS BIGINT) AS err_bp
+        |FROM ns, ex""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =
