@@ -504,6 +504,45 @@ class PlanSpec extends SparkTestBase {
       assert(w.partitionSpec.nonEmpty, "q100 plans an unpartitioned (global) window"))
   }
 
+  test("q210-q224 waves: equi-joins only, key-partitioned windows, join-free sketches") {
+    // no cartesian product anywhere in the wave (the 1-row
+    // broadcast crossJoins in q219/q222/q224 plan a bounded
+    // BroadcastNestedLoopJoin, which is the accepted shape — a
+    // CartesianProduct never is)
+    for (q <- Seq("q211_dist_match", "q215_transitions", "q216_cell_churn",
+        "q217_cms_freq", "q218_label_prop", "q219_vocab_growth",
+        "q220_incremental_sessions", "q221_poly_centroid",
+        "q222_rrf_fusion", "q223_random_walks", "q224_hll_cardinality")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+    // every window in the sessionize-IVM / fusion / walk queries must
+    // be key-partitioned (user, query, src) — never a global sort
+    for (q <- Seq("q220_incremental_sessions", "q222_rrf_fusion",
+        "q223_random_walks")) {
+      val df = SparkEntry.queries(q)(spark, sfSmoke)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+      assert(wins.nonEmpty && wins.forall(_.nonEmpty),
+        s"$q must plan only key-partitioned windows")
+      Bench.clearState(spark)
+    }
+    // the mergeable sketches reduce in aggregates alone: no window,
+    // and the only joins are the bounded probe/broadcast ones
+    for (q <- Seq("q217_cms_freq", "q224_hll_cardinality")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("Window"), s"$q must not plan a window")
+      Bench.clearState(spark)
+    }
+    // the centroid fold is one assembly exchange + narrow arithmetic:
+    // window-free end to end
+    val cPlan = formatted(SparkEntry.queries("q221_poly_centroid")(spark, sfSmoke))
+    assert(!cPlan.contains("Window"), "centroid must stay window-free")
+    Bench.clearState(spark)
+  }
+
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cell_at",
