@@ -945,6 +945,32 @@ object RelationalQueries {
       val rebuilt = sessionsOf(post.join(touched, Seq("user_id"), "left_semi"))
       stored.join(touched, Seq("user_id"), "left_anti").unionByName(rebuilt)
     }),
+    "q227_scd2_intervals" -> ((s, dir) => {
+      // slowly-changing-dimension (type 2) history build: each user's
+      // event_type stream collapses into [valid_from, valid_to)
+      // validity intervals — consecutive same-type runs via the
+      // gaps-and-islands flag+sum recurrence, closed by the NEXT
+      // interval's open (lead; NULL = current row). All three windows
+      // and the aggregate share ONE user_id exchange — the warehouse
+      // staple expressed with zero self-joins (the naive build joins
+      // the stream to itself on "next change").
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val segs = events(s, dir)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wo).isNull ||
+            lag(col("event_type"), 1).over(wo) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("seg_id", sum(col("chg")).over(wo))
+        .groupBy(col("user_id"), col("seg_id"))
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val ws = Window.partitionBy(col("user_id")).orderBy(col("seg_id").asc)
+      segs.withColumn("valid_to", lead(col("valid_from"), 1).over(ws))
+        .select(col("user_id"), col("seg_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1526,5 +1552,28 @@ object RelationalQueries {
         |  COUNT(*) AS n_events,
         |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q227_scd2_intervals" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |seg AS (
+        |  SELECT user_id, event_type, ts,
+        |    SUM(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS seg_id
+        |  FROM flagged),
+        |iv AS (
+        |  SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+        |    MIN(event_type) AS event_type, MIN(ts) AS valid_from,
+        |    COUNT(*) AS n_events
+        |  FROM seg GROUP BY user_id, seg_id)
+        |SELECT user_id, seg_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id)
+        |    AS valid_to,
+        |  n_events
+        |FROM iv""".stripMargin,
   )
 }

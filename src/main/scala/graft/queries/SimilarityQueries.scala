@@ -298,6 +298,43 @@ object SimilarityQueries {
         .select(col("src").as("id_a"), col("dst").as("id_b"),
           round(col("cos") * 1e9, 0).cast("long").as("cos_ppb"))
     }),
+    "q228_pq_encode" -> ((s, dir) => {
+      // product-quantization encode — the vector-COMPRESSION leg of
+      // the ANN family (q20 hashes, q21 partitions, this SHRINKS: a
+      // 64-dim vector becomes 8 codebook ids, the memory step that
+      // makes billion-vector indexes fit RAM). Vectors are quantized
+      // to exact e4 BIGINTs, split into 8 contiguous 8-dim subspaces,
+      // and each subvector takes the argmin-d² code against a
+      // 4-codeword-per-subspace codebook (stand-in training: the 4
+      // lowest vec_ids' subvectors — the trained variant is q76's
+      // Lloyd machinery). The codebook is a broadcast equi-join on
+      // the subspace id (32 rows total), distances fold in codegen,
+      // the per-(vec, sub) argmin is a struct-min AGGREGATE (no
+      // window), and the code assembly is one vec_id-keyed
+      // sort_array fold — so the encode costs one scan + two
+      // map-side-combined shuffles at any corpus size. Reconstruction
+      // error (Σ min d², exact BIGINT) rides along: the quality
+      // metric a real pipeline tracks per codebook epoch.
+      val q = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT))")
+          .as("qe"))
+      val el = q.select(col("vec_id"),
+          explode(expr("transform(sequence(0, 7), s -> " +
+            "struct(s AS sub, slice(qe, s * 8 + 1, 8) AS sv))")).as("x"))
+        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      val cb = el.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("code"), col("sub"), col("sv").as("cv"))
+      el.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", expr("aggregate(zip_with(sv, cv, " +
+          "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("code"))).as("m"))
+        .groupBy(col("vec_id"))
+        .agg(array_join(transform(
+            sort_array(collect_list(struct(col("sub"), col("m.code").as("code")))),
+            x => x.getField("code")), ";").as("pq_code"),
+          sum(col("m.d2")).as("err"))
+    }),
   )
 
   private def dotSql2(x: String, y: String) =
@@ -468,6 +505,31 @@ object SimilarityQueries {
          |SELECT w.vec_id, CAST(w.cid AS BIGINT) AS cluster,
          |  CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM withc w LEFT JOIN removed r ON w.vec_id = r.vec_id""".stripMargin,
+    "q228_pq_encode" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    [CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)
+        |     FOR e IN embedding] AS qe
+        |  FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, s AS sub, qe[s*8 + 1 : s*8 + 8] AS sv
+        |  FROM q, LATERAL unnest(generate_series(0, 7)) AS g(s)),
+        |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM el WHERE vec_id < 4),
+        |d AS (
+        |  SELECT e.vec_id, e.sub, c.code,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [(e.sv[i] - c.cv[i]) * (e.sv[i] - c.cv[i])
+        |       FOR i IN range(1, 9)]), (x, y) -> x + y) AS d2
+        |  FROM el e JOIN cb c USING (sub)),
+        |best AS (
+        |  SELECT vec_id, sub, code, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2, code) AS rn
+        |  FROM d)
+        |SELECT vec_id,
+        |  STRING_AGG(CAST(code AS VARCHAR), ';' ORDER BY sub) AS pq_code,
+        |  CAST(SUM(d2) AS BIGINT) AS err
+        |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin,
   )
 
   /** The 2-iteration Lloyd CTE chain ([[kmeansAssign2]]'s DuckDB

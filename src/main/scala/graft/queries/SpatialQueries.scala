@@ -1977,6 +1977,50 @@ object SpatialQueries {
           (col("mx") + expr("cx_num div (3 * a2)")).as("cx_e5"),
           (col("my") + expr("cy_num div (3 * a2)")).as("cy_e5"))
     }),
+    "q225_ring_validity" -> ((s, dir) => {
+      // geometry-validity audit: proper self-intersection count per
+      // ring (the ingest QA gate before any PIP/overlay layer build —
+      // a bowtie ring silently corrupts containment). Planted
+      // defects: every 11th ring swaps vertices 1↔2, turning the
+      // rectangle into a bowtie with exactly one proper crossing.
+      // The non-adjacent segment-pair scan is the exact sign test
+      // (q113/q149's separating arithmetic) folded ENTIRELY inside
+      // one codegen pass over the assembled ring arrays — join-free,
+      // O(k²) only in the bounded per-ring vertex count, never a
+      // segment self-join across rings; closing-edge adjacency (pair
+      // (0, n−1)) is excluded like the consecutive pairs. BIGINT e7
+      // coords: the cross terms are span-quadratic, far from
+      // overflow.
+      val rings = SpatialJoin.polygons(
+        SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+        .select(col("way_id"),
+          expr("transform(xs, v -> CAST(round(v * 1e7) AS BIGINT))").as("xe0"),
+          expr("transform(ys, v -> CAST(round(v * 1e7) AS BIGINT))").as("ye0"))
+      def swapped(c: String) =
+        expr(s"transform(sequence(0, size($c) - 1), i -> " +
+          s"$c[CASE WHEN i = 1 THEN 2 WHEN i = 2 THEN 1 ELSE i END])")
+      val tainted = rings.select(col("way_id"),
+        when(col("way_id") % 11 === 0, swapped("xe0")).otherwise(col("xe0"))
+          .as("xe"),
+        when(col("way_id") % 11 === 0, swapped("ye0")).otherwise(col("ye0"))
+          .as("ye"))
+      def cr(p: String, q: String, r: String) =
+        s"((xe[$q] - xe[$p]) * (ye[$r] - ye[$p]) - " +
+          s"(ye[$q] - ye[$p]) * (xe[$r] - xe[$p]))"
+      def opp(a: String, b: String) =
+        s"(($a > 0 AND $b < 0) OR ($a < 0 AND $b > 0))"
+      val proper = s"(${opp(cr("i", "i+1", "j"), cr("i", "i+1", "j+1"))} " +
+        s"AND ${opp(cr("j", "j+1", "i"), cr("j", "j+1", "i+1"))})"
+      tainted
+        .select(col("way_id"),
+          expr("IF(size(xe) <= 3, 0L, " +
+            "aggregate(sequence(0, size(xe) - 4), 0L, (acc, i) -> acc + " +
+            "aggregate(sequence(i + 2, size(xe) - 2), 0L, (a, j) -> a + " +
+            s"IF(i = 0 AND j = size(xe) - 2, 0L, IF($proper, 1L, 0L)))))")
+            .as("n_cross"))
+        .select(col("way_id"), col("n_cross"),
+          when(col("n_cross") === 0L, 1L).otherwise(0L).as("is_simple"))
+    }),
   )
 
   /** q117's within-join radius (degrees): ~1 centroid match per point
@@ -3222,5 +3266,43 @@ object SpatialQueries {
          |  CAST(o.mx + cx_num // (3 * a2) AS BIGINT) AS cx_e5,
          |  CAST(o.my + cy_num // (3 * a2) AS BIGINT) AS cy_e5
          |FROM sums s JOIN off o USING (way_id) WHERE a2 <> 0""".stripMargin,
+    // independent mechanism: the engine folds non-adjacent segment
+    // pairs inside the ring arrays; the oracle enumerates them with a
+    // pos-join — same sign arithmetic
+    "q225_ring_validity" ->
+      s"""WITH ${SynthSql.waysCte}, ${SynthSql.nodesCte}, ${SynthSql.wayMembersCte},
+         |ring AS (
+         |  SELECT wm.way_id,
+         |    CASE WHEN wm.way_id % 11 = 0 AND wm.pos = 1 THEN 2
+         |         WHEN wm.way_id % 11 = 0 AND wm.pos = 2 THEN 1
+         |         ELSE wm.pos END AS pos,
+         |    CAST(round(n.lon * 1e7) AS BIGINT) AS x,
+         |    CAST(round(n.lat * 1e7) AS BIGINT) AS y
+         |  FROM way_members wm JOIN nodes n USING (node_id)),
+         |seg AS (
+         |  SELECT a.way_id, a.pos AS i, a.x AS x1, a.y AS y1,
+         |    b.x AS x2, b.y AS y2
+         |  FROM ring a JOIN ring b ON a.way_id = b.way_id
+         |    AND b.pos = a.pos + 1),
+         |nseg AS (SELECT way_id, COUNT(*) AS ns FROM seg GROUP BY 1),
+         |pr AS (
+         |  SELECT s.way_id,
+         |    (s.x2 - s.x1)*(t.y1 - s.y1) - (s.y2 - s.y1)*(t.x1 - s.x1) AS d1,
+         |    (s.x2 - s.x1)*(t.y2 - s.y1) - (s.y2 - s.y1)*(t.x2 - s.x1) AS d2,
+         |    (t.x2 - t.x1)*(s.y1 - t.y1) - (t.y2 - t.y1)*(s.x1 - t.x1) AS d3,
+         |    (t.x2 - t.x1)*(s.y2 - t.y1) - (t.y2 - t.y1)*(s.x2 - t.x1) AS d4
+         |  FROM seg s JOIN seg t ON s.way_id = t.way_id AND t.i >= s.i + 2
+         |  JOIN nseg n ON n.way_id = s.way_id
+         |    AND NOT (s.i = 0 AND t.i = n.ns - 1)),
+         |c AS (
+         |  SELECT way_id,
+         |    SUM(CASE WHEN ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+         |          AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+         |        THEN 1 ELSE 0 END) AS n_cross
+         |  FROM pr GROUP BY 1)
+         |SELECT r.way_id, CAST(COALESCE(c.n_cross, 0) AS BIGINT) AS n_cross,
+         |  CAST(CASE WHEN COALESCE(c.n_cross, 0) = 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_simple
+         |FROM (SELECT DISTINCT way_id FROM ring) r LEFT JOIN c USING (way_id)""".stripMargin,
   )
 }

@@ -1298,6 +1298,63 @@ object TextQueries {
         .select(col("m_used"), col("n_sum"), col("exact"), col("est"),
           expr("(est - exact) * 10000 div exact").as("err_bp"))
     }),
+    "q226_incremental_heavy_hitters" -> ((s, dir) => {
+      // IVM of q84's φ=1/200 heavy hitters under the standard document
+      // change batch — the GLOBAL-THRESHOLD flavor the IVM family
+      // lacked: per-term counts decompose additively (q171's
+      // counter-delta — maintenance is ONE map-side-combined sum over
+      // the touched docs' token streams, O(touched tokens)), but the
+      // φ·N threshold is global, so the hitter SET is re-derived by
+      // re-filtering the maintained count table — vocabulary-sized,
+      // bucketed at scale, orders of magnitude below a corpus re-scan
+      // — never by re-counting. The maintained table is rebuilt
+      // in-query as oracle scaffolding (q52/q70 adjudication); oracle
+      // = exact recount on the post-change corpus with q84's
+      // cnt·200 > N predicate.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def termCounts(d: DataFrame): DataFrame = d
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val stored = termCounts(docs)
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"))
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      val touched = docs.join(
+        updated.select(col("doc_id")).union(deletedIds).distinct(),
+        Seq("doc_id"), "left_semi")
+      val delta = termCounts(touched)
+        .select(col("term"), (-col("cnt")).as("d"))
+        .unionByName(termCounts(updatedLive)
+          .select(col("term"), col("cnt").as("d")))
+      val maintained = stored.select(col("term"), col("cnt").as("d"))
+        .unionByName(delta)
+        .groupBy(col("term")).agg(sum(col("d")).as("cnt"))
+        .filter(col("cnt") > 0)
+      val total = maintained.agg(sum(col("cnt")).as("n"))
+      maintained.crossJoin(broadcast(total))
+        .filter(col("cnt") * 200 > col("n"))
+        .select(col("term"), col("cnt"))
+    }),
+    "q229_token_gini" -> ((s, dir) => {
+      // per-document Gini impurity of the token distribution — the
+      // exact-rational diversity twin of the repetition signal (q78):
+      // gini = 1 − Σ(cᵢ/n)², carried as (n² − Σcᵢ²)·10⁶ div n² in
+      // BIGINT (no entropy logs, nothing transcendental). Two
+      // map-side-combined shuffles — (doc, term) counts, then the
+      // per-doc fold — both keyed on doc_id, so at corpus scale the
+      // second aggregate reuses the first exchange.
+      val tc = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      tc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sumsq"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          expr("(n * n - sumsq) * 1000000 div (n * n)").as("gini_ppm"))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -2056,6 +2113,35 @@ object TextQueries {
         |  CAST((709213 * (4398046511104 // n_sum) // 1000000 - exact)
         |    * 10000 // exact AS BIGINT) AS err_bp
         |FROM ns, ex""".stripMargin,
+    // exact recount on the post-change corpus with q84's predicate:
+    // the IVM result must equal the one-shot recompute
+    "q226_incremental_heavy_hitters" ->
+      """WITH post AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |toks AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM post),
+        |tot AS (SELECT COUNT(*) AS total FROM toks)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM toks GROUP BY term
+        |HAVING COUNT(*) * 200 > (SELECT total FROM tot)""".stripMargin,
+    "q229_token_gini" ->
+      """WITH tc AS (
+        |  SELECT doc_id, term, COUNT(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(text), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |g AS (SELECT doc_id, SUM(c) AS n, SUM(c*c) AS sumsq,
+        |        COUNT(*) AS n_distinct
+        |      FROM tc GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST((n*n - sumsq) * 1000000 // (n*n) AS BIGINT) AS gini_ppm
+        |FROM g""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =
