@@ -1355,6 +1355,102 @@ object TextQueries {
         .select(col("doc_id"), col("n"), col("n_distinct"),
           expr("(n * n - sumsq) * 1000000 div (n * n)").as("gini_ppm"))
     }),
+    "q230_mmr_diversify" -> ((s, dir) => {
+      // Maximal-Marginal-Relevance diversified top-3 — the retrieval
+      // post-processor between q155 (score) / q222 (fuse) and the
+      // context window: greedy picks trade rank-relevance against the
+      // candidate's max bigram-Jaccard similarity to what's already
+      // selected (λ=½, folded in integer ppm: 2·mmr = rel − max_sim).
+      // EVERYTHING after the top-10 candidate window operates on ≤10
+      // rows per query: the pairwise-similarity table is an equi-join
+      // on (query, shared bigram) over the candidate slice of the
+      // posting stream (never doc×doc), and the K=3 greedy rounds
+      // unroll as three bounded argmax struct-folds + left probes of
+      // the ≤90-row-per-query sim table — the data-size-independent
+      // tail of a retrieval pipeline. Absent sim rows mean disjoint
+      // bigram sets (sim 0, coalesced identically in the oracle).
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + 1000000000L).as("query_id"),
+          concat(col("text"), lit(" eval")).as("text"))
+      def bigramsOf(d: DataFrame, idCol: String): DataFrame = d
+        .select(col(idCol), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col(idCol),
+          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"), col("ts"))
+        .select(col(idCol),
+          concat_ws(" ", element_at(col("ts"), col("i")),
+            element_at(col("ts"), col("i") + 1)).as("g"))
+        .distinct()
+      val cb = bigramsOf(docs, "doc_id")
+      val qb = bigramsOf(bench, "query_id")
+      val dfreq = cb.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val qw = qb.join(dfreq, "g").crossJoin(n)
+        .select(col("query_id"), col("g"), expr("n * 1000 div df").as("w"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val cand = cb.join(broadcast(qw), "g")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("w")).as("score"))
+        .withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"),
+          ((lit(11L) - col("rank")) * 1000000L).as("rel"))
+      // candidate bigram slice → pairwise Jaccard within each query
+      val cbg = cand.select(col("query_id"), col("doc_id"))
+        .join(cb, "doc_id")
+      val sz = cbg.groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("nset"))
+      val inter = cbg.select(col("query_id"), col("doc_id").as("da"), col("g"))
+        .join(cbg.select(col("query_id"), col("doc_id").as("db"), col("g")),
+          Seq("query_id", "g"))
+        .filter(col("da") =!= col("db"))
+        .groupBy(col("query_id"), col("da"), col("db"))
+        .agg(count(lit(1)).as("ni"))
+      val sim = inter
+        .join(sz.select(col("query_id"), col("doc_id").as("da"),
+          col("nset").as("na")), Seq("query_id", "da"))
+        .join(sz.select(col("query_id"), col("doc_id").as("db"),
+          col("nset").as("nb")), Seq("query_id", "db"))
+        .select(col("query_id"), col("da"), col("db"),
+          expr("ni * 1000000 div (na + nb - ni)").as("sim_ppm"))
+      def argmax(d: DataFrame, scoreCol: String): DataFrame = d
+        .groupBy(col("query_id"))
+        .agg(max(struct(col(scoreCol), (-col("doc_id")).as("nd"))).as("m"))
+        .select(col("query_id"), (-col("m.nd")).as("pick_doc"),
+          col(s"m.$scoreCol").as("pick_score"))
+      val p1 = argmax(cand, "rel")
+      val r2 = cand.join(p1, "query_id")
+        .filter(col("doc_id") =!= col("pick_doc"))
+        .join(sim.select(col("query_id"), col("da").as("doc_id"),
+          col("db").as("pick_doc"), col("sim_ppm")),
+          Seq("query_id", "doc_id", "pick_doc"), "left")
+        .select(col("query_id"), col("doc_id"),
+          (col("rel") - coalesce(col("sim_ppm"), lit(0L))).as("mmr"))
+      val p2 = argmax(r2, "mmr")
+      val r3 = cand
+        .join(p1.select(col("query_id"), col("pick_doc").as("d1")), "query_id")
+        .join(p2.select(col("query_id"), col("pick_doc").as("d2")), "query_id")
+        .filter(col("doc_id") =!= col("d1") && col("doc_id") =!= col("d2"))
+        .join(sim.select(col("query_id"), col("da").as("doc_id"),
+          col("db").as("d1"), col("sim_ppm").as("s1")),
+          Seq("query_id", "doc_id", "d1"), "left")
+        .join(sim.select(col("query_id"), col("da").as("doc_id"),
+          col("db").as("d2"), col("sim_ppm").as("s2")),
+          Seq("query_id", "doc_id", "d2"), "left")
+        .select(col("query_id"), col("doc_id"),
+          (col("rel") - greatest(coalesce(col("s1"), lit(0L)),
+            coalesce(col("s2"), lit(0L)))).as("mmr"))
+      val p3 = argmax(r3, "mmr")
+      p1.select(col("query_id"), lit(1L).as("pick"),
+          col("pick_doc").as("doc_id"), col("pick_score").as("mmr2"))
+        .unionByName(p2.select(col("query_id"), lit(2L).as("pick"),
+          col("pick_doc").as("doc_id"), col("pick_score").as("mmr2")))
+        .unionByName(p3.select(col("query_id"), lit(3L).as("pick"),
+          col("pick_doc").as("doc_id"), col("pick_score").as("mmr2")))
+    }),
   )
 
   private val profileSql = langProfiles.map { case (lang, words) =>
@@ -2142,6 +2238,77 @@ object TextQueries {
         |  CAST(n_distinct AS BIGINT) AS n_distinct,
         |  CAST((n*n - sumsq) * 1000000 // (n*n) AS BIGINT) AS gini_ppm
         |FROM g""".stripMargin,
+    "q230_mmr_diversify" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |cb AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |        FROM documents),
+        |    LATERAL unnest(generate_series(1, len(ts) - 1)) AS g1(i)
+        |  WHERE len(ts) >= 2),
+        |qb AS (
+        |  SELECT DISTINCT doc_id + 1000000000 AS query_id,
+        |    ts[i] || ' ' || ts[i+1] AS g
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(text || ' eval'), '\s+') AS ts
+        |        FROM documents WHERE doc_id % 9 = 4),
+        |    LATERAL unnest(generate_series(1, len(ts) - 1)) AS g2(i)
+        |  WHERE len(ts) >= 2),
+        |dfr AS (SELECT g, COUNT(*) AS df FROM cb GROUP BY 1),
+        |sc AS (SELECT qb.query_id, cb.doc_id,
+        |    SUM((SELECT n FROM n) * 1000 // dfr.df) AS score
+        |  FROM qb JOIN dfr USING (g) JOIN cb USING (g) GROUP BY 1, 2),
+        |cand AS (SELECT query_id, doc_id, (11 - rank) * 1000000 AS rel
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |  WHERE rank <= 10),
+        |cbg AS (SELECT c.query_id, c.doc_id, b.g
+        |  FROM (SELECT DISTINCT query_id, doc_id FROM cand) c
+        |  JOIN cb b USING (doc_id)),
+        |sz AS (SELECT query_id, doc_id, COUNT(*) AS nset
+        |       FROM cbg GROUP BY 1, 2),
+        |inter AS (SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+        |    COUNT(*) AS ni
+        |  FROM cbg a JOIN cbg b ON a.query_id = b.query_id AND a.g = b.g
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2, 3),
+        |sim AS (SELECT i.query_id, i.da, i.db,
+        |    ni * 1000000 // (sa.nset + sb.nset - ni) AS sim_ppm
+        |  FROM inter i
+        |  JOIN sz sa ON sa.query_id = i.query_id AND sa.doc_id = i.da
+        |  JOIN sz sb ON sb.query_id = i.query_id AND sb.doc_id = i.db),
+        |p1 AS (SELECT query_id, doc_id AS d1, rel AS s1 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, doc_id) AS rn FROM cand) WHERE rn = 1),
+        |r2 AS (SELECT c.query_id, c.doc_id,
+        |    c.rel - COALESCE(s.sim_ppm, 0) AS mmr
+        |  FROM cand c JOIN p1 ON c.query_id = p1.query_id
+        |  LEFT JOIN sim s ON s.query_id = c.query_id AND s.da = c.doc_id
+        |    AND s.db = p1.d1
+        |  WHERE c.doc_id <> p1.d1),
+        |p2 AS (SELECT query_id, doc_id AS d2, mmr AS s2 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY mmr DESC, doc_id) AS rn FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT c.query_id, c.doc_id,
+        |    c.rel - GREATEST(COALESCE(x.sim_ppm, 0), COALESCE(y.sim_ppm, 0))
+        |      AS mmr
+        |  FROM cand c
+        |  JOIN p1 ON c.query_id = p1.query_id
+        |  JOIN p2 ON c.query_id = p2.query_id
+        |  LEFT JOIN sim x ON x.query_id = c.query_id AND x.da = c.doc_id
+        |    AND x.db = p1.d1
+        |  LEFT JOIN sim y ON y.query_id = c.query_id AND y.da = c.doc_id
+        |    AND y.db = p2.d2
+        |  WHERE c.doc_id <> p1.d1 AND c.doc_id <> p2.d2),
+        |p3 AS (SELECT query_id, doc_id AS d3, mmr AS s3 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY mmr DESC, doc_id) AS rn FROM r3) WHERE rn = 1)
+        |SELECT query_id, CAST(1 AS BIGINT) AS pick, d1 AS doc_id,
+        |  CAST(s1 AS BIGINT) AS mmr2 FROM p1
+        |UNION ALL SELECT query_id, CAST(2 AS BIGINT), d2,
+        |  CAST(s2 AS BIGINT) FROM p2
+        |UNION ALL SELECT query_id, CAST(3 AS BIGINT), d3,
+        |  CAST(s3 AS BIGINT) FROM p3""".stripMargin,
   )
 
   private lazy val invertedIndexSql: String =
