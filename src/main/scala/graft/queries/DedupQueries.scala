@@ -109,6 +109,31 @@ object DedupQueries {
           jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
     }),
     "q13_minhash_lsh_pairs" -> ((s, dir) => lshPairs(s, dir)),
+    "q231_lsh_recall_eval" -> ((s, dir) => {
+      // banding-recall evaluation — the metric that TUNES q13's
+      // (bands, rows) parameters: verified LSH pairs are a subset of
+      // the exact-Jaccard pair set by construction (same ≥½
+      // threshold), so the eval reduces to two counts and the missed
+      // pairs are exactly the banding's false negatives. The
+      // ground-truth side is q12's quadratic baseline — like q12 it
+      // is declared correctness-only at bench scale; a 100 TB
+      // deployment runs this eval on a bounded document sample
+      // (recall is a corpus-level rate, estimated soundly from a
+      // sample) while the LSH side stays the production plan.
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sh = shingleSetsOf(d).cache()
+      val lsh = verifiedPairs(bandCandidates(d), sh, sh)
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val truePairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(intersectSize(col("sh_a"), col("sh_b")) * 2 >=
+          unionSize(col("sh_a"), col("sh_b")))
+      val nt = truePairs.agg(count(lit(1)).as("n_true"))
+      val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+      nt.crossJoin(nl).select(col("n_true"), col("n_lsh"),
+        (col("n_true") - col("n_lsh")).as("fn"),
+        expr("n_lsh * 1000000 div n_true").as("recall_ppm"))
+    }),
     "q142_setsim_join" -> ((s, dir) => {
       // exact prefix-filtered similarity join (AllPairs/PPJoin): the
       // DETERMINISTIC scale path beside q13's probabilistic banding —
@@ -642,6 +667,20 @@ object DedupQueries {
         |SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies
         |FROM du GROUP BY text""".stripMargin,
     "q12_ngram_jaccard_pairs" -> allPairsJaccardOracle,
+    "q231_lsh_recall_eval" ->
+      s"""WITH $lshCtes,
+         |truep AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 2
+         |    >= len(list_distinct(a.sh || b.sh))),
+         |tl AS (SELECT COUNT(*) AS n_lsh FROM pairs),
+         |tr AS (SELECT COUNT(*) AS n_true FROM truep)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_lsh AS BIGINT) AS n_lsh,
+         |  CAST(n_true - n_lsh AS BIGINT) AS fn,
+         |  CAST(n_lsh * 1000000 // n_true AS BIGINT) AS recall_ppm
+         |FROM tl, tr""".stripMargin,
     "q152_crosscorpus_neardup" ->
       s"""WITH final AS (
          |  SELECT doc_id, text FROM documents
