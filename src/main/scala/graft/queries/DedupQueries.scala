@@ -66,11 +66,17 @@ object DedupQueries {
   /** (doc_id, band, bkey) LSH band keys of a (doc_id, text) corpus:
     * one md5 per (doc, shingle), 16 overflow-free permutations folded
     * into 16 partial-min aggregates in a single groupBy(doc_id). */
-  private def bandsOf(d: DataFrame): DataFrame = {
+  /** (doc_id, mh0..mh15) minhash signatures — the 16 permutation
+    * minima folded in ONE groupBy over the shingle stream. */
+  private def sigOf(d: DataFrame): DataFrame = {
     val exploded = shingleRowsOf(d).withColumn("h32", hash32(col("shingle")))
     val sigCols = (0 until NumHashes).map(i =>
       min(minhashPerm(i, col("h32"))).as(s"mh$i"))
-    val sig = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private def bandsOf(d: DataFrame): DataFrame = {
+    val sig = sigOf(d)
     val bandStructs = (0 until NumBands).map { b =>
       val key = md5(concat_ws(",",
         (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string")): _*))
@@ -133,6 +139,32 @@ object DedupQueries {
       nt.crossJoin(nl).select(col("n_true"), col("n_lsh"),
         (col("n_true") - col("n_lsh")).as("fn"),
         expr("n_lsh * 1000000 div n_true").as("recall_ppm"))
+    }),
+    "q234_minhash_estimate" -> ((s, dir) => {
+      // signature-vs-exact Jaccard calibration — the OTHER banding
+      // diagnostic (q231 measures which pairs surface; this measures
+      // how well the 16-hash signature ESTIMATES similarity on the
+      // pairs that did): per LSH candidate, est = matching-minima
+      // share (matches·10⁶/16 = matches·62500) against the exact
+      // shingle-set Jaccard. Candidates only — the signature join and
+      // both set joins are equi-joins on the bounded candidate ids,
+      // never all-pairs; the unbiasedness of per-permutation
+      // agreement is the textbook MinHash property being audited.
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sig = sigOf(d).cache()
+      val sh = shingleSetsOf(d)
+      val matches = (0 until NumHashes)
+        .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      bandCandidates(d)
+        .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+        .select(col("id_a"), col("id_b"), matches.as("matches"))
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("matches"),
+          (col("matches") * 62500L).as("est_ppm"),
+          jaccardPpm(col("sh_a"), col("sh_b")).as("exact_ppm"))
     }),
     "q142_setsim_join" -> ((s, dir) => {
       // exact prefix-filtered similarity join (AllPairs/PPJoin): the
@@ -681,6 +713,17 @@ object DedupQueries {
          |  CAST(n_true - n_lsh AS BIGINT) AS fn,
          |  CAST(n_lsh * 1000000 // n_true AS BIGINT) AS recall_ppm
          |FROM tl, tr""".stripMargin,
+    "q234_minhash_estimate" ->
+      s"""WITH $lshCtes
+         |SELECT c.id_a, c.id_b,
+         |  CAST(len([i FOR i IN range(1, 17)
+         |    IF x.mh[i] = y.mh[i]]) AS BIGINT) AS matches,
+         |  CAST(len([i FOR i IN range(1, 17)
+         |    IF x.mh[i] = y.mh[i]]) * 62500 AS BIGINT) AS est_ppm,
+         |  CAST(ROUND(1000000.0 * len(list_intersect(x.sh, y.sh))
+         |       / len(list_distinct(x.sh || y.sh)), 0) AS BIGINT) AS exact_ppm
+         |FROM cand c JOIN sig x ON c.id_a = x.doc_id
+         |JOIN sig y ON c.id_b = y.doc_id""".stripMargin,
     "q152_crosscorpus_neardup" ->
       s"""WITH final AS (
          |  SELECT doc_id, text FROM documents

@@ -467,6 +467,29 @@ object GraphQueries {
       }
       fin.select(col("walker"), col("cur").as("final_node"), col("path"))
     }),
+    "q232_cocitation" -> ((s, dir) => {
+      // co-citation similarity (pages cited together are related — the
+      // classic web-graph relatedness signal): pairs of DISTINCT
+      // sources sharing a target, counted per pair. The explicit skew
+      // guard is the point: a hub target with in-degree d fans C(d,2)
+      // pairs, so each target keeps only its C=8 lowest-id citers
+      // (rank window on dst) BEFORE pairing — bounded ≤C(C,2)=28
+      // pairs per target at any in-degree, the same cap a production
+      // co-citation job applies (relatedness saturates; hubs carry no
+      // signal). Pairing is a bounded self-join on dst; the pair
+      // count is one map-side-combined shuffle.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = links(docs, n).filter(col("src") =!= col("dst")).distinct()
+      val w = Window.partitionBy(col("dst")).orderBy(col("src").asc)
+      val capped = e.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 8).select(col("src"), col("dst"))
+      capped.as("x").join(capped.as("y"),
+          col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+        .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -805,5 +828,19 @@ object GraphQueries {
         |  FROM w3 w LEFT JOIN nbr b ON b.src = w.cur AND b.rk = 1 +
         |    CAST('0x' || substr(md5('walk4:' || w.cur),1,15) AS BIGINT) % b.deg)
         |SELECT walker, cur AS final_node, path FROM w4""".stripMargin,
+    "q232_cocitation" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |links AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |e AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst),
+        |capped AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY dst
+        |      ORDER BY src ASC) AS rk FROM e)
+        |  WHERE rk <= 8)
+        |SELECT x.src AS a, y.src AS b, COUNT(*) AS n_shared
+        |FROM capped x JOIN capped y ON x.dst = y.dst AND x.src < y.src
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
   )
 }

@@ -971,6 +971,24 @@ object RelationalQueries {
         .select(col("user_id"), col("seg_id"), col("event_type"),
           col("valid_from"), col("valid_to"), col("n_events"))
     }),
+    "q233_decay_score" -> ((s, dir) => {
+      // freshness-decayed engagement score — recency weighting with a
+      // 7-day HALF-LIFE kept exact: weight_ppm = 10⁶ div 2^(age/7),
+      // the exponent clamped to [0, 30] (older than ~30 weeks decays
+      // to 0 exactly; a negative age from clock skew clamps to full
+      // weight instead of dividing by a fraction). No exp()/ln() —
+      // the halving-bucket fold is pure BIGINT, mirrored digit-for-
+      // digit in the oracle, and the whole score is ONE map-side-
+      // combined aggregate over the event stream.
+      events(s, dir)
+        .select(col("user_id"),
+          expr("greatest(least(datediff(DATE'2024-03-01', " +
+            "CAST(ts AS DATE)) div 7, 30), 0)").as("k"))
+        .select(col("user_id"),
+          expr("1000000 div CAST(pow(2, k) AS BIGINT)").as("w"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("w")).as("score"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1575,5 +1593,16 @@ object RelationalQueries {
         |    AS valid_to,
         |  n_events
         |FROM iv""".stripMargin,
+    "q233_decay_score" ->
+      """WITH k AS (
+        |  SELECT user_id,
+        |    GREATEST(LEAST(date_diff('day', CAST(ts AS DATE),
+        |      DATE '2024-03-01') // 7, 30), 0) AS k
+        |  FROM events),
+        |w AS (SELECT user_id,
+        |        1000000 // CAST(pow(2, k) AS BIGINT) AS w FROM k)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(w) AS BIGINT) AS score
+        |FROM w GROUP BY user_id""".stripMargin,
   )
 }
