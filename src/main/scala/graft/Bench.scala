@@ -89,7 +89,16 @@ object Bench {
     "q205_longest_streak", "q206_bpe_merge", "q207_split_overlap",
     "q208_viewshed", "q209_mutual_nn", "q210_gyration",
     "q211_dist_match", "q212_track_diameter", "q213_ks_stat",
-    "q214_simpson", "q215_transitions", "q216_cell_churn")
+    "q214_simpson", "q215_transitions", "q216_cell_churn",
+    "q217_cms_freq", "q218_label_prop", "q219_vocab_growth",
+    "q220_incremental_sessions", "q221_poly_centroid", "q222_rrf_fusion",
+    "q223_random_walks", "q224_hll_cardinality", "q225_ring_validity",
+    "q226_incremental_heavy_hitters", "q227_scd2_intervals",
+    "q228_pq_encode", "q229_token_gini", "q230_mmr_diversify",
+    "q231_lsh_recall_eval", "q232_cocitation", "q233_decay_score",
+    "q234_minhash_estimate", "q235_lisa", "q236_chunk_dedup",
+    "q237_incremental_union_area", "q238_admin_hierarchy",
+    "q240_shard_rebalance")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -989,9 +989,65 @@ object RelationalQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("w")).as("score"))
     }),
+    "q240_shard_rebalance" -> ((s, dir) => {
+      // consistent-hashing movement audit — the shard-assignment
+      // algebra a 100 TB corpus lives on: 4 storage nodes × 4 vnodes
+      // on a 2^20 ring, a 5th node joins with 4 more vnodes, and the
+      // audit counts per (old_owner, new_owner) how many docs move.
+      // The ring-successor lookup folds to a driver-built WHEN chain
+      // over the ≤20 SORTED vnode positions (pure codegen, O(1) per
+      // row, no join, no 20× candidate blowup), the audit is ONE
+      // map-side-combined aggregate — embarrassingly parallel. The
+      // defining consistent-hashing property (rows move ONLY to the
+      // joining node; old→other-old is impossible because surviving
+      // vnodes keep their positions) is visible in the output: every
+      // moved row lands on node 4.
+      val positions = ShardRing.oldRing.map(_._1)
+      require(positions.distinct.size == positions.size)
+      val h = pmod(pmod(col("doc_id"), lit(ShardRing.M)) * 2654435761L + 12345L,
+        lit(ShardRing.M))
+      def owner(ring: Seq[(Long, Long)]): org.apache.spark.sql.Column =
+        ring.reverse.foldLeft(lit(ring.head._2): org.apache.spark.sql.Column) {
+          case (acc, (p, node)) => when(h <= p, lit(node)).otherwise(acc)
+        }
+      Tables.documents(s, dir)
+        .select(owner(ShardRing.oldRing).as("old_node"),
+          owner(ShardRing.newRing).as("new_node"))
+        .groupBy(col("old_node"), col("new_node"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("moved", when(col("old_node") =!= col("new_node"), 1L)
+          .otherwise(0L))
+    }),
   )
 
+  /** q240's rings: vnode i sits at (i·2654435761 + 987654321) mod 2^20
+    * (all 20 positions distinct — checked at plan build); vnodes 0-15
+    * belong to nodes i%4, the joining node 4 brings vnodes 16-19. */
+  private[graft] object ShardRing {
+    val M: Long = 1L << 20
+    private def vpos(i: Long): Long = (i * 2654435761L + 987654321L) % M
+    private def node(i: Long): Long = if (i < 16) i % 4 else 4L
+    val oldRing: Seq[(Long, Long)] =
+      (0L until 16L).map(i => (vpos(i), node(i))).sortBy(_._1)
+    val newRing: Seq[(Long, Long)] =
+      (0L until 20L).map(i => (vpos(i), node(i))).sortBy(_._1)
+    /** CASE chain mirror for the oracle. */
+    def ownerSql(h: String, ring: Seq[(Long, Long)]): String =
+      "CASE " + ring.map { case (p, n) => s"WHEN $h <= $p THEN $n" }
+        .mkString(" ") + s" ELSE ${ring.head._2} END"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q240_shard_rebalance" -> {
+      val h = s"(doc_id % ${ShardRing.M} * 2654435761 + 12345) % ${ShardRing.M}"
+      s"""WITH o AS (SELECT
+         |    ${ShardRing.ownerSql(s"($h)", ShardRing.oldRing)} AS old_node,
+         |    ${ShardRing.ownerSql(s"($h)", ShardRing.newRing)} AS new_node
+         |  FROM documents)
+         |SELECT old_node, new_node, COUNT(*) AS cnt,
+         |  CASE WHEN old_node <> new_node THEN 1 ELSE 0 END AS moved
+         |FROM o GROUP BY 1, 2""".stripMargin
+    },
     "q148_user_growth" ->
       """WITH firsts AS (
         |  SELECT event_type, user_id, MIN(ts) AS first_ts

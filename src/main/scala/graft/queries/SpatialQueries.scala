@@ -1212,6 +1212,96 @@ object SpatialQueries {
         .select(col("grp"), col("n_rects"), col("area_e2"), col("sum_e2"),
           expr("10000 * area_e2 div sum_e2").as("dissolve_bp"))
     }),
+    "q237_incremental_union_area" -> ((s, dir) => {
+      // IVM of the DISSOLVED-area view (q160) under a rectangle change
+      // batch — the dissolve/union axis of the IVM family (q60 join,
+      // q80 aggregate, q95 index, q101/q110 pair sets, q124 clusters,
+      // q136 pyramid, q164 rank, q171 counters, q198 tiling, q202
+      // postings): a strip's merged length depends ONLY on the
+      // intervals crossing it, so the batch invalidates exactly the
+      // strips under the old OR new extent of changed rects. Those
+      // strips re-merge from the stored interval table (clustered by
+      // (grp, sx): survivors = one semi-join on the touched-strip set
+      // + one anti-join on changed rect keys) plus the new versions'
+      // intervals — O(touched strips), never a corpus re-sweep; every
+      // untouched stored strip passes through one anti-join
+      // byte-identical. Standard batch convention (q101/q171): %7==3
+      // widens by 0.4°, %13==5 deletes, delete wins. The oracle
+      // re-merges every strip from the post-change rect set.
+      val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        (col("o_orderkey") % 8).as("grp"),
+        ((col("o_orderkey") * 13 % 320) * 10 - 1600).as("x010"),
+        ((col("o_orderkey") * 29 % 150) * 10 - 750).as("y0i"),
+        (lit(15) + (col("o_orderkey") % 16) * 2).as("w10"),
+        (lit(15) + (col("o_orderkey") * 3 % 16) * 2).as("h10"))
+      val updatedNew = base.filter(col("k") % 7 === 3 && col("k") % 13 =!= 5)
+        .withColumn("w10", col("w10") + 4)
+      // stored state stand-ins (at scale: the maintained tables)
+      val ivalsK = base
+        .withColumn("sx", explode(sequence(col("x010"), col("x010") + col("w10") - 1)))
+        .select(col("k"), col("grp"), col("sx"), col("y0i"),
+          (col("y0i") + col("h10")).as("y1i"))
+      val stored = mergeStripIvals(ivalsK)
+      val changed = base.filter(col("k") % 13 === 5 || col("k") % 7 === 3)
+      val touched = stripIvals(changed.drop("k"))
+        .unionByName(stripIvals(updatedNew.drop("k")))
+        .select(col("grp"), col("sx")).distinct()
+      val survivors = ivalsK
+        .join(touched, Seq("grp", "sx"), "left_semi")
+        .join(changed.select(col("k")), Seq("k"), "left_anti")
+        .drop("k")
+      val fresh = stripIvals(updatedNew.drop("k"))
+      val remerged = mergeStripIvals(survivors.unionByName(fresh))
+      stored.join(touched, Seq("grp", "sx"), "left_anti")
+        .unionByName(remerged)
+    }),
+    "q238_admin_hierarchy" -> ((s, dir) => {
+      // containment hierarchy (reverse geocoding's admin-tree build):
+      // each contained rect resolves its DIRECT parent = the
+      // smallest-area PROPER container (area ties → smallest id) over
+      // a 3-level synthetic admin layer (country/region/district-
+      // scale footprints: ~30-60°, ~6-12°, ~1-2.5° wide — the q160
+      // lattice is containment-free by construction, so the layer
+      // varies size by level). Plan: containers cover their bbox's
+      // 10° blocks once (integer sequence explode, ≤49 cells for the
+      // biggest), each child probes its LOWER-LEFT corner's single
+      // block — a container of B covers B's corner, so the equi-join
+      // prefilter is lossless AND duplicate-free by construction —
+      // exact bbox refine in codegen, per-child argmin as ONE
+      // min-struct aggregate. Never a window, never all-pairs: the
+      // oracle's quadratic bbox join is exactly the shape this plan
+      // exists to avoid at 100 TB.
+      val lay = Tables.orders(s, dir).select(col("o_orderkey").as("way_id"),
+        ((col("o_orderkey") * 13 % 320) * 10 - 1600).as("x"),
+        ((col("o_orderkey") * 29 % 150) * 10 - 750).as("y"),
+        when(col("o_orderkey") % 3 === 0, lit(300) + (col("o_orderkey") % 16) * 20)
+          .when(col("o_orderkey") % 3 === 1, lit(60) + (col("o_orderkey") % 16) * 4)
+          .otherwise(lit(10) + col("o_orderkey") % 16).as("w"),
+        when(col("o_orderkey") % 3 === 0, lit(300) + (col("o_orderkey") * 3 % 16) * 20)
+          .when(col("o_orderkey") % 3 === 1, lit(60) + (col("o_orderkey") * 3 % 16) * 4)
+          .otherwise(lit(10) + col("o_orderkey") * 3 % 16).as("h"))
+      val cover = lay.select(col("way_id").as("pid"), col("x").as("ax"),
+          col("y").as("ay"), col("w").as("aw"), col("h").as("ah"),
+          (col("w") * col("h")).as("parea"))
+        .withColumn("cix", explode(sequence(
+          expr("(ax + 1800) div 100"), expr("(ax + aw + 1800) div 100"))))
+        .withColumn("ciy", explode(sequence(
+          expr("(ay + 900) div 100"), expr("(ay + ah + 900) div 100"))))
+      val probe = lay.select(col("way_id").as("child_id"), col("x").as("bx"),
+          col("y").as("by"), col("w").as("bw"), col("h").as("bh"),
+          (col("w") * col("h")).as("carea"))
+        .withColumn("cix", expr("(bx + 1800) div 100"))
+        .withColumn("ciy", expr("(by + 900) div 100"))
+      probe.join(cover, Seq("cix", "ciy"))
+        .filter(col("ax") <= col("bx") && col("ay") <= col("by") &&
+          col("ax") + col("aw") >= col("bx") + col("bw") &&
+          col("ay") + col("ah") >= col("by") + col("bh") &&
+          col("parea") > col("carea"))
+        .groupBy(col("child_id"), col("carea"))
+        .agg(min(struct(col("parea"), col("pid"))).as("p"))
+        .select(col("child_id"), col("p.pid").as("parent_id"),
+          col("p.parea").as("parent_area"), col("carea").as("child_area"))
+    }),
     "q162_idw" -> ((s, dir) => {
       // inverse-distance-weighted interpolation surface at occupied
       // raster cells — the kernel-weighted generalization of q125's
@@ -1285,6 +1375,48 @@ object SpatialQueries {
           q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
         .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
       moranOf(cells)
+    }),
+    "q235_lisa" -> ((s, dir) => {
+      // LOCAL Moran's I (LISA cluster map) — the per-cell member of
+      // the spatial-autocorrelation family (q163 global I, q187
+      // Getis-Ord Gi*): every occupied cell classifies HH/LL/HL/LH by
+      // the sign of its own mean-centered density d_i and of its
+      // rook-neighbor lag Σ_adj d_j, exact integers throughout
+      // (d_i = nc·x_i − S cancels the mean's divide; the I_i
+      // numerator d_i·Σd_j rides DECIMAL(38,0)). Plan: the bounded
+      // (≤4^res) cell table scatters d to its 4 rook neighbors
+      // JOIN-FREE (q125/q162's shape), one map-side-combined sum per
+      // target cell, one equi-join back to the occupied set — no
+      // window, no pair explosion, one corpus shuffle total.
+      val n = graft.geo.CellIndex.width(ContourRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      val cells = SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
+      val stats = cells.agg(count(lit(1)).as("nc"), sum(col("cnt")).as("s"))
+      val d = cells.crossJoin(broadcast(stats))
+        .select(col("ix"), col("iy"), (col("nc") * col("cnt") - col("s")).as("d"))
+      val scat = Seq((1, 0), (-1, 0), (0, 1), (0, -1)).map { case (dx, dy) =>
+        d.select((col("ix") + dx).as("ix"), (col("iy") + dy).as("iy"),
+          col("d").as("nd"))
+      }.reduce(_ unionByName _)
+      val lag = scat.groupBy(col("ix"), col("iy"))
+        .agg(sum(col("nd")).as("lg"), count(lit(1)).as("wn"))
+      d.join(lag, Seq("ix", "iy"), "left")
+        .select(col("ix"), col("iy"), col("d"),
+          coalesce(col("wn"), lit(0L)).as("wn"),
+          coalesce(col("lg"), lit(0L)).as("lag"),
+          (col("d").cast("decimal(38,0)") * coalesce(col("lg"), lit(0L)))
+            .cast("string").as("ii"),
+          when(col("d") > 0 && coalesce(col("lg"), lit(0L)) > 0, "HH")
+            .when(col("d") < 0 && coalesce(col("lg"), lit(0L)) < 0, "LL")
+            .when(col("d") > 0 && coalesce(col("lg"), lit(0L)) < 0, "HL")
+            .when(col("d") < 0 && coalesce(col("lg"), lit(0L)) > 0, "LH")
+            .otherwise("NS").as("cls"))
     }),
     "q156_temporal_pip" -> ((s, dir) => {
       // TEMPORAL point-in-polygon (bitemporal join): each event joins
@@ -2096,11 +2228,27 @@ object SpatialQueries {
     * (observed in DuckDB). Never inclusion-exclusion, never a pair
     * join. UnionAreaPropSpec checks it against brute force on random
     * (non-grid-aligned) rectangles. */
-  private[graft] def unionAreaByStrips(r: DataFrame): DataFrame = {
+  private[graft] def unionAreaByStrips(r: DataFrame): DataFrame =
+    mergeStripIvals(stripIvals(r))
+      .groupBy(col("grp")).agg(sum(col("len")).as("area_e2"))
+
+  /** Rect rows (grp, x010, y0i, w10, h10) → per-strip y-interval rows
+    * (grp, sx, y0i, y1i) — q160's unit-strip explode, factored so
+    * q237's IVM can explode ONLY a change batch. */
+  private[graft] def stripIvals(r: DataFrame): DataFrame = r
+    .withColumn("sx", explode(sequence(col("x010"), col("x010") + col("w10") - 1)))
+    .select(col("grp"), col("sx"), col("y0i"), (col("y0i") + col("h10")).as("y1i"))
+
+  /** Per-strip y-interval union lengths — input interval rows
+    * (grp, sx, y0i, y1i), duplicates allowed (dedup'd: a duplicate
+    * never changes a union, and distinct rows make ORDER BY
+    * (y0i, y1i) TOTAL — see the q160 note above), output
+    * (grp, sx, len). Two windows PARTITIONED by (grp, sx) sharing
+    * one exchange, island extents aggregated map-side. */
+  private[graft] def mergeStripIvals(ivals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val strips = r
-      .withColumn("sx", explode(sequence(col("x010"), col("x010") + col("w10") - 1)))
-      .select(col("grp"), col("sx"), col("y0i"), (col("y0i") + col("h10")).as("y1i"))
+    val strips = ivals
+      .select(col("grp"), col("sx"), col("y0i"), col("y1i"))
       .distinct()
     val w1 = Window
       .partitionBy(col("grp"), col("sx")).orderBy(col("y0i"), col("y1i"))
@@ -2112,7 +2260,7 @@ object SpatialQueries {
         w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("grp"), col("sx"), col("isl"))
       .agg((max(col("y1i")) - min(col("y0i"))).as("len"))
-      .groupBy(col("grp")).agg(sum(col("len")).as("area_e2"))
+      .groupBy(col("grp"), col("sx")).agg(sum(col("len")).as("len"))
   }
 
   val ContourRes = 9
@@ -2203,6 +2351,58 @@ object SpatialQueries {
         |SELECT t.grp, n_rects, area_e2, sum_e2,
         |  CAST(10000 * area_e2 // sum_e2 AS BIGINT) AS dissolve_bp
         |FROM tot t JOIN merged USING (grp)""".stripMargin,
+    // full strip-level re-merge of the POST-change rect set — the
+    // incremental plan must reproduce it byte-for-byte
+    "q237_incremental_union_area" ->
+      """WITH r AS (SELECT o_orderkey AS k, o_orderkey % 8 AS grp,
+        |    (o_orderkey*13 % 320)*10 - 1600 AS x010,
+        |    (o_orderkey*29 % 150)*10 - 750 AS y0i,
+        |    15 + (o_orderkey % 16)*2 AS w10,
+        |    15 + (o_orderkey*3 % 16)*2 AS h10
+        |  FROM orders),
+        |post AS (SELECT grp, x010, y0i,
+        |    CASE WHEN k % 7 = 3 THEN w10 + 4 ELSE w10 END AS w10, h10
+        |  FROM r WHERE k % 13 <> 5),
+        |strips AS (SELECT DISTINCT grp,
+        |    unnest(generate_series(x010, x010 + w10 - 1)) AS sx,
+        |    y0i, y0i + h10 AS y1i FROM post),
+        |m AS (SELECT grp, sx, y0i, y1i,
+        |    MAX(y1i) OVER (PARTITION BY grp, sx ORDER BY y0i, y1i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM strips),
+        |i AS (SELECT grp, sx, y0i, y1i,
+        |    SUM(CASE WHEN runmax IS NULL OR y0i > runmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY grp, sx ORDER BY y0i, y1i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m),
+        |isle AS (SELECT grp, sx, isl, MAX(y1i) - MIN(y0i) AS len
+        |  FROM i GROUP BY 1, 2, 3)
+        |SELECT grp, sx, CAST(SUM(len) AS BIGINT) AS len
+        |FROM isle GROUP BY 1, 2""".stripMargin,
+    // independent formulation: the quadratic bbox containment join the
+    // Spark plan's corner-cell prefilter exists to avoid
+    "q238_admin_hierarchy" ->
+      """WITH lay AS (SELECT o_orderkey AS way_id,
+        |    (o_orderkey*13 % 320)*10 - 1600 AS x,
+        |    (o_orderkey*29 % 150)*10 - 750 AS y,
+        |    CASE o_orderkey % 3 WHEN 0 THEN 300 + (o_orderkey % 16)*20
+        |         WHEN 1 THEN 60 + (o_orderkey % 16)*4
+        |         ELSE 10 + (o_orderkey % 16) END AS w,
+        |    CASE o_orderkey % 3 WHEN 0 THEN 300 + (o_orderkey*3 % 16)*20
+        |         WHEN 1 THEN 60 + (o_orderkey*3 % 16)*4
+        |         ELSE 10 + (o_orderkey*3 % 16) END AS h
+        |  FROM orders),
+        |pairs AS (SELECT b.way_id AS child_id, b.w*b.h AS carea,
+        |    a.way_id AS pid, a.w*a.h AS parea
+        |  FROM lay a JOIN lay b
+        |    ON a.x <= b.x AND a.y <= b.y
+        |   AND a.x + a.w >= b.x + b.w AND a.y + a.h >= b.y + b.h
+        |   AND a.w*a.h > b.w*b.h)
+        |SELECT child_id, pid AS parent_id, parea AS parent_area,
+        |  carea AS child_area
+        |FROM pairs
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY child_id
+        |  ORDER BY parea, pid) = 1""".stripMargin,
     "q170_emerging_hotspot" -> {
       val n = graft.geo.CellIndex.width(HotspotRes)
       s"""WITH ${SynthSql.pointsCte},
@@ -2267,6 +2467,32 @@ object SpatialQueries {
          |    * (abs(CAST(1000000 AS HUGEINT) * nc * p_half * 2) // (w_half * 2 * dd))
          |    AS BIGINT) AS moran_ppm
          |FROM adj, dn""".stripMargin
+    },
+    "q235_lisa" -> {
+      val n = graft.geo.CellIndex.width(ContourRes)
+      s"""WITH ${SynthSql.pointsCte},
+         |c AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy,
+         |    COUNT(*) AS cnt
+         |  FROM points GROUP BY 1, 2),
+         |s AS (SELECT COUNT(*) AS nc, CAST(SUM(cnt) AS BIGINT) AS sm FROM c),
+         |d AS (SELECT ix, iy, nc * cnt - sm AS dv FROM c, s),
+         |nb AS (SELECT ix + 1 AS ix, iy, dv AS nd FROM d
+         |  UNION ALL SELECT ix - 1, iy, dv FROM d
+         |  UNION ALL SELECT ix, iy + 1, dv FROM d
+         |  UNION ALL SELECT ix, iy - 1, dv FROM d),
+         |lg AS (SELECT ix, iy, CAST(SUM(nd) AS BIGINT) AS lag,
+         |    COUNT(*) AS wn FROM nb GROUP BY 1, 2)
+         |SELECT d.ix, d.iy, dv AS d,
+         |  COALESCE(wn, 0) AS wn, COALESCE(lag, 0) AS lag,
+         |  CAST(CAST(dv AS HUGEINT) * COALESCE(lag, 0) AS VARCHAR) AS ii,
+         |  CASE WHEN dv > 0 AND COALESCE(lag, 0) > 0 THEN 'HH'
+         |       WHEN dv < 0 AND COALESCE(lag, 0) < 0 THEN 'LL'
+         |       WHEN dv > 0 AND COALESCE(lag, 0) < 0 THEN 'HL'
+         |       WHEN dv < 0 AND COALESCE(lag, 0) > 0 THEN 'LH'
+         |       ELSE 'NS' END AS cls
+         |FROM d LEFT JOIN lg USING (ix, iy)""".stripMargin
     },
     // the straddle-sign predicate keeps LEAST/GREATEST out of the join
     // condition (flat CTE projections — q113's DuckDB caveat)

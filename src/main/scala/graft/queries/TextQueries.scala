@@ -439,6 +439,48 @@ object TextQueries {
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("score"), col("rn").cast("long").as("rn"))
     }),
+    "q236_chunk_dedup" -> ((s, dir) => {
+      // chunk-level exact dedup WITH document reassembly — the
+      // repeated-passage/boilerplate removal step a curation pipeline
+      // runs BELOW document granularity (q11 drops whole duplicate
+      // docs; this drops re-used passages inside surviving docs): the
+      // corpus splits into 8-token chunks, each distinct chunk string
+      // survives only at its FIRST occurrence (min (doc_id, pos) —
+      // deterministic), and every doc reassembles from its surviving
+      // chunks in order. Plan: one narrow explode, one
+      // map-side-combined min-struct per chunk — NEVER a rank window:
+      // a universal boilerplate chunk at 100 TB is a huge group, and
+      // the aggregate min folds it map-side where a window would sort
+      // it on one reducer — one equi-join back (the hot chunk's
+      // verify funnels to one reducer; production salts it exactly
+      // like the PIP join's hot cells — the first-occurrence winner
+      // is salt-invariant), one doc-keyed reassembly fold (bounded
+      // per doc).
+      val ch = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("ts"),
+          explode(expr("sequence(0, (size(ts) - 1) div 8)")).as("p"))
+        .select(col("doc_id"), col("p"),
+          array_join(slice(col("ts"), (col("p") * 8 + 1).cast("int"), lit(8)), " ")
+            .as("chunk"))
+      val firsts = ch.groupBy(col("chunk"))
+        .agg(min(struct(col("doc_id"), col("p"))).as("f"))
+      val kept = ch.join(firsts, "chunk")
+        .filter(col("doc_id") === col("f.doc_id") && col("p") === col("f.p"))
+      val re = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("p"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("new_text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("1 + (size(split(lower(text), '\\\\s+')) - 1) div 8").as("n_chunks"))
+        .join(re, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("kept"), lit(0L)).as("kept"),
+          (col("n_chunks") - coalesce(col("kept"), lit(0L))).as("dropped"),
+          coalesce(col("new_text"), lit("")).as("new_text"))
+    }),
     "q87_chunk_overlap" -> ((s, dir) => {
       // context-window chunking: fixed-size character chunks with
       // overlap (stride = size − overlap), the batch-assembly stage
@@ -1724,6 +1766,24 @@ object TextQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, term ASC) AS rn FROM scored)
         |WHERE rn <= 3""".stripMargin,
+    // independent formulation: rank window picks the first occurrence
+    // where the Spark plan folds a min-struct aggregate
+    "q236_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS ts FROM documents),
+        |ch AS (SELECT doc_id, p,
+        |    array_to_string(ts[p*8+1 : p*8+8], ' ') AS chunk
+        |  FROM t, LATERAL unnest(generate_series(0, (len(ts)-1)//8)) AS tp(p)),
+        |k AS (SELECT doc_id, p, chunk FROM ch
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY chunk
+        |    ORDER BY doc_id, p) = 1),
+        |re AS (SELECT doc_id, COUNT(*) AS kept,
+        |    string_agg(chunk, ' ' ORDER BY p) AS new_text FROM k GROUP BY 1),
+        |nc AS (SELECT doc_id, 1 + (len(ts)-1)//8 AS n_chunks FROM t)
+        |SELECT nc.doc_id, n_chunks, COALESCE(kept, 0) AS kept,
+        |  n_chunks - COALESCE(kept, 0) AS dropped,
+        |  COALESCE(new_text, '') AS new_text
+        |FROM nc LEFT JOIN re USING (doc_id)""".stripMargin,
     "q87_chunk_overlap" ->
       """WITH offs AS (
         |  SELECT doc_id, text,

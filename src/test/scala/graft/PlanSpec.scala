@@ -543,6 +543,41 @@ class PlanSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
+  test("q225-q240 wave: no cross products, aggregate argmins, join-free ring lookup") {
+    for (q <- Seq("q225_ring_validity", "q226_incremental_heavy_hitters",
+        "q227_scd2_intervals", "q228_pq_encode", "q229_token_gini",
+        "q230_mmr_diversify", "q231_lsh_recall_eval", "q232_cocitation",
+        "q233_decay_score", "q234_minhash_estimate", "q235_lisa",
+        "q236_chunk_dedup", "q237_incremental_union_area",
+        "q238_admin_hierarchy", "q240_shard_rebalance")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+    // the LISA scatter, the chunk-dedup first-occurrence pick, and the
+    // hierarchy's direct-parent pick are all AGGREGATES — a window
+    // would sort the hot chunk / hot cell group on one reducer
+    for (q <- Seq("q235_lisa", "q236_chunk_dedup", "q238_admin_hierarchy")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("Window"), s"$q must stay window-free")
+      Bench.clearState(spark)
+    }
+    // q237's re-merge windows are (grp, sx)-partitioned — never global
+    val w237 = SparkEntry.queries("q237_incremental_union_area")(spark, sfSmoke)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+    assert(w237.nonEmpty && w237.forall(_.size == 2),
+      "q237 windows must partition by (grp, sx)")
+    Bench.clearState(spark)
+    // the consistent-hash owner lookup is a WHEN chain: no join of any
+    // kind in the whole plan
+    val p240 = formatted(SparkEntry.queries("q240_shard_rebalance")(spark, sfSmoke))
+    assert(!p240.contains("Join"), "q240 must plan no join:\n" +
+      p240.linesIterator.take(30).mkString("\n"))
+    Bench.clearState(spark)
+  }
+
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cell_at",
