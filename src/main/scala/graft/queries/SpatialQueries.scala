@@ -1255,6 +1255,60 @@ object SpatialQueries {
       stored.join(touched, Seq("grp", "sx"), "left_anti")
         .unionByName(remerged)
     }),
+    "q239_simplify_dp" -> ((s, dir) => {
+      // Douglas-Peucker polyline simplification, bounded-depth — the
+      // OTHER classic simplifier beside q114's one-pass Visvalingam:
+      // the recursive "split at the farthest vertex from the chord"
+      // unrolls as K=3 BFS levels (≤2^3 segments per track), each
+      // level pure window arithmetic over the track's ONE ordering:
+      // chord endpoints come from kept-flag IGNORE-NULLS running
+      // windows (never a segment×vertex join — per-user segment lists
+      // would pair every vertex with every active segment), the
+      // farthest vertex per (user, chord) is a max + min-matching-pos
+      // window pair, and the split test compares EXACT integers in e3
+      // milli-degree units: dist² > eps² ⟺ area2² > eps²·len²
+      // (area2 = doubled triangle area; squares ride DECIMAL(38,0)).
+      // Both engines unroll the identical recurrence, so the oracle
+      // is a digit-for-digit mirror.
+      import org.apache.spark.sql.expressions.Window
+      val w0 = Window.partitionBy(col("u")).orderBy(col("pos"))
+      val prevW = w0.rowsBetween(Window.unboundedPreceding, -1)
+      val nextW = w0.rowsBetween(1, Window.unboundedFollowing)
+      var df = Tables.events(s, dir)
+        .select(col("user_id").as("u"), col("ts"), col("event_id"),
+          (col("event_id") * 17 % 320000 - 160000).as("x"),
+          (col("event_id") * 23 % 150000 - 75000).as("y"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("ts"), col("event_id"))))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy(col("u"))))
+        .select(col("u"), col("pos"), col("x"), col("y"),
+          (col("pos") === 1 || col("pos") === col("np")).as("k"))
+      val eps2 = lit(DpEpsE3 * DpEpsE3).cast("decimal(38,0)")
+      for (_ <- 1 to 3) {
+        df = df
+          .withColumn("b0", last(when(col("k"), col("pos")), ignoreNulls = true).over(prevW))
+          .withColumn("x0", last(when(col("k"), col("x")), ignoreNulls = true).over(prevW))
+          .withColumn("y0", last(when(col("k"), col("y")), ignoreNulls = true).over(prevW))
+          .withColumn("x1", first(when(col("k"), col("x")), ignoreNulls = true).over(nextW))
+          .withColumn("y1", first(when(col("k"), col("y")), ignoreNulls = true).over(nextW))
+          .withColumn("a2", when(col("k"), lit(null).cast("long")).otherwise(
+            abs((col("x1") - col("x0")) * (col("y") - col("y0")) -
+              (col("y1") - col("y0")) * (col("x") - col("x0")))))
+          .withColumn("len2", (col("x1") - col("x0")) * (col("x1") - col("x0")) +
+            (col("y1") - col("y0")) * (col("y1") - col("y0")))
+        val wSeg = Window.partitionBy(col("u"), col("b0"))
+        df = df
+          .withColumn("mx", max(col("a2")).over(wSeg))
+          .withColumn("mpos", min(when(col("a2") === col("mx"), col("pos"))).over(wSeg))
+          .withColumn("k", col("k") ||
+            (col("pos") === col("mpos") &&
+              col("a2").cast("decimal(38,0)") * col("a2") >
+                eps2 * col("len2").cast("decimal(38,0)")))
+          .drop("b0", "x0", "y0", "x1", "y1", "a2", "len2", "mx", "mpos")
+      }
+      df.filter(col("k")).select(col("u").as("user_id"),
+        col("pos"), col("x"), col("y"))
+    }),
     "q238_admin_hierarchy" -> ((s, dir) => {
       // containment hierarchy (reverse geocoding's admin-tree build):
       // each contained rect resolves its DIRECT parent = the
@@ -2302,6 +2356,62 @@ object SpatialQueries {
     * every track. */
   val DecimateT = 1000000000L
 
+  /** q239's split tolerance in e3 milli-degrees (50°·10³: the synthetic
+    * tracks jump across the whole map, so chord distances are ~10⁵ e3
+    * units — 50° finalizes some chords in every round while others
+    * split to the full depth; measured non-degenerate at every sf). */
+  val DpEpsE3 = 50000L
+
+  /** q239's oracle: the identical K-round Douglas-Peucker recurrence as
+    * chained CTEs (one per round; each references only its predecessor,
+    * so DuckDB's textual inlining stays linear). */
+  private def dpSimplifySql(rounds: Int): String = {
+    val eps2 = DpEpsE3 * DpEpsE3
+    val base =
+      """t0 AS (
+        |  SELECT u, pos, x, y, pos = 1 OR pos = np AS k FROM (
+        |    SELECT user_id AS u,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+        |      COUNT(*) OVER (PARTITION BY user_id) AS np,
+        |      event_id*17 % 320000 - 160000 AS x,
+        |      event_id*23 % 150000 - 75000 AS y
+        |    FROM events))""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""t$r AS (
+         |  SELECT u, pos, x, y,
+         |    k OR (pos = mpos AND CAST(a2 AS HUGEINT) * a2 >
+         |      $eps2 * CAST(len2 AS HUGEINT)) AS k
+         |  FROM (
+         |    SELECT u, pos, x, y, k, a2, len2, mx, b0,
+         |      MIN(CASE WHEN a2 = mx THEN pos END)
+         |        OVER (PARTITION BY u, b0) AS mpos
+         |    FROM (
+         |      SELECT u, pos, x, y, k, a2, len2, b0,
+         |        MAX(a2) OVER (PARTITION BY u, b0) AS mx
+         |      FROM (
+         |        SELECT u, pos, x, y, k, b0,
+         |          CASE WHEN k THEN NULL
+         |            ELSE abs((x1-x0)*(y-y0) - (y1-y0)*(x-x0)) END AS a2,
+         |          (x1-x0)*(x1-x0) + (y1-y0)*(y1-y0) AS len2
+         |        FROM (
+         |          SELECT u, pos, x, y, k,
+         |            last_value(CASE WHEN k THEN pos END IGNORE NULLS) OVER wp AS b0,
+         |            last_value(CASE WHEN k THEN x END IGNORE NULLS) OVER wp AS x0,
+         |            last_value(CASE WHEN k THEN y END IGNORE NULLS) OVER wp AS y0,
+         |            first_value(CASE WHEN k THEN x END IGNORE NULLS) OVER wf AS x1,
+         |            first_value(CASE WHEN k THEN y END IGNORE NULLS) OVER wf AS y1
+         |          FROM t${r - 1}
+         |          WINDOW wp AS (PARTITION BY u ORDER BY pos
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |            wf AS (PARTITION BY u ORDER BY pos
+         |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))))
+         |)""".stripMargin
+    }
+    s"""WITH $base,
+       |${rs.mkString(",\n")}
+       |SELECT u AS user_id, pos, x, y FROM t$rounds WHERE k""".stripMargin
+  }
+
   /** One oracle for both multipolygon paths — the salted plan must
     * reproduce the auto plan's rows exactly. */
   private lazy val multiPipOracle: String =
@@ -2379,6 +2489,7 @@ object SpatialQueries {
         |  FROM i GROUP BY 1, 2, 3)
         |SELECT grp, sx, CAST(SUM(len) AS BIGINT) AS len
         |FROM isle GROUP BY 1, 2""".stripMargin,
+    "q239_simplify_dp" -> dpSimplifySql(3),
     // independent formulation: the quadratic bbox containment join the
     // Spark plan's corner-cell prefilter exists to avoid
     "q238_admin_hierarchy" ->

@@ -576,6 +576,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p240.contains("Join"), "q240 must plan no join:\n" +
       p240.linesIterator.take(30).mkString("\n"))
     Bench.clearState(spark)
+    // q239's DP rounds are window arithmetic over user-keyed
+    // partitions only — never a segment×vertex join, never a global
+    // window
+    val q239 = SparkEntry.queries("q239_simplify_dp")(spark, sfSmoke)
+    val w239 = q239.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(w239.nonEmpty && w239.forall(_.nonEmpty),
+      "q239 windows must all be key-partitioned")
+    assert(!formatted(q239).contains("Join"), "q239 must plan no join")
+    Bench.clearState(spark)
   }
 
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {

@@ -77,6 +77,63 @@ class NewWaveSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
+  test("q239 bounded-depth DP equals an independent recursive implementation") {
+    // the oracle mirrors the window recurrence digit-for-digit, so an
+    // INDEPENDENT check matters: classic recursive DP, depth-limited
+    // to the same K=3 BFS levels, on the collected tracks
+    val eps2 = BigInt(queries.SpatialQueries.DpEpsE3) *
+      BigInt(queries.SpatialQueries.DpEpsE3)
+    val tracks = queries.Tables.events(spark, sfSmoke)
+      .select(col("user_id"),
+        (col("event_id") * 17 % 320000 - 160000).as("x"),
+        (col("event_id") * 23 % 150000 - 75000).as("y"),
+        col("ts"), col("event_id"))
+      .collect()
+      .map { r =>
+        val ts = r.getAs[java.time.LocalDateTime](3)
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          ts.toEpochSecond(java.time.ZoneOffset.UTC), ts.getNano, r.getLong(4))
+      }
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._4, r._5, r._6))
+          .map(r => (r._2, r._3)).toIndexedSeq
+      }
+    def dp(pts: IndexedSeq[(Long, Long)], i0: Int, i1: Int, depth: Int,
+        kept: collection.mutable.Set[Int]): Unit = {
+      if (depth == 0 || i1 - i0 < 2) return
+      val (x0, y0) = pts(i0); val (x1, y1) = pts(i1)
+      val len2 = BigInt(x1 - x0) * (x1 - x0) + BigInt(y1 - y0) * (y1 - y0)
+      val (best, a2) = (i0 + 1 until i1).map { i =>
+        val (x, y) = pts(i)
+        (i, ((x1 - x0) * (y - y0) - (y1 - y0) * (x - x0)).abs)
+      }.minBy { case (i, a) => (-a, i) }
+      if (BigInt(a2) * a2 > eps2 * len2) {
+        kept += best
+        dp(pts, i0, best, depth - 1, kept)
+        dp(pts, best, i1, depth - 1, kept)
+      }
+    }
+    val want = tracks.toSeq.flatMap { case (u, pts) =>
+      val kept = collection.mutable.Set(0, pts.size - 1)
+      dp(pts, 0, pts.size - 1, 3, kept)
+      kept.map(i => (u, i + 1L)) // pos is 1-based
+    }.toSet
+    val got = SparkEntry.queries("q239_simplify_dp")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    assert(got === want)
+    Bench.clearState(spark)
+    // non-degeneracy lives at the driver's gate scale (sf0.001 tracks
+    // are too short to clear the 50° tolerance): at sf0.01 some chords
+    // finalize early AND some split — never all-endpoints, never the
+    // full 2+7 per track
+    val gotSmall = SparkEntry.queries("q239_simplify_dp")(spark, sfSmall)
+      .collect().map(r => r.getLong(0)).groupBy(identity).map(_._2.length)
+    assert(gotSmall.exists(_ > 2) && gotSmall.exists(_ < 9),
+      gotSmall.groupBy(identity).map { case (k, v) => k -> v.size }.toString)
+    Bench.clearState(spark)
+  }
+
   test("q240 ring successor matches a brute scan; rows move only to the joining node") {
     import queries.RelationalQueries.ShardRing
     def bruteOwner(h: Long, ring: Seq[(Long, Long)]): Long =
