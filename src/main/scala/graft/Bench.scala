@@ -98,7 +98,10 @@ object Bench {
     "q231_lsh_recall_eval", "q232_cocitation", "q233_decay_score",
     "q234_minhash_estimate", "q235_lisa", "q236_chunk_dedup",
     "q237_incremental_union_area", "q238_admin_hierarchy",
-    "q239_simplify_dp", "q240_shard_rebalance")
+    "q239_simplify_dp", "q240_shard_rebalance",
+    "q241_incremental_hotspot", "q242_theilsen_trend",
+    "q243_percentile_bands", "q244_buffered_union_area",
+    "q245_containment_probe", "q246_phash_neardup")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -115,6 +115,62 @@ object DedupQueries {
           jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
     }),
     "q13_minhash_lsh_pairs" -> ((s, dir) => lshPairs(s, dir)),
+    "q245_containment_probe" -> ((s, dir) => {
+      // asymmetric near-CONTAINMENT join (excerpt / quotation
+      // detection): probe docs are synthetic excerpts — the middle
+      // 60% token slice of every 5th document, the realistic quoted-
+      // passage shape — and a probe A matches corpus doc B when
+      // |sh(A) ∩ sh(B)| ≥ 0.8·|sh(A)|. This is the t<1 generalization
+      // of q200's exact set containment and the ASYMMETRIC
+      // counterpart of q142's Jaccard PPJoin: symmetric banding (q13)
+      // structurally misses a short-inside-long pair (its Jaccard is
+      // tiny however perfect the containment), which is why the op
+      // exists. Prefix-filter lemma, containment form: if the match
+      // holds, at most ⌊|A|/5⌋ of A's shingles fall outside B, so
+      // A's first ⌊|A|/5⌋+1 shingles under ANY global order
+      // (rarest-first (df, shingle) keeps candidate lists short)
+      // must hit sh(B) — candidates are an equi-join of that short
+      // prefix against the corpus shingle index, exact verify linear
+      // in candidates, never probe×corpus. Each probe provably
+      // matches its own source (a contiguous slice's 3-shingles are
+      // a subset of the source's), so the result is non-vacuous at
+      // every sf. Oracle: the brute-force quadratic containment
+      // join — the shape the prefix filter exists to avoid.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val probe = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), concat_ws(" ",
+          slice(col("ts"), expr("size(ts) div 5 + 1"),
+            expr("3 * size(ts) div 5"))).as("text"))
+      val probeSh = shingleRowsOf(probe)
+        .select(col("doc_id").as("probe_id"), col("shingle"))
+      val corpusSh = shingleRows(s, dir)
+      val df = corpusSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val sizes = probeSh.groupBy(col("probe_id")).agg(count(lit(1)).as("na"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("df"), col("shingle"))
+      val prefix = probeSh.join(df, "shingle")
+        .withColumn("rn", row_number().over(w))
+        .join(sizes, "probe_id")
+        .filter(col("rn") <= expr("na div 5 + 1"))
+        .select(col("probe_id"), col("shingle"))
+      val cand = prefix.join(corpusSh, "shingle")
+        .select(col("probe_id"), col("doc_id")).distinct()
+      val probeSets = probeSh.groupBy(col("probe_id"))
+        .agg(collect_set(col("shingle")).as("sh_a"))
+      cand
+        .join(probeSets, "probe_id")
+        .join(shingleSets(s, dir).select(col("doc_id"), col("sh").as("sh_b")),
+          "doc_id")
+        .filter(intersectSize(col("sh_a"), col("sh_b")) * 5 >=
+          size(col("sh_a")) * 4)
+        .withColumn("inter", intersectSize(col("sh_a"), col("sh_b")).cast("long"))
+        .withColumn("na", size(col("sh_a")).cast("long"))
+        // integer div, NOT Column./ (double division — the q142 bug)
+        .select(col("probe_id"), col("doc_id"),
+          expr("inter * 1000000 div na").as("cont_ppm"))
+    }),
     "q231_lsh_recall_eval" -> ((s, dir) => {
       // banding-recall evaluation — the metric that TUNES q13's
       // (bands, rows) parameters: verified LSH pairs are a subset of
@@ -699,6 +755,32 @@ object DedupQueries {
         |SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies
         |FROM du GROUP BY text""".stripMargin,
     "q12_ngram_jaccard_pairs" -> allPairsJaccardOracle,
+    // independent formulation: brute-force quadratic containment —
+    // exactly the shape the Spark plan's prefix filter exists to avoid
+    "q245_containment_probe" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |     for i in range(1, len(ts)-1)]) AS sh
+        |  FROM toks WHERE len(ts) >= 3),
+        |ptoks AS (
+        |  SELECT doc_id AS probe_id,
+        |    [ts[i] for i in range(len(ts)//5 + 1,
+        |                          len(ts)//5 + 3*len(ts)//5 + 1)] AS ts
+        |  FROM toks WHERE doc_id % 5 = 0 AND len(ts) >= 5),
+        |psh AS (
+        |  SELECT probe_id, list_distinct(
+        |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |     for i in range(1, len(ts)-1)]) AS sh
+        |  FROM ptoks WHERE len(ts) >= 3)
+        |SELECT p.probe_id, d.doc_id,
+        |  CAST(len(list_intersect(p.sh, d.sh))::BIGINT * 1000000
+        |    // len(p.sh) AS BIGINT) AS cont_ppm
+        |FROM psh p JOIN sh d
+        |  ON len(list_intersect(p.sh, d.sh)) * 5 >= 4 * len(p.sh)""".stripMargin,
     "q231_lsh_recall_eval" ->
       s"""WITH $lshCtes,
          |truep AS (

@@ -130,6 +130,59 @@ object FunctionQueries {
           lower(hex(expr("substring(video, fidx*16 + 1, 16)"))).as("frame_hex"),
           length(col("video")).cast("long").as("n_bytes"))
     }),
+    "q246_phash_neardup" -> ((s, dir) => {
+      // perceptual-hash near-duplicate IMAGE detection — the
+      // multimodal member of the dedup family (q13 text MinHash, q14
+      // SimHash; this is aHash over an opaque 32-byte "thumbnail"
+      // BINARY column). The codec is the honest stub (offline
+      // container, cf. q103/q137): a real deployment decodes pixels
+      // first; here the thumbnail bytes are deterministic md5 chunks,
+      // with every 9th document carrying its PREDECESSOR's thumbnail
+      // perturbed by one byte — the planted near-dup pairs. The
+      // Spark-side plumbing is the real pipeline: fingerprint =
+      // 32-bit mean-threshold aHash computed from the BINARY by byte
+      // arithmetic, candidates from a 4x8-bit band equi-join (never
+      // all-pairs), verify = bit_count(xor) <= 3 on candidates only.
+      // With 4 bands and <= 3 differing bits, pigeonhole guarantees
+      // one clean band, so banding is EXACT at this threshold — the
+      // brute-force quadratic oracle must agree pair-for-pair.
+      val sid = when(col("doc_id") % 9 === 1, col("doc_id") - 1)
+        .otherwise(col("doc_id"))
+      val h0 = concat(md5(concat(lit("img:"), sid)),
+        md5(concat(lit("img2:"), sid)))
+      val hexStr = when(col("doc_id") % 9 === 1,
+        concat(expr("substring(h0, 1, (doc_id % 16) * 2)"), lit("00"),
+          expr("substring(h0, (doc_id % 16) * 2 + 3, 64)")))
+        .otherwise(col("h0"))
+      val img = Tables.documents(s, dir)
+        .select(col("doc_id"), h0.as("h0"))
+        .select(col("doc_id"), unhex(hexStr).as("img"))
+      // feature extraction reads ONLY the binary column
+      val bytes = (1 to 32).map(i =>
+        conv(hex(substring(col("img"), i, 1)), 16, 10).cast("long").as(s"b$i"))
+      val withB = img.select(col("doc_id") +: bytes: _*)
+        .withColumn("s", (1 to 32).map(i => col(s"b$i")).reduce(_ + _))
+      val fp = (1 to 32).map(i =>
+        when(col(s"b$i") * 32 > col("s"), lit(1L << (i - 1))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val fps = withB.select(col("doc_id"), fp.as("fp"))
+      val bands = fps.select(col("doc_id"), col("fp"),
+        explode(array((0 to 3).map(k => struct(lit(k).as("band"),
+          shiftright(col("fp"), 8 * k).bitwiseAND(lit(255L)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("fp"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
+          col("band"), col("key"))
+        .join(bands.select(col("doc_id").as("id_b"), col("fp").as("fp_b"),
+          col("band"), col("key")), Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
     "q103_png_header" -> ((s, dir) => {
       // real binary-format decode with NO codec library: a PNG
       // signature + IHDR chunk is assembled as actual bytes (unhex /
@@ -238,6 +291,35 @@ object FunctionQueries {
          |  CAST(length(video_hex) // 2 AS BIGINT) AS n_bytes
          |FROM v, unnest([$strides]) AS t(fidx)""".stripMargin
     },
+    // independent formulation: brute-force quadratic hamming join —
+    // exact at threshold 3 (pigeonhole over the 4 bands), so the
+    // banded plan must reproduce it pair-for-pair
+    "q246_phash_neardup" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 1 THEN doc_id - 1 ELSE doc_id END AS sid
+        |  FROM documents),
+        |hx0 AS (SELECT doc_id,
+        |    md5('img:' || sid) || md5('img2:' || sid) AS h0
+        |  FROM src),
+        |hx AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 1 THEN
+        |      substr(h0, 1, CAST((doc_id % 16) * 2 AS INT)) || '00'
+        |        || substr(h0, CAST((doc_id % 16) * 2 + 3 AS INT), 64)
+        |    ELSE h0 END AS h
+        |  FROM hx0),
+        |bytes AS (SELECT doc_id, i,
+        |    CAST('0x' || substr(h, CAST(2*i - 1 AS INT), 2) AS BIGINT) AS b
+        |  FROM hx, range(1, 33) t(i)),
+        |st AS (SELECT doc_id, SUM(b) AS s FROM bytes GROUP BY 1),
+        |fp AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN b * 32 > s THEN 1::BIGINT << CAST(i - 1 AS INT)
+        |      ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bytes JOIN st USING (doc_id) GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     "q103_png_header" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 2048 AS BIGINT) AS width,

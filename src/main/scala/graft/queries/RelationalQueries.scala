@@ -640,6 +640,74 @@ object RelationalQueries {
         .agg(max(col("n")).as("n"),
           min(col("v_bp")).as("median_lo"), max(col("v_bp")).as("median_hi"))
     }),
+    "q242_theilsen_trend" -> ((s, dir) => {
+      // Theil-Sen robust trend per event-type cohort — the
+      // median-of-pairwise-slopes estimator (29% breakdown point) a
+      // drift monitor (q109/q180) escalates to when outliers poison
+      // the mean. Scale shape: the event stream first reduces to
+      // <= 30 (type, day) daily sums (exact bp), so the pairwise
+      // slope set is a self-join of a BOUNDED aggregate — <= C(30,2)
+      // = 435 pairs per cohort, never the event stream squared.
+      // Slopes are exact e6 FLOOR quotients spelled
+      // (num − pmod(num, dd)) div dd — an identity both engines
+      // evaluate identically whatever their native division rounding
+      // (num divisible by dd after the pmod subtraction). Median =
+      // q133's lower/upper order-statistic pair over the per-cohort
+      // pair window (total order: slope, d1, d2).
+      val daily = events(s, dir)
+        .select(col("event_type"), (col("event_id") % 30).as("day"),
+          round(col("value") * 10000, 0).cast("long").as("v_bp"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("v_bp")).as("v"))
+      val a = daily.select(col("event_type"), col("day").as("d1"), col("v").as("v1"))
+      val b = daily.select(col("event_type"), col("day").as("d2"), col("v").as("v2"))
+      val pairs = a.join(b, Seq("event_type"))
+        .filter(col("d2") > col("d1"))
+        .select(col("event_type"), col("d1"), col("d2"),
+          ((col("v2") - col("v1")) * 1000000L).as("num"),
+          (col("d2") - col("d1")).as("dd"))
+        .select(col("event_type"), col("d1"), col("d2"),
+          expr("(num - pmod(num, dd)) div dd").as("slope_e6"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("slope_e6"), col("d1"), col("d2"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      pairs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("n div 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_pairs"),
+          min(col("slope_e6")).as("slope_lo_e6"),
+          max(col("slope_e6")).as("slope_hi_e6"))
+    }),
+    "q243_percentile_bands" -> ((s, dir) => {
+      // exact per-source P10/P50/P90 length band — q133's
+      // order-statistic machinery generalized to the percentile
+      // guardrails a curation pipeline alarms on: rank_p =
+      // ceil(p·n/100) picks the exact LOWER order statistic (no
+      // interpolation, no floats); one source-partitioned window,
+      // <= 3 surviving rows per source fold into the band by
+      // conditional aggregation.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(10 * n + 99) div 100") ||
+          col("rn") === expr("(50 * n + 99) div 100") ||
+          col("rn") === expr("(90 * n + 99) div 100"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(10 * n + 99) div 100"), col("n_chars"))).as("p10"),
+          max(when(col("rn") === expr("(50 * n + 99) div 100"), col("n_chars"))).as("p50"),
+          max(when(col("rn") === expr("(90 * n + 99) div 100"), col("n_chars"))).as("p90"))
+    }),
     "q129_interval_overlap" -> ((s, dir) => {
       // interval x interval OVERLAP join (temporal/range analytics'
       // other half next to q65's point-in-interval): both interval
@@ -1244,6 +1312,44 @@ object RelationalQueries {
         |SELECT e.event_id, i.o_orderkey
         |FROM events e JOIN intervals i
         |  ON e.value BETWEEN i.lo AND i.hi""".stripMargin,
+    // same floor-quotient identity (num − pmod) // dd spelled with
+    // DuckDB's C-style % (sign of dividend) made nonnegative
+    "q242_theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, event_id % 30 AS day,
+        |    CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+        |    (b.v - a.v) * 1000000 AS num, b.day - a.day AS dd
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day > a.day),
+        |sl AS (SELECT event_type, d1, d2,
+        |    CAST((num - ((num % dd) + dd) % dd) // dd AS BIGINT) AS slope_e6
+        |  FROM p),
+        |r AS (SELECT event_type, slope_e6,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY slope_e6, d1, d2) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM sl)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+        |  MIN(slope_e6) AS slope_lo_e6, MAX(slope_e6) AS slope_hi_e6
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY event_type""".stripMargin,
+    "q243_percentile_bands" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+        |  MAX(CASE WHEN rn = (10*n + 99) // 100 THEN n_chars END) AS p10,
+        |  MAX(CASE WHEN rn = (50*n + 99) // 100 THEN n_chars END) AS p50,
+        |  MAX(CASE WHEN rn = (90*n + 99) // 100 THEN n_chars END) AS p90
+        |FROM r
+        |WHERE rn = (10*n + 99) // 100 OR rn = (50*n + 99) // 100
+        |   OR rn = (90*n + 99) // 100
+        |GROUP BY source""".stripMargin,
     "q133_group_median" ->
       """WITH v AS (
         |  SELECT event_type, event_id,

@@ -1212,6 +1212,35 @@ object SpatialQueries {
         .select(col("grp"), col("n_rects"), col("area_e2"), col("sum_e2"),
           expr("10000 * area_e2 div sum_e2").as("dissolve_bp"))
     }),
+    "q244_buffered_union_area" -> ((s, dir) => {
+      // buffer-then-dissolve — the axis-aligned Minkowski inflation a
+      // coverage/service-area pipeline runs before a union, kept
+      // EXACT: every rect grows B=3 deci-degrees on each side, so the
+      // integer strip decomposition stays unit-exact and q160's
+      // factored machinery applies unchanged to the inflated layer
+      // (a true round buffer needs arc geometry; the axis-aligned
+      // square buffer is the standard grid-exact stand-in). Output
+      // compares dissolved area before vs after buffering per layer —
+      // growth lands strictly below the naive per-rect inflation
+      // wherever buffering bridges gaps < 2B (that bridging is the
+      // operator's purpose). Same two-window one-exchange plan as
+      // q160, run once per layer variant.
+      val B = 3
+      val r = Tables.orders(s, dir).select(
+        (col("o_orderkey") % 8).as("grp"),
+        ((col("o_orderkey") * 13 % 320) * 10 - 1600).as("x010"),
+        ((col("o_orderkey") * 29 % 150) * 10 - 750).as("y0i"),
+        (lit(15) + (col("o_orderkey") % 16) * 2).as("w10"),
+        (lit(15) + (col("o_orderkey") * 3 % 16) * 2).as("h10"))
+      val buffered = r.select(col("grp"),
+        (col("x010") - B).as("x010"), (col("y0i") - B).as("y0i"),
+        (col("w10") + 2 * B).as("w10"), (col("h10") + 2 * B).as("h10"))
+      unionAreaByStrips(r).withColumnRenamed("area_e2", "raw_e2")
+        .join(unionAreaByStrips(buffered).withColumnRenamed("area_e2", "buf_e2"),
+          Seq("grp"))
+        .select(col("grp"), col("raw_e2"), col("buf_e2"),
+          expr("10000 * buf_e2 div raw_e2").as("growth_bp"))
+    }),
     "q237_incremental_union_area" -> ((s, dir) => {
       // IVM of the DISSOLVED-area view (q160) under a rectangle change
       // batch — the dissolve/union axis of the IVM family (q60 join,
@@ -1727,35 +1756,56 @@ object SpatialQueries {
           q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
         .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
         .cache()
-      val stats = base.agg(sum(col("cnt")).as("tt"),
-        sum(col("cnt") * col("cnt")).as("ss"))
-      val nbr = base
-        .select(col("ix"), col("iy"), col("cnt"),
-          explode(sequence(lit(-1), lit(1))).as("dx"))
-        .select((col("ix") + col("dx")).as("tx"), col("iy"), col("cnt"),
-          explode(sequence(lit(-1), lit(1))).as("dy"))
-        .select(col("tx"), (col("iy") + col("dy")).as("ty"), col("cnt"))
-        .filter(col("tx") >= 0 && col("tx") < n && col("ty") >= 0 && col("ty") < n)
-        .groupBy(col("tx"), col("ty"))
-        .agg(sum(col("cnt")).as("wsum"))
-      val dec = (c: Column) => c.cast("decimal(38,0)")
-      val bigN = lit(n * n)
-      val w = (least(col("tx") + 1, lit(n - 1)) - greatest(col("tx") - 1, lit(0L)) + 1) *
-        (least(col("ty") + 1, lit(n - 1)) - greatest(col("ty") - 1, lit(0L)) + 1)
-      nbr
-        .join(base, col("tx") === col("ix") && col("ty") === col("iy"), "left")
-        .crossJoin(broadcast(stats))
-        .withColumn("w", w)
-        .withColumn("num", bigN * col("wsum") - col("tt") * col("w"))
-        .withColumn("hot2",
-          dec(col("num")) * dec(col("num")) * dec(bigN - 1) >
-            dec(lit(4)) * (dec(bigN) * dec(col("ss")) - dec(col("tt")) * dec(col("tt"))) *
-              dec(bigN * col("w") - col("w") * col("w")))
-        .select(col("tx"), col("ty"), coalesce(col("cnt"), lit(0L)).as("cnt"),
-          col("w"), col("wsum"),
-          when(col("num") > 0 && col("hot2"), lit("hot"))
-            .when(col("num") < 0 && col("hot2"), lit("cold"))
-            .otherwise(lit("none")).as("flag"))
+      giStarFlags(base, n)
+    }),
+    "q241_incremental_hotspot" -> ((s, dir) => {
+      // IVM of q187's Gi* hot/cold map under the standard document
+      // change batch — the SPATIAL-STATISTIC member of the IVM family
+      // (q237 dissolve, q136 pyramid, q171 counters, q124 clusters,
+      // ...): cell counts decompose ADDITIVELY over documents (q171's
+      // counter delta), so maintenance re-extracts points from the
+      // TOUCHED docs only — O(touched docs' entities), never a corpus
+      // re-scan; the Gi* re-derive (3x3 scatter + three global
+      // scalars + the exact-integer z² test) then runs ENTIRELY on
+      // the maintained <= n² occupied-cell table, independent of
+      // corpus size. Global statistics (tt, ss) shifting under the
+      // batch means every cell's flag may legitimately flip — the
+      // bounded-table re-derive, not a per-cell pass-through, is the
+      // correct incremental shape for a GLOBAL statistic (cf. q226's
+      // global-threshold heavy hitters). The stored raster is rebuilt
+      // in-query as oracle scaffolding (q52/q70 adjudication); oracle
+      // = q187's full formulation on the post-change corpus.
+      val n = graft.geo.CellIndex.width(7)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      def raster(pts: DataFrame): DataFrame = pts
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5).select(col("doc_id"))
+      val affected = updated.select(col("doc_id")).union(deletedIds).distinct()
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      val stored = raster(SynthUniverse.points(s, dir))
+      val removed = raster(SynthUniverse.points(s, dir)
+          .join(affected, Seq("doc_id"), "left_semi"))
+        .withColumnRenamed("cnt", "r")
+      val added = raster(SynthUniverse.pointsOf(updatedLive))
+        .withColumnRenamed("cnt", "a")
+      val maintained = stored
+        .join(removed, Seq("ix", "iy"), "full_outer")
+        .join(added, Seq("ix", "iy"), "full_outer")
+        .select(col("ix"), col("iy"),
+          (coalesce(col("cnt"), lit(0L)) - coalesce(col("r"), lit(0L)) +
+            coalesce(col("a"), lit(0L))).as("cnt"))
+        .filter(col("cnt") > 0)
+        .cache()
+      giStarFlags(maintained, n)
     }),
     "q189_adaptive_tiles" -> ((s, dir) => {
       // Adaptive quadtree binning across the north star's res 7..12
@@ -2282,6 +2332,44 @@ object SpatialQueries {
     * (observed in DuckDB). Never inclusion-exclusion, never a pair
     * join. UnionAreaPropSpec checks it against brute force on random
     * (non-grid-aligned) rectangles. */
+  /** Getis-Ord Gi*-style hot/cold classification over an occupied-cell
+    * raster (ix, iy, cnt) on an n×n lattice — q187's derivation,
+    * factored so q241's IVM can run it on a MAINTAINED raster. The
+    * population is the full lattice (empty cells carry x = 0); the
+    * |z| > 2 test is the exact-integer num²·(N−1) > 4·S2N·(N·W − W²)
+    * in DECIMAL(38,0). Callers cache `base` (read three times). */
+  private def giStarFlags(base: DataFrame, n: Long): DataFrame = {
+    val stats = base.agg(sum(col("cnt")).as("tt"),
+      sum(col("cnt") * col("cnt")).as("ss"))
+    val nbr = base
+      .select(col("ix"), col("iy"), col("cnt"),
+        explode(sequence(lit(-1), lit(1))).as("dx"))
+      .select((col("ix") + col("dx")).as("tx"), col("iy"), col("cnt"),
+        explode(sequence(lit(-1), lit(1))).as("dy"))
+      .select(col("tx"), (col("iy") + col("dy")).as("ty"), col("cnt"))
+      .filter(col("tx") >= 0 && col("tx") < n && col("ty") >= 0 && col("ty") < n)
+      .groupBy(col("tx"), col("ty"))
+      .agg(sum(col("cnt")).as("wsum"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val bigN = lit(n * n)
+    val w = (least(col("tx") + 1, lit(n - 1)) - greatest(col("tx") - 1, lit(0L)) + 1) *
+      (least(col("ty") + 1, lit(n - 1)) - greatest(col("ty") - 1, lit(0L)) + 1)
+    nbr
+      .join(base, col("tx") === col("ix") && col("ty") === col("iy"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", w)
+      .withColumn("num", bigN * col("wsum") - col("tt") * col("w"))
+      .withColumn("hot2",
+        dec(col("num")) * dec(col("num")) * dec(bigN - 1) >
+          dec(lit(4)) * (dec(bigN) * dec(col("ss")) - dec(col("tt")) * dec(col("tt"))) *
+            dec(bigN * col("w") - col("w") * col("w")))
+      .select(col("tx"), col("ty"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("w"), col("wsum"),
+        when(col("num") > 0 && col("hot2"), lit("hot"))
+          .when(col("num") < 0 && col("hot2"), lit("cold"))
+          .otherwise(lit("none")).as("flag"))
+  }
+
   private[graft] def unionAreaByStrips(r: DataFrame): DataFrame =
     mergeStripIvals(stripIvals(r))
       .groupBy(col("grp")).agg(sum(col("len")).as("area_e2"))
@@ -2365,6 +2453,45 @@ object SpatialQueries {
   /** q239's oracle: the identical K-round Douglas-Peucker recurrence as
     * chained CTEs (one per round; each references only its predecessor,
     * so DuckDB's textual inlining stays linear). */
+  /** q187/q241's shared Gi* oracle — `pointsWith` supplies the CTE(s)
+    * ending in a `points(doc_id, entity, lon, lat)` relation (the raw
+    * corpus for q187, the post-change corpus for q241's IVM). */
+  private def giStarOracle(pointsWith: String): String = {
+    val n = graft.geo.CellIndex.width(7)
+    val bigN = n * n
+    s"""WITH $pointsWith,
+       |b AS (SELECT
+       |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+       |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy
+       |  FROM points),
+       |c AS (SELECT ix, iy, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |g AS (SELECT SUM(cnt) AS tt, SUM(cnt*cnt) AS ss FROM c),
+       |nbr AS (SELECT ix + dx AS tx, iy + dy AS ty,
+       |    CAST(SUM(cnt) AS BIGINT) AS wsum
+       |  FROM c, range(-1, 2) t1(dx), range(-1, 2) t2(dy)
+       |  WHERE ix + dx BETWEEN 0 AND ${n - 1} AND iy + dy BETWEEN 0 AND ${n - 1}
+       |  GROUP BY 1, 2),
+       |j AS (SELECT nbr.tx, nbr.ty, COALESCE(c.cnt, 0) AS cnt, nbr.wsum,
+       |    (LEAST(nbr.tx + 1, ${n - 1}) - GREATEST(nbr.tx - 1, 0) + 1)
+       |      * (LEAST(nbr.ty + 1, ${n - 1}) - GREATEST(nbr.ty - 1, 0) + 1) AS w,
+       |    g.tt, g.ss
+       |  FROM nbr LEFT JOIN c ON c.ix = nbr.tx AND c.iy = nbr.ty CROSS JOIN g),
+       |k AS (SELECT tx, ty, cnt, w, wsum,
+       |    $bigN * wsum - tt * w AS num,
+       |    CAST($bigN * wsum - tt * w AS HUGEINT)
+       |      * CAST($bigN * wsum - tt * w AS HUGEINT)
+       |      * ${bigN - 1}::HUGEINT >
+       |    4::HUGEINT * ($bigN::HUGEINT * CAST(ss AS HUGEINT)
+       |        - CAST(tt AS HUGEINT) * CAST(tt AS HUGEINT))
+       |      * CAST($bigN * w - w * w AS HUGEINT) AS hot2
+       |  FROM j)
+       |SELECT tx, ty, cnt, w, wsum,
+       |  CASE WHEN num > 0 AND hot2 THEN 'hot'
+       |       WHEN num < 0 AND hot2 THEN 'cold'
+       |       ELSE 'none' END AS flag
+       |FROM k""".stripMargin
+  }
+
   private def dpSimplifySql(rounds: Int): String = {
     val eps2 = DpEpsE3 * DpEpsE3
     val base =
@@ -2461,6 +2588,40 @@ object SpatialQueries {
         |SELECT t.grp, n_rects, area_e2, sum_e2,
         |  CAST(10000 * area_e2 // sum_e2 AS BIGINT) AS dissolve_bp
         |FROM tot t JOIN merged USING (grp)""".stripMargin,
+    // both layer variants re-derived by the same strip-merge chain,
+    // once over the raw rects and once over the inflated ones
+    "q244_buffered_union_area" -> {
+      def chain(src: String, out: String): String =
+        s"""strips_$out AS (SELECT DISTINCT grp,
+           |    unnest(generate_series(x010, x010 + w10 - 1)) AS sx,
+           |    y0i, y0i + h10 AS y1i FROM $src),
+           |m_$out AS (SELECT grp, sx, y0i, y1i,
+           |    MAX(y1i) OVER (PARTITION BY grp, sx ORDER BY y0i, y1i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+           |  FROM strips_$out),
+           |i_$out AS (SELECT grp, sx, y0i, y1i,
+           |    SUM(CASE WHEN runmax IS NULL OR y0i > runmax THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY grp, sx ORDER BY y0i, y1i
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           |  FROM m_$out),
+           |isle_$out AS (SELECT grp, sx, isl, MAX(y1i) - MIN(y0i) AS len
+           |  FROM i_$out GROUP BY 1, 2, 3),
+           |$out AS (SELECT grp, CAST(SUM(len) AS BIGINT) AS area_e2
+           |  FROM isle_$out GROUP BY 1)""".stripMargin
+      s"""WITH r AS (SELECT o_orderkey % 8 AS grp,
+         |    (o_orderkey*13 % 320)*10 - 1600 AS x010,
+         |    (o_orderkey*29 % 150)*10 - 750 AS y0i,
+         |    15 + (o_orderkey % 16)*2 AS w10,
+         |    15 + (o_orderkey*3 % 16)*2 AS h10
+         |  FROM orders),
+         |buf AS (SELECT grp, x010 - 3 AS x010, y0i - 3 AS y0i,
+         |    w10 + 6 AS w10, h10 + 6 AS h10 FROM r),
+         |${chain("r", "raw")},
+         |${chain("buf", "bufu")}
+         |SELECT raw.grp, raw.area_e2 AS raw_e2, bufu.area_e2 AS buf_e2,
+         |  CAST(10000 * bufu.area_e2 // raw.area_e2 AS BIGINT) AS growth_bp
+         |FROM raw JOIN bufu USING (grp)""".stripMargin
+    },
     // full strip-level re-merge of the POST-change rect set — the
     // incremental plan must reproduce it byte-for-byte
     "q237_incremental_union_area" ->
@@ -3271,41 +3432,16 @@ object SpatialQueries {
         |  FROM rolled WHERE n < 10)
         |SELECT * FROM pub UNION ALL SELECT * FROM pp
         |UNION ALL SELECT * FROM res""".stripMargin,
-    "q187_getis_hotspot" -> {
-      val n = graft.geo.CellIndex.width(7)
-      val bigN = n * n
-      s"""WITH ${SynthSql.pointsCte},
-         |b AS (SELECT
-         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
-         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy
-         |  FROM points),
-         |c AS (SELECT ix, iy, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
-         |g AS (SELECT SUM(cnt) AS tt, SUM(cnt*cnt) AS ss FROM c),
-         |nbr AS (SELECT ix + dx AS tx, iy + dy AS ty,
-         |    CAST(SUM(cnt) AS BIGINT) AS wsum
-         |  FROM c, range(-1, 2) t1(dx), range(-1, 2) t2(dy)
-         |  WHERE ix + dx BETWEEN 0 AND ${n - 1} AND iy + dy BETWEEN 0 AND ${n - 1}
-         |  GROUP BY 1, 2),
-         |j AS (SELECT nbr.tx, nbr.ty, COALESCE(c.cnt, 0) AS cnt, nbr.wsum,
-         |    (LEAST(nbr.tx + 1, ${n - 1}) - GREATEST(nbr.tx - 1, 0) + 1)
-         |      * (LEAST(nbr.ty + 1, ${n - 1}) - GREATEST(nbr.ty - 1, 0) + 1) AS w,
-         |    g.tt, g.ss
-         |  FROM nbr LEFT JOIN c ON c.ix = nbr.tx AND c.iy = nbr.ty CROSS JOIN g),
-         |k AS (SELECT tx, ty, cnt, w, wsum,
-         |    $bigN * wsum - tt * w AS num,
-         |    CAST($bigN * wsum - tt * w AS HUGEINT)
-         |      * CAST($bigN * wsum - tt * w AS HUGEINT)
-         |      * ${bigN - 1}::HUGEINT >
-         |    4::HUGEINT * ($bigN::HUGEINT * CAST(ss AS HUGEINT)
-         |        - CAST(tt AS HUGEINT) * CAST(tt AS HUGEINT))
-         |      * CAST($bigN * w - w * w AS HUGEINT) AS hot2
-         |  FROM j)
-         |SELECT tx, ty, cnt, w, wsum,
-         |  CASE WHEN num > 0 AND hot2 THEN 'hot'
-         |       WHEN num < 0 AND hot2 THEN 'cold'
-         |       ELSE 'none' END AS flag
-         |FROM k""".stripMargin
-    },
+    "q187_getis_hotspot" -> giStarOracle(SynthSql.pointsCte),
+    // identical Gi* formulation over the POST-change corpus — the
+    // incremental plan must reproduce every flag byte-for-byte
+    "q241_incremental_hotspot" -> giStarOracle(
+      s"""final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 5),
+         |${SynthSql.pointsCte.replace("FROM documents", "FROM final")}""".stripMargin),
     "q189_adaptive_tiles" -> {
       val n12 = graft.geo.CellIndex.width(12)
       def pack(r: Int, x: String, y: String): String =

@@ -589,6 +589,50 @@ class PlanSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
+  test("q241-q246 wave: no cross beyond broadcast scalars, key-partitioned windows, banded joins") {
+    // q241's only crossJoin is the broadcast one-row (tt, ss) stats
+    // frame (q187's adjudicated shape); everything else is an
+    // equi-join of bounded aggregates
+    for (q <- Seq("q241_incremental_hotspot", "q242_theilsen_trend",
+        "q243_percentile_bands", "q244_buffered_union_area",
+        "q245_containment_probe", "q246_phash_neardup")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+    // q242's median window partitions by cohort; q243's by source;
+    // q245's prefix rank by probe — never a global window
+    for (q <- Seq("q242_theilsen_trend", "q243_percentile_bands",
+        "q245_containment_probe")) {
+      val ws = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+        }
+      assert(ws.nonEmpty && ws.forall(_.nonEmpty),
+        s"$q windows must all be key-partitioned")
+      Bench.clearState(spark)
+    }
+    // q246's candidate generation is a (band, key) equi-join — the
+    // quadratic hamming join is the oracle's shape, not the plan's
+    val p246 = SparkEntry.queries("q246_phash_neardup")(spark, sfSmoke)
+    val joins246 = p246.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins246.forall(_.condition.isDefined),
+      "q246 joins must all carry conditions (banded equi-join)")
+    assert(!formatted(p246).contains("Window"), "q246 must stay window-free")
+    Bench.clearState(spark)
+    // q244 runs the q160 strip merge twice; every window is
+    // (grp, sx)-partitioned
+    val w244 = SparkEntry.queries("q244_buffered_union_area")(spark, sfSmoke)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+    assert(w244.nonEmpty && w244.forall(_.size == 2),
+      "q244 windows must partition by (grp, sx)")
+    Bench.clearState(spark)
+  }
+
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cell_at",

@@ -134,6 +134,43 @@ class NewWaveSpec extends SparkTestBase {
     Bench.clearState(spark)
   }
 
+  test("q245 containment: every probe matches its source at exactly 100%") {
+    // a contiguous token slice's 3-shingles are a subset of the
+    // source's — so the prefix-filtered plan must surface EVERY
+    // (probe, source) self-pair at cont_ppm = 1e6; missing one means
+    // the prefix lemma was violated (candidates lost)
+    val rows = SparkEntry.queries("q245_containment_probe")(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val probes = queries.Tables.documents(spark, sfSmall)
+      .filter(col("doc_id") % 5 === 0 &&
+        size(split(lower(col("text")), "\\s+")) >= 5)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(probes.nonEmpty)
+    probes.foreach { p =>
+      assert(rows.get((p, p)).contains(1000000L), s"probe $p missing self-match")
+    }
+    // and at least one NON-self match exists (the corpus carries
+    // genuine cross-document containment)
+    assert(rows.keys.exists { case (a, b) => a != b })
+    Bench.clearState(spark)
+  }
+
+  test("q246 phash: planted perturbed-thumbnail pairs surface; hamming bounded") {
+    val pairs = SparkEntry.queries("q246_phash_neardup")(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.nonEmpty)
+    pairs.values.foreach(h => assert(h >= 0 && h <= 3))
+    // most planted (d-1, d) pairs (d % 9 == 1) survive: one byte of
+    // 32 changed, so typically <= a few threshold bits flip
+    val maxId = queries.Tables.documents(spark, sfSmall)
+      .agg(max(col("doc_id"))).collect().head.getLong(0)
+    val planted = (1L to maxId).filter(d => d % 9 == 1 && d - 1 >= 0)
+    val found = planted.count(d => pairs.contains((d - 1, d)))
+    assert(found * 2 > planted.size,
+      s"only $found of ${planted.size} planted pairs surfaced")
+    Bench.clearState(spark)
+  }
+
   test("q240 ring successor matches a brute scan; rows move only to the joining node") {
     import queries.RelationalQueries.ShardRing
     def bruteOwner(h: Long, ring: Seq[(Long, Long)]): Long =
