@@ -101,7 +101,9 @@ object Bench {
     "q239_simplify_dp", "q240_shard_rebalance",
     "q241_incremental_hotspot", "q242_theilsen_trend",
     "q243_percentile_bands", "q244_buffered_union_area",
-    "q245_containment_probe", "q246_phash_neardup")
+    "q245_containment_probe", "q246_phash_neardup",
+    "q247_template_prefix", "q248_ann_recall", "q249_weighted_sample",
+    "q250_incremental_chunk_dedup")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

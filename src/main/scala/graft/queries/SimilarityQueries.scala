@@ -201,6 +201,34 @@ object SimilarityQueries {
         .select(col("id_a"), col("id_b"),
           round(col("cos") * 1e9, 0).cast("long").as("cos_ppb"))
     }),
+    "q248_ann_recall" -> ((s, dir) => {
+      // recall@k evaluation of the bucketed ANN (q20) against the
+      // exact top-k ground truth (q19's machinery) — the metric that
+      // TUNES the vector-side index, completing the eval family
+      // (q231/q234 are the MinHash-side diagnostics). Ground truth =
+      // exact top-3 per query; ANN = sign-LSH bucket top-3; recall =
+      // |∩| / 3 in exact ppm. The exact side is the declared
+      // brute-force baseline (broadcast probe) — at corpus scale
+      // ground truth is computed on a sampled query subset, which is
+      // precisely what the %50 probe set is.
+      val exact = topK(cosinePairs(s, dir), 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val e = embAsDouble(s, dir).withColumn("bucket", signBucket(col("v")))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      val annPairs = e.join(broadcast(q), "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cos(col("v"), col("qv")).as("cos"))
+      val ann = topK(annPairs, 3).select(col("query_id"), col("neighbor_id"))
+      val hits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("coalesce(n_hit, 0) * 1000000 div n_exact").as("recall_ppm"))
+    }),
     "q76_kmeans_assign" -> ((s, dir) => {
       // Lloyd k-means (the IVF coarse quantizer TRAINED instead of
       // picked): 2 iterations on an exact integer grid — vectors
@@ -394,6 +422,39 @@ object SimilarityQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p)
          |WHERE rank <= 3""".stripMargin,
+    // the exact and banded top-3 legs re-derived independently, then
+    // intersected — recall must agree to the last ppm digit
+    "q248_ann_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN (embedding::DOUBLE[])[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |       for i in range(0, 6)]), (x,y) -> x+y) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id % 50 = 0),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        $dotSql / (${normSql("a", "v")} * ${normSql("q", "qv")}) DESC,
+         |        a.vec_id ASC) AS rank
+         |    FROM e a, q WHERE a.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |an AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        $dotSql / (${normSql("a", "v")} * ${normSql("q", "qv")}) DESC,
+         |        a.vec_id ASC) AS rank
+         |    FROM e a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |h AS (SELECT an.query_id, COUNT(*) AS n_hit
+         |  FROM an JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+         |g AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+         |SELECT g.query_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(n_hit, 0) * 1000000 // n_exact AS BIGINT) AS recall_ppm
+         |FROM g LEFT JOIN h USING (query_id)""".stripMargin,
     "q21_ivf_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),

@@ -481,6 +481,117 @@ object TextQueries {
           (col("n_chunks") - coalesce(col("kept"), lit(0L))).as("dropped"),
           coalesce(col("new_text"), lit("")).as("new_text"))
     }),
+    "q247_template_prefix" -> ((s, dir) => {
+      // per-source boilerplate PREFIX detection (template stripping —
+      // the scraper-artifact removal a web pipeline runs before
+      // dedup): sources carry a planted per-source banner
+      // (repeat('promo ', 1 + len(source) % 3) || 'breaking : '
+      // prepended in-query; both engines derive the same corpus),
+      // and the operator recovers, per source, the longest token
+      // prefix shared by ALL of the source's documents. Per
+      // (source, pos) over the first K=16 tokens a position is
+      // prefix-common iff every doc reaches it (cnt = n_docs) and
+      // all agree (ndv = 1); lcp = first failing position − 1 (a
+      // min-AGGREGATE — no window anywhere); the template string
+      // reassembles from the agreed tokens. Cost: one narrow K-token
+      // explode + bounded (source, pos) aggregates — never a doc×doc
+      // comparison, never a corpus-length sort.
+      val K = 16
+      val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        concat(expr("repeat('promo ', 1 + length(source) % 3)"),
+          lit("breaking : "), col("text")).as("text"))
+      val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tp = docs
+        .select(col("source"),
+          posexplode(slice(tokens(col("text")), 1, K)).as(Seq("p0", "tok")))
+        .select(col("source"), (col("p0") + 1).as("pos"), col("tok"))
+      val perPos = tp.groupBy(col("source"), col("pos"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("tok")).as("ndv"),
+          max(col("tok")).as("tok"))
+        .join(nd, "source")
+      val bad = perPos
+        .filter(col("cnt") =!= col("n_docs") || col("ndv") =!= 1)
+        .groupBy(col("source")).agg(min(col("pos")).as("firstBad"))
+      val lcp = nd.join(bad, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          (coalesce(col("firstBad"), lit(K + 1)) - 1).cast("long").as("lcp"))
+      val templ = perPos
+        .join(lcp.select(col("source"), col("lcp")), "source")
+        .filter(col("pos") <= col("lcp"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("template"))
+      lcp.join(templ, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("lcp"),
+          coalesce(col("template"), lit("")).as("template"))
+    }),
+    "q249_weighted_sample" -> ((s, dir) => {
+      // deterministic weighted bottom-k sampling (priority sampling,
+      // Duffield/Lund/Thorup shape, RNG-free): each doc draws
+      // u = hash60(doc_id) and competes with priority key = u div w
+      // (exact integer, u ~ 2^60 so the quantization is ppb-level —
+      // a doc with weight w is ~w times likelier to land in the
+      // bottom-k than a unit-weight doc); per
+      // source the k=8 smallest keys win. Completes the sampling
+      // family's third axis (q77/q93 fixed-ratio, q211
+      // distribution-matched, this importance-WEIGHTED). One narrow
+      // key computation + one source-partitioned top-k window (the
+      // rank runs on ≤k survivors per partition under
+      // TakeOrdered-style pruning; partitions are sources, bounded).
+      val w8 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("key"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          (lit(1L) + col("n_chars") % 5).as("w"),
+          hash60(col("doc_id").cast("string")).as("u"))
+        .withColumn("key", expr("u div w"))
+        .withColumn("rank", row_number().over(w8).cast("long"))
+        .filter(col("rank") <= 8)
+        .select(col("source"), col("rank"), col("doc_id"), col("w"), col("key"))
+    }),
+    "q250_incremental_chunk_dedup" -> ((s, dir) => {
+      // IVM of q236's chunk first-occurrence winner table — IVM
+      // member #15, the SUB-document dedup axis. Winners are
+      // min-structs per chunk, and a min over a changed multiset can
+      // ROLL BACK (delete the winning doc → the next occurrence must
+      // win), so unlike q171's pure counter deltas the affected
+      // chunks re-derive from their POST postings: affected = chunks
+      // appearing in the touched docs' old text ∪ the updated docs'
+      // new text; their surviving postings come from the chunk index
+      // (q95's maintained postings in production — rebuilt here as
+      // oracle scaffolding), so the re-derive is O(postings of
+      // affected chunks), never a corpus re-chunk; every other
+      // chunk's winner passes through ONE anti-join untouched.
+      // Oracle: full winner recompute on the post-change corpus.
+      def chunksOf(d: DataFrame): DataFrame = d
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("ts"),
+          explode(expr("sequence(0, (size(ts) - 1) div 8)")).as("p"))
+        .select(col("doc_id"), col("p"),
+          array_join(slice(col("ts"), (col("p") * 8 + 1).cast("int"), lit(8)), " ")
+            .as("chunk"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5).select(col("doc_id"))
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      val touchedIds = updated.select(col("doc_id")).union(deletedIds).distinct()
+      val stored = chunksOf(docs).groupBy(col("chunk"))
+        .agg(min(struct(col("doc_id"), col("p"))).as("f"))
+      val affChunks = chunksOf(docs.join(touchedIds, Seq("doc_id"), "left_semi"))
+        .select(col("chunk"))
+        .union(chunksOf(updatedLive).select(col("chunk")))
+        .distinct()
+      val untouchedPost = chunksOf(docs.join(touchedIds, Seq("doc_id"), "left_anti"))
+        .join(affChunks, Seq("chunk"), "left_semi")
+      val rederived = untouchedPost.unionByName(chunksOf(updatedLive))
+        .groupBy(col("chunk")).agg(min(struct(col("doc_id"), col("p"))).as("f"))
+      stored.join(affChunks, Seq("chunk"), "left_anti")
+        .unionByName(rederived)
+        .select(col("chunk"), col("f.doc_id").as("doc_id"), col("f.p").as("p"))
+    }),
     "q87_chunk_overlap" -> ((s, dir) => {
       // context-window chunking: fixed-size character chunks with
       // overlap (stride = size − overlap), the batch-assembly stage
@@ -1784,6 +1895,58 @@ object TextQueries {
         |  n_chunks - COALESCE(kept, 0) AS dropped,
         |  COALESCE(new_text, '') AS new_text
         |FROM nc LEFT JOIN re USING (doc_id)""".stripMargin,
+    "q247_template_prefix" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    repeat('promo ', CAST(1 + length(source) % 3 AS INT))
+        |      || 'breaking : ' || text AS text
+        |  FROM documents),
+        |toks AS (SELECT source, doc_id,
+        |    string_split_regex(lower(text), '\s+') AS ts FROM d),
+        |nd AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
+        |tp AS (SELECT source, doc_id, i AS pos, ts[CAST(i AS INT)] AS tok
+        |  FROM toks, range(1, 17) t(i) WHERE i <= len(ts)),
+        |pp AS (SELECT source, pos, COUNT(*) AS cnt,
+        |    COUNT(DISTINCT tok) AS ndv, MAX(tok) AS tok
+        |  FROM tp GROUP BY 1, 2),
+        |bad AS (SELECT pp.source, MIN(pos) AS fb
+        |  FROM pp JOIN nd USING (source)
+        |  WHERE cnt <> n_docs OR ndv <> 1 GROUP BY 1),
+        |lcp AS (SELECT nd.source, n_docs,
+        |    CAST(COALESCE(fb, 17) - 1 AS BIGINT) AS lcp
+        |  FROM nd LEFT JOIN bad USING (source)),
+        |tmpl AS (SELECT pp.source,
+        |    string_agg(tok, ' ' ORDER BY pos) AS template
+        |  FROM pp JOIN lcp USING (source) WHERE pos <= lcp GROUP BY 1)
+        |SELECT source, n_docs, lcp, COALESCE(template, '') AS template
+        |FROM lcp LEFT JOIN tmpl USING (source)""".stripMargin,
+    "q249_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT source, doc_id, 1 + n_chars % 5 AS w,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS u
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, w, u // w AS key,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY u // w, doc_id) AS rank
+        |  FROM k)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(w AS BIGINT) AS w, CAST(key AS BIGINT) AS key
+        |FROM r WHERE rank <= 8""".stripMargin,
+    // full winner recompute on the post-change corpus — the
+    // incremental plan must reproduce it row-for-row
+    "q250_incremental_chunk_dedup" ->
+      """WITH post AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |t AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS ts FROM post),
+        |ch AS (SELECT doc_id, p,
+        |    array_to_string(ts[p*8+1 : p*8+8], ' ') AS chunk
+        |  FROM t, LATERAL unnest(generate_series(0, (len(ts)-1)//8)) AS tp(p))
+        |SELECT chunk, doc_id, p FROM ch
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY chunk
+        |  ORDER BY doc_id, p) = 1""".stripMargin,
     "q87_chunk_overlap" ->
       """WITH offs AS (
         |  SELECT doc_id, text,

@@ -595,7 +595,9 @@ class PlanSpec extends SparkTestBase {
     // equi-join of bounded aggregates
     for (q <- Seq("q241_incremental_hotspot", "q242_theilsen_trend",
         "q243_percentile_bands", "q244_buffered_union_area",
-        "q245_containment_probe", "q246_phash_neardup")) {
+        "q245_containment_probe", "q246_phash_neardup",
+        "q247_template_prefix", "q248_ann_recall", "q249_weighted_sample",
+        "q250_incremental_chunk_dedup")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
@@ -630,6 +632,22 @@ class PlanSpec extends SparkTestBase {
       }
     assert(w244.nonEmpty && w244.forall(_.size == 2),
       "q244 windows must partition by (grp, sx)")
+    Bench.clearState(spark)
+    // q247's lcp pick is a min-AGGREGATE and q250's winner pick a
+    // min-struct aggregate — a window would sort the hot boilerplate
+    // group on one reducer
+    for (q <- Seq("q247_template_prefix", "q250_incremental_chunk_dedup")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("Window"), s"$q must stay window-free")
+      Bench.clearState(spark)
+    }
+    // q249's bottom-k window partitions by source — never global
+    val w249 = SparkEntry.queries("q249_weighted_sample")(spark, sfSmoke)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+    assert(w249.nonEmpty && w249.forall(_.nonEmpty),
+      "q249 windows must be source-partitioned")
     Bench.clearState(spark)
   }
 
