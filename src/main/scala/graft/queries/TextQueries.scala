@@ -1297,9 +1297,7 @@ object TextQueries {
       val D = 4; val W = 256L
       val terms = Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("term"))
-      def cells(term: org.apache.spark.sql.Column) =
-        array((0 until D).map(j => struct(lit(j).as("j"),
-          pmod(hash60(concat(lit(s"cms$j:"), term)), lit(W)).as("bkt"))): _*)
+      def cells(term: org.apache.spark.sql.Column) = cmsCells(term, D, W)
       val counters = terms
         .select(explode(cells(col("term"))).as("c"))
         .groupBy(col("c.j").as("j"), col("c.bkt").as("bkt"))

@@ -36,6 +36,16 @@ object TextFunctions {
   def hash60Seeded(seed: Int, c: Column): Column =
     hash60(concat(lit(s"$seed:"), c))
 
+  /** Count-Min sketch cell coordinates of a term: array of d
+    * (j, bkt = hash60("cms<j>:" || term) mod w) structs — the ONE
+    * definition shared by batch q217, its DuckDB oracle recipe, and
+    * the streaming maintenance face ([[graft.streaming.SketchStream]]),
+    * so the sketch a stream maintains is mergeable with any sketch a
+    * batch job built. */
+  def cmsCells(term: Column, d: Int, w: Long): Column =
+    array((0 until d).map(j => struct(lit(j).as("j"),
+      pmod(hash60(concat(lit(s"cms$j:"), term)), lit(w)).as("bkt"))): _*)
+
   // MinHash permutation family h_i(x) = (A_i * x32 + B_i) mod P over
   // the 32 low bits of the base hash — ONE md5 per shingle, then 16
   // overflow-free integer permutations (A_i < 2^29, x32 < 2^32 =>
