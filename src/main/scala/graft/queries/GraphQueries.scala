@@ -42,6 +42,24 @@ object GraphQueries {
         (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
   }
 
+  /** q161's multi-source bounded-hop BFS, factored so q253's IVM can
+    * run it as the stored layer: per round ONE frontier⋈links
+    * equi-join on src + one left_anti vs visited, round-local
+    * distinct. Returns (doc_id, hops), unreached nodes absent. */
+  private def bfsHops(seeds: DataFrame, lnk: DataFrame, k: Int): DataFrame = {
+    var visited = seeds.select(col("doc_id"), lit(0L).as("hops"))
+    var frontier = visited.select(col("doc_id"))
+    for (h <- 1 to k) {
+      val next = frontier.join(lnk, frontier("doc_id") === lnk("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(h.toLong).as("hops"))
+      visited = visited.unionByName(next)
+      frontier = next.select(col("doc_id"))
+    }
+    visited
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_triangles" -> ((s, dir) => {
       // triangle count — the textbook distributed formulation: orient
@@ -92,19 +110,7 @@ object GraphQueries {
       // from any seed, hops <= 4; unreached docs are absent.
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val n = docs.count()
-      val lnk = links(docs, n)
-      var visited = docs.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id"), lit(0L).as("hops"))
-      var frontier = visited.select(col("doc_id"))
-      for (k <- 1 to 4) {
-        val next = frontier.join(lnk, frontier("doc_id") === lnk("src"))
-          .select(col("dst").as("doc_id")).distinct()
-          .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), lit(k.toLong).as("hops"))
-        visited = visited.unionByName(next)
-        frontier = next.select(col("doc_id"))
-      }
-      visited
+      bfsHops(docs.filter(col("doc_id") % 50 === 0), links(docs, n), 4)
     }),
     "q90_pagerank" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
@@ -219,6 +225,115 @@ object GraphQueries {
         .withColumnRenamed("rank", "rank2")
       graft.operators.IncrementalPageRank.maintain(
         postDocs, baseLinks, postLinks, touched, rank1Stored, rank2Stored)
+    }),
+    "q251_harmonic_centrality" -> ((s, dir) => {
+      // bounded-hop (K=4) harmonic centrality c(x) = Σ_u 1/d(u, x)
+      // over d <= K — the principled centrality on disconnected
+      // graphs (the Boldi-Vigna axiom set; closeness degenerates),
+      // carried EXACT as ×12 integers (12 = lcm(1..4), so 1/h folds
+      // to 12 div h with zero loss). Shape: the (u, x) reach-pair
+      // frontier — per round ONE links⋈frontier equi-join (pair
+      // extends one hop on the u side) + one anti-join vs seen
+      // pairs; pair count is bounded by n·|ball(K)| (out-degree 3 ⟹
+      // ball <= 120), the bounded-degree bounded-K regime where
+      // EXACT balls beat sketches. Unbounded-degree graphs swap in
+      // HyperBall — per-node HLL registers (q224's machinery) driven
+      // by the same loop — trading exactness for O(n log log n)
+      // state; this exact variant doubles as its calibration oracle.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val lnk = links(docs, n)
+      var seen = docs.select(col("doc_id").as("u"), col("doc_id").as("x"))
+      var frontier = seen
+      val perHop = (1 to 4).map { h =>
+        val nxt = lnk.join(frontier, lnk("dst") === frontier("u"))
+          .select(lnk("src").as("u"), frontier("x")).distinct()
+          .join(seen, Seq("u", "x"), "left_anti")
+        seen = seen.union(nxt)
+        frontier = nxt
+        nxt.groupBy(col("x"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("x"), col("cnt"), lit((12 / h).toLong).as("w12"))
+      }
+      perHop.reduce(_ unionByName _)
+        .groupBy(col("x"))
+        .agg(sum(col("cnt") * col("w12")).as("harmonic_x12"),
+          sum(col("cnt")).as("n_reach"))
+        .select(col("x").as("doc_id"), col("harmonic_x12"), col("n_reach"))
+    }),
+    "q252_graph_audit" -> ((s, dir) => {
+      // link-graph ingest QA — the health gates a crawl pipeline
+      // checks BEFORE spending a PageRank/HITS pass on a new
+      // snapshot: edge multiplicity (parallel duplicates), self-loop
+      // count, reciprocity share, degree extremes. Graph = q173's
+      // heterogeneous variant (closed-form base + doc→doc%10 hub
+      // edges, so every metric is non-trivial). All metrics are
+      // map-side-combined aggregates or semi-join counts over the
+      // edge list; the single-row result assembles from broadcast
+      // one-row frames. Exact integers (share in bp).
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = links(docs, n).unionByName(
+        docs.select(col("doc_id").as("src"), (col("doc_id") % 10).as("dst")))
+      val dedup = e.distinct()
+      val totals = e.agg(count(lit(1)).as("m"),
+        sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("self_loops"))
+      val md = dedup.agg(count(lit(1)).as("m_distinct"))
+      val nonLoop = dedup.filter(col("src") =!= col("dst"))
+      val recip = nonLoop.join(
+          nonLoop.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("recip_edges"))
+      val nonLoopCnt = nonLoop.agg(count(lit(1)).as("m_nonloop"))
+      val degOut = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d")).as("max_out"))
+      val degIn = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d")).as("max_in"))
+      totals.crossJoin(broadcast(md)).crossJoin(broadcast(recip))
+        .crossJoin(broadcast(nonLoopCnt))
+        .crossJoin(broadcast(degOut)).crossJoin(broadcast(degIn))
+        .select(col("m"), col("m_distinct"),
+          (col("m") - col("m_distinct")).as("dup_edges"),
+          col("self_loops"), col("recip_edges"),
+          expr("recip_edges * 10000 div m_nonloop").as("recip_bp"),
+          col("max_out"), col("max_in"))
+    }),
+    "q253_incremental_bfs" -> ((s, dir) => {
+      // IVM of q161's bounded-hop BFS distances under q164's
+      // edge-rewire batch — IVM #16, the REACHABILITY axis. Halo
+      // proof: a node's K-hop distance is a min over seed paths, and
+      // a path's length changes only if it crosses a changed edge
+      // u→w; every such w lands in D = old ∪ new out-neighbors of
+      // the rewired/deleted docs, and the path's suffix w→…→x has
+      // length <= K−1 in whichever graph carried it (vanished OLD
+      // path ⟹ base edges; new path ⟹ post edges) — so only nodes
+      // reachable from D within K−1 hops in the UNION graph can
+      // change. Every other live node's stored distance passes
+      // through one anti-join; halo nodes re-derive by K relaxation
+      // rounds over post edges INTO the halo, reading boundary
+      // distances from the stored (provably unchanged) layer.
+      // Deleted docs leave the output AND the edge set (an edge to a
+      // deleted dst is dangling — paths may not continue through
+      // it). Stored layer rebuilt in-query as oracle scaffolding
+      // (q52/q70/q164 adjudication). Oracle: full BFS recompute on
+      // the post graph.
+      val K = 4
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val baseLinks = links(docs, n)
+      val postDocs = docs.filter(col("doc_id") % 13 =!= 5)
+      val postLinksAll = postDocs.select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(k =>
+          when(col("doc_id") % 7 === 3, pmod(col("doc_id") * 37 + k * 11, lit(n)))
+            .otherwise(pmod(col("doc_id") * 31 + k * 7, lit(n)))): _*)).as("dst"))
+      val stored = bfsHops(docs.filter(col("doc_id") % 50 === 0),
+        baseLinks, K)
+      val changedSrc = docs
+        .filter(col("doc_id") % 7 === 3 || col("doc_id") % 13 === 5)
+        .select(col("doc_id").as("src"))
+      graft.operators.IncrementalBfs.maintain(postDocs, baseLinks,
+        postLinksAll, changedSrc, stored,
+        postDocs.filter(col("doc_id") % 50 === 0), K)
     }),
     "q176_hits" -> ((s, dir) => {
       // HITS hubs & authorities (Kleinberg) — PageRank's bipartite
@@ -664,6 +779,66 @@ object GraphQueries {
         |  UNION
         |  SELECT l.dst AS doc_id, r.hops + 1 AS hops
         |  FROM r JOIN links l ON l.src = r.doc_id WHERE r.hops < 4)
+        |SELECT doc_id, CAST(MIN(hops) AS BIGINT) AS hops
+        |FROM r GROUP BY 1""".stripMargin,
+    "q251_harmonic_centrality" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM documents),
+        |links AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |r AS (
+        |  SELECT doc_id AS u, doc_id AS x, 0 AS h FROM documents
+        |  UNION
+        |  SELECT l.src AS u, r.x, r.h + 1
+        |  FROM r JOIN links l ON l.dst = r.u WHERE r.h < 4),
+        |m AS (SELECT u, x, MIN(h) AS h FROM r GROUP BY 1, 2)
+        |SELECT x AS doc_id, CAST(SUM(12 // h) AS BIGINT) AS harmonic_x12,
+        |  COUNT(*) AS n_reach
+        |FROM m WHERE h > 0 GROUP BY x""".stripMargin,
+    "q252_graph_audit" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |e AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id % 10 AS dst FROM documents),
+        |dd AS (SELECT DISTINCT src, dst FROM e),
+        |nl AS (SELECT * FROM dd WHERE src <> dst),
+        |recip AS (SELECT COUNT(*) AS recip_edges FROM nl a
+        |  WHERE EXISTS (SELECT 1 FROM nl b
+        |    WHERE b.src = a.dst AND b.dst = a.src)),
+        |t AS (SELECT COUNT(*) AS m,
+        |    CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS self_loops
+        |  FROM e),
+        |mdc AS (SELECT COUNT(*) AS m_distinct FROM dd),
+        |nlc AS (SELECT COUNT(*) AS m_nonloop FROM nl),
+        |dout AS (SELECT CAST(MAX(d) AS BIGINT) AS max_out
+        |  FROM (SELECT COUNT(*) AS d FROM e GROUP BY src)),
+        |din AS (SELECT CAST(MAX(d) AS BIGINT) AS max_in
+        |  FROM (SELECT COUNT(*) AS d FROM e GROUP BY dst))
+        |SELECT m, m_distinct, m - m_distinct AS dup_edges, self_loops,
+        |  CAST(recip_edges AS BIGINT) AS recip_edges,
+        |  CAST(recip_edges * 10000 // m_nonloop AS BIGINT) AS recip_bp,
+        |  max_out, max_in
+        |FROM t, mdc, recip, nlc, dout, din""".stripMargin,
+    // full BFS recompute on the post graph (dangling edges dropped) —
+    // the halo plan must reproduce it row-for-row
+    "q253_incremental_bfs" ->
+      """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        |post AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 5),
+        |l0 AS (
+        |  SELECT d.doc_id AS src,
+        |    CASE WHEN d.doc_id % 7 = 3 THEN (d.doc_id*37 + 11*k) % nn.n
+        |         ELSE (d.doc_id*31 + 7*k) % nn.n END AS dst
+        |  FROM post d CROSS JOIN nn, range(1, 4) t(k)),
+        |l AS (SELECT src, dst FROM l0
+        |  WHERE dst IN (SELECT doc_id FROM post)),
+        |r AS (
+        |  SELECT doc_id, 0 AS hops FROM post WHERE doc_id % 50 = 0
+        |  UNION
+        |  SELECT l.dst, r.hops + 1 FROM r JOIN l ON l.src = r.doc_id
+        |  WHERE r.hops < 4)
         |SELECT doc_id, CAST(MIN(hops) AS BIGINT) AS hops
         |FROM r GROUP BY 1""".stripMargin,
     "q90_pagerank" ->

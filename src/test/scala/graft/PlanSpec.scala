@@ -597,7 +597,8 @@ class PlanSpec extends SparkTestBase {
         "q243_percentile_bands", "q244_buffered_union_area",
         "q245_containment_probe", "q246_phash_neardup",
         "q247_template_prefix", "q248_ann_recall", "q249_weighted_sample",
-        "q250_incremental_chunk_dedup")) {
+        "q250_incremental_chunk_dedup", "q251_harmonic_centrality",
+        "q253_incremental_bfs")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
@@ -649,6 +650,13 @@ class PlanSpec extends SparkTestBase {
     assert(w249.nonEmpty && w249.forall(_.nonEmpty),
       "q249 windows must be source-partitioned")
     Bench.clearState(spark)
+    // q251/q253's frontier loops are equi-join + aggregate rounds —
+    // window-free end to end
+    for (q <- Seq("q251_harmonic_centrality", "q253_incremental_bfs")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("Window"), s"$q must stay window-free")
+      Bench.clearState(spark)
+    }
   }
 
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
