@@ -1284,6 +1284,91 @@ object SpatialQueries {
       stored.join(touched, Seq("grp", "sx"), "left_anti")
         .unionByName(remerged)
     }),
+    "q254_viterbi_map_match" -> ((s, dir) => {
+      // HMM map-matching by Viterbi — the REAL map-matcher (q118's
+      // nearest-segment pick is its memoryless baseline): per track
+      // point, emission cost = e3 distance to each of R=8 candidate
+      // roads (fixed horizontal corridors), transition cost =
+      // λ·|road switch|, and the minimal total-cost assignment solves
+      // the classic DP. Plan shape: ONE shuffle on user_id — the
+      // track collects into a sorted array and the whole DP folds
+      // inside `aggregate()` (codegen higher-order functions, state =
+      // the R-vector of path costs; the legitimate sequential-fold
+      // case, cf. q167/SequencePack). Exact BIGINT costs; the oracle
+      // unrolls the identical recurrence as a recursive CTE with R
+      // explicit state columns, so both engines walk the same
+      // integers. Output: per user the optimal cost and final road
+      // (argmin, first index on ties).
+      val R = 8; val Lam = 30000L
+      def road(j: Int) = -70000L + j * 20000L
+      val tr = Tables.events(s, dir)
+        .select(col("user_id").as("u"), col("ts"), col("event_id"),
+          (col("event_id") * 23 % 150000 - 75000).as("y"))
+        .groupBy(col("u"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("y")))).as("tk"))
+      val initCosts = array((0 until R).map(j =>
+        abs(element_at(col("tk"), 1).getField("y") - lit(road(j)))): _*)
+      val folded = aggregate(
+        slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+        initCosts,
+        (acc, p) => array((0 until R).map { j =>
+          abs(p.getField("y") - lit(road(j))) +
+            array_min(array((0 until R).map(i =>
+              element_at(acc, i + 1) + lit(Lam * math.abs(i - j))): _*))
+        }: _*))
+      tr.select(col("u").as("user_id"),
+          size(col("tk")).cast("long").as("n_points"), folded.as("costs"))
+        .select(col("user_id"), col("n_points"),
+          array_min(col("costs")).as("total_cost"),
+          (expr("array_position(costs, array_min(costs))") - 1)
+            .cast("long").as("best_road"))
+    }),
+    "q255_join_cardinality_estimate" -> ((s, dir) => {
+      // histogram-based spatial-join cardinality estimation — the
+      // OPTIMIZER-STATISTICS operator behind every salting/broadcast
+      // decision this engine makes (the PIP join's histogram pre-pass
+      // is its online cousin): per coarse res-5 tile, the candidate
+      // count a coarse uniform model predicts (NA·NB div 64 — 8×8
+      // res-8 children per tile) vs the EXACT candidate count the
+      // res-8 cell join would produce (Σ_child na·nb), error in ppm.
+      // Large errors mark skew — exactly the tiles the salted path
+      // exists for. Two bounded histograms (≤4^res rows), one
+      // equi-join on the child cell, everything integer.
+      val f = 256L // res-8 grid
+      def q8(v: Column, scale: Double, off: Double): Column = {
+        val x = floor((v + off) / scale * f).cast("long")
+        when(x < 0, lit(0L)).when(x >= f, lit(f - 1)).otherwise(x)
+      }
+      val pts = SynthUniverse.points(s, dir)
+        .select(q8(col("lon"), 360.0, 180.0).as("ix"),
+          q8(col("lat"), 180.0, 90.0).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("na"))
+      val ways = SynthUniverse.ways(s, dir)
+        .withColumn("ix", explode(sequence(
+          q8(col("x0"), 360.0, 180.0), q8(col("x0") + col("w"), 360.0, 180.0))))
+        .withColumn("iy", explode(sequence(
+          q8(col("y0"), 180.0, 90.0), q8(col("y0") + col("h"), 180.0, 90.0))))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("nb"))
+      val joined = pts.join(ways, Seq("ix", "iy"))
+        .select(expr("ix div 8").as("cx"), expr("iy div 8").as("cy"),
+          col("na"), col("nb"), (col("na") * col("nb")).as("pairs"))
+      val fine = joined.groupBy(col("cx"), col("cy"))
+        .agg(sum(col("pairs")).as("actual"))
+      val coarseA = pts.groupBy(expr("ix div 8").as("cx"),
+          expr("iy div 8").as("cy"))
+        .agg(sum(col("na")).as("na5"))
+      val coarseB = ways.groupBy(expr("ix div 8").as("cx"),
+          expr("iy div 8").as("cy"))
+        .agg(sum(col("nb")).as("nb5"))
+      coarseA.join(coarseB, Seq("cx", "cy"))
+        .join(fine, Seq("cx", "cy"), "left")
+        .select(col("cx"), col("cy"), col("na5"), col("nb5"),
+          expr("na5 * nb5 div 64").as("est"),
+          coalesce(col("actual"), lit(0L)).as("actual"))
+        .withColumn("err_ppm",
+          expr("abs(est - actual) * 1000000 div greatest(actual, 1)"))
+    }),
     "q239_simplify_dp" -> ((s, dir) => {
       // Douglas-Peucker polyline simplification, bounded-depth — the
       // OTHER classic simplifier beside q114's one-pass Visvalingam:
@@ -2492,6 +2577,40 @@ object SpatialQueries {
        |FROM k""".stripMargin
   }
 
+  /** q254's oracle: the identical Viterbi recurrence as a recursive
+    * CTE with R explicit state columns (c0..c7) and generated LEAST
+    * chains — both engines walk the same BIGINTs step for step. */
+  private def viterbiSql: String = {
+    val R = 8; val lam = 30000L
+    def road(j: Int) = -70000L + j * 20000L
+    def em(j: Int, ref: String) = s"abs($ref - (${road(j)}))"
+    val initCols = (0 until R).map(j => s"${em(j, "y")} AS c$j").mkString(", ")
+    val stepCols = (0 until R).map { j =>
+      val best = (0 until R)
+        .map(i => s"r.c$i + ${lam * math.abs(i - j)}")
+        .mkString("LEAST(", ", ", ")")
+      s"${em(j, "t.y")} + $best AS c$j"
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT user_id AS u,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS pos,
+       |    event_id*23 % 150000 - 75000 AS y,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS np
+       |  FROM events),
+       |r AS (
+       |  SELECT u, pos, np, $initCols FROM t WHERE pos = 1
+       |  UNION ALL
+       |  SELECT t.u, t.pos, t.np, $stepCols
+       |  FROM r JOIN t ON t.u = r.u AND t.pos = r.pos + 1),
+       |fin AS (SELECT u, np, [c0, c1, c2, c3, c4, c5, c6, c7] AS cs
+       |  FROM r WHERE pos = np)
+       |SELECT u AS user_id, CAST(np AS BIGINT) AS n_points,
+       |  CAST(list_min(cs) AS BIGINT) AS total_cost,
+       |  CAST(list_position(cs, list_min(cs)) - 1 AS BIGINT) AS best_road
+       |FROM fin""".stripMargin
+  }
+
   private def dpSimplifySql(rounds: Int): String = {
     val eps2 = DpEpsE3 * DpEpsE3
     val base =
@@ -2651,6 +2770,41 @@ object SpatialQueries {
         |SELECT grp, sx, CAST(SUM(len) AS BIGINT) AS len
         |FROM isle GROUP BY 1, 2""".stripMargin,
     "q239_simplify_dp" -> dpSimplifySql(3),
+    "q254_viterbi_map_match" -> viterbiSql,
+    "q255_join_cardinality_estimate" -> {
+      def q8(v: String): String =
+        s"LEAST(GREATEST(CAST(FLOOR($v) AS BIGINT), 0), 255)"
+      s"""WITH ${SynthSql.pointsCte}, ${SynthSql.waysCte},
+         |pa AS (SELECT
+         |    ${q8("(lon + 180.0) / 360.0 * 256")} AS ix,
+         |    ${q8("(lat + 90.0) / 180.0 * 256")} AS iy,
+         |    COUNT(*) AS na
+         |  FROM points GROUP BY 1, 2),
+         |wb AS (SELECT
+         |    unnest(generate_series(${q8("(x0 + 180.0) / 360.0 * 256")},
+         |      ${q8("(x0 + w + 180.0) / 360.0 * 256")})) AS ix,
+         |    iy
+         |  FROM (SELECT x0, w,
+         |      unnest(generate_series(${q8("(y0 + 90.0) / 180.0 * 256")},
+         |        ${q8("(y0 + h + 90.0) / 180.0 * 256")})) AS iy
+         |    FROM ways)),
+         |pb AS (SELECT ix, iy, COUNT(*) AS nb FROM wb GROUP BY 1, 2),
+         |fine AS (SELECT pa.ix // 8 AS cx, pa.iy // 8 AS cy,
+         |    CAST(SUM(na * nb) AS BIGINT) AS actual
+         |  FROM pa JOIN pb ON pa.ix = pb.ix AND pa.iy = pb.iy
+         |  GROUP BY 1, 2),
+         |ca AS (SELECT ix // 8 AS cx, iy // 8 AS cy,
+         |    CAST(SUM(na) AS BIGINT) AS na5 FROM pa GROUP BY 1, 2),
+         |cb AS (SELECT ix // 8 AS cx, iy // 8 AS cy,
+         |    CAST(SUM(nb) AS BIGINT) AS nb5 FROM pb GROUP BY 1, 2)
+         |SELECT ca.cx, ca.cy, na5, nb5,
+         |  CAST(na5 * nb5 // 64 AS BIGINT) AS est,
+         |  COALESCE(actual, 0) AS actual,
+         |  CAST(abs(na5 * nb5 // 64 - COALESCE(actual, 0)) * 1000000
+         |    // GREATEST(COALESCE(actual, 0), 1) AS BIGINT) AS err_ppm
+         |FROM ca JOIN cb USING (cx, cy)
+         |LEFT JOIN fine USING (cx, cy)""".stripMargin
+    },
     // independent formulation: the quadratic bbox containment join the
     // Spark plan's corner-cell prefilter exists to avoid
     "q238_admin_hierarchy" ->

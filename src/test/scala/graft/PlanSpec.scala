@@ -598,7 +598,8 @@ class PlanSpec extends SparkTestBase {
         "q245_containment_probe", "q246_phash_neardup",
         "q247_template_prefix", "q248_ann_recall", "q249_weighted_sample",
         "q250_incremental_chunk_dedup", "q251_harmonic_centrality",
-        "q253_incremental_bfs")) {
+        "q253_incremental_bfs", "q254_viterbi_map_match",
+        "q255_join_cardinality_estimate")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
@@ -651,12 +652,18 @@ class PlanSpec extends SparkTestBase {
       "q249 windows must be source-partitioned")
     Bench.clearState(spark)
     // q251/q253's frontier loops are equi-join + aggregate rounds —
-    // window-free end to end
-    for (q <- Seq("q251_harmonic_centrality", "q253_incremental_bfs")) {
+    // window-free end to end; q254's whole Viterbi DP folds inside
+    // ONE user-keyed aggregate (no window, exactly one exchange
+    // class); q255 is bounded histograms + equi-joins
+    for (q <- Seq("q251_harmonic_centrality", "q253_incremental_bfs",
+        "q254_viterbi_map_match", "q255_join_cardinality_estimate")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("Window"), s"$q must stay window-free")
       Bench.clearState(spark)
     }
+    val p254 = formatted(SparkEntry.queries("q254_viterbi_map_match")(spark, sfSmoke))
+    assert(!p254.contains("Join"), "q254 must plan no join (one-fold DP)")
+    Bench.clearState(spark)
   }
 
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
