@@ -105,7 +105,8 @@ object Bench {
     "q247_template_prefix", "q248_ann_recall", "q249_weighted_sample",
     "q250_incremental_chunk_dedup",
     "q251_harmonic_centrality", "q252_graph_audit", "q253_incremental_bfs",
-    "q254_viterbi_map_match", "q255_join_cardinality_estimate")
+    "q254_viterbi_map_match", "q255_join_cardinality_estimate",
+    "q256_seasonal_decompose")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

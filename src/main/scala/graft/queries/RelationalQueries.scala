@@ -307,6 +307,46 @@ object RelationalQueries {
           col("cohort_n"),
           expr("n_active * 1000000 div cohort_n").as("retention_ppm"))
     }),
+    "q256_seasonal_decompose" -> ((s, dir) => {
+      // classical additive seasonal decomposition (STL-lite: v = trend
+      // + seasonal + remainder) — the time-series family's capstone
+      // next to q108's MA, q184's seasonal-MAD anomalies, q188's ACF,
+      // q180's CUSUM: trend = centered 7-day moving mean, seasonal =
+      // per-weekday mean of the detrended interior, remainder = the
+      // rest. EVERY division is the engine-identical exact floor
+      // (a − pmod(a, n)) div n (q242's identity) — no FP averaging,
+      // so the decomposition is bit-exact cross-engine. Per cohort
+      // the series is <= 28 rows (day = event_id % 28), so the trend
+      // window, the weekday aggregate, and the join-back all run on
+      // BOUNDED frames; one exchange on event_type feeds both
+      // windows.
+      val daily = events(s, dir)
+        .select(col("event_type"), (col("event_id") % 28).as("day"),
+          Tables.bp(col("value")).as("vb"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vb")).as("v"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("tsum", sum(col("v")).over(wT))
+        .withColumn("tcnt", count(lit(1)).over(wT))
+        // centered MA defined only where the full 7-day window exists
+        .withColumn("trend", when(col("tcnt") === 7,
+          expr("(tsum - pmod(tsum, 7)) div 7")))
+        .withColumn("wd", pmod(col("day"), lit(7)))
+        .drop("tsum", "tcnt")
+      val seasonal = trended.filter(col("trend").isNotNull)
+        .groupBy(col("event_type"), col("wd"))
+        .agg(sum(col("v") - col("trend")).as("dsum"),
+          count(lit(1)).as("dcnt"))
+        .select(col("event_type"), col("wd"),
+          expr("(dsum - pmod(dsum, dcnt)) div dcnt").as("seasonal"))
+      trended.filter(col("trend").isNotNull)
+        .join(seasonal, Seq("event_type", "wd"))
+        .select(col("event_type"), col("day"), col("v"), col("trend"),
+          col("seasonal"),
+          (col("v") - col("trend") - col("seasonal")).as("remainder"))
+    }),
     "q184_seasonal_anomaly" -> ((s, dir) => {
       // seasonal-baseline anomaly detection — the robust-statistics
       // monitor for periodic feeds: each user-day's metric is compared
@@ -1312,6 +1352,34 @@ object RelationalQueries {
         |SELECT e.event_id, i.o_orderkey
         |FROM events e JOIN intervals i
         |  ON e.value BETWEEN i.lo AND i.hi""".stripMargin,
+    "q256_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, event_id % 28 AS day,
+        |    CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, day, v,
+        |    SUM(v) OVER w AS tsum, COUNT(*) OVER w AS tcnt,
+        |    day % 7 AS wd
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT event_type, day, v, wd,
+        |    CASE WHEN tcnt = 7
+        |      THEN (tsum - ((tsum % 7) + 7) % 7) // 7 END AS trend
+        |  FROM tr),
+        |seas AS (
+        |  SELECT event_type, wd,
+        |    (SUM(v - trend) - ((SUM(v - trend) % COUNT(*)) + COUNT(*))
+        |      % COUNT(*)) // COUNT(*) AS seasonal
+        |  FROM t2 WHERE trend IS NOT NULL GROUP BY 1, 2)
+        |SELECT t2.event_type, day, v, CAST(trend AS BIGINT) AS trend,
+        |  CAST(seasonal AS BIGINT) AS seasonal,
+        |  CAST(v - trend - seasonal AS BIGINT) AS remainder
+        |FROM t2 JOIN seas ON t2.event_type = seas.event_type
+        |  AND t2.wd = seas.wd
+        |WHERE trend IS NOT NULL""".stripMargin,
     // same floor-quotient identity (num − pmod) // dd spelled with
     // DuckDB's C-style % (sign of dividend) made nonnegative
     "q242_theilsen_trend" ->

@@ -599,7 +599,7 @@ class PlanSpec extends SparkTestBase {
         "q247_template_prefix", "q248_ann_recall", "q249_weighted_sample",
         "q250_incremental_chunk_dedup", "q251_harmonic_centrality",
         "q253_incremental_bfs", "q254_viterbi_map_match",
-        "q255_join_cardinality_estimate")) {
+        "q255_join_cardinality_estimate", "q256_seasonal_decompose")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
@@ -607,7 +607,7 @@ class PlanSpec extends SparkTestBase {
     // q242's median window partitions by cohort; q243's by source;
     // q245's prefix rank by probe — never a global window
     for (q <- Seq("q242_theilsen_trend", "q243_percentile_bands",
-        "q245_containment_probe")) {
+        "q245_containment_probe", "q256_seasonal_decompose")) {
       val ws = SparkEntry.queries(q)(spark, sfSmoke)
         .queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
