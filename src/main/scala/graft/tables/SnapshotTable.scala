@@ -146,9 +146,44 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     * bucket manifest and no data dirs of its own — that case returns
     * an empty frame with the schema recorded in the snapshot metadata
     * instead of pointing spark.read at a dir with no parquet files. */
+  /** True if `id` is a merge-on-read delta over a Z-ORDERED base (see
+    * [[mergeIntoZDelta]]). */
+  private def isZDelta(info: Map[String, String]): Boolean =
+    info.contains("zdeltaParent")
+
+  private def zDeltaChain(id: Long): Seq[Long] =
+    snapshotInfo(id).get("zdeltaParent") match {
+      case Some(p) => zDeltaChain(p.toLong) :+ id
+      case None => Nil
+    }
+
+  private def zChainBase(id: Long): Long =
+    snapshotInfo(id).get("zdeltaParent") match {
+      case Some(p) => zChainBase(p.toLong)
+      case None => id
+    }
+
+  /** Merge-on-read resolution over a z-ordered base: base scan ∪ delta
+    * files, LATEST commit wins per key, tombstones drop. Same shape as
+    * [[resolveDelta]] — one shuffle on the key. */
+  private def resolveZDelta(id: Long): DataFrame = {
+    val keyCols = snapshotInfo(id)("keyCols").split(",").toSeq
+    val baseDf = readAt(zChainBase(id))
+      .withColumn("__del", lit(false)).withColumn("__c", lit(0))
+    val all = zDeltaChain(id).zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(dataDir(d).toString).withColumn("__c", lit(i + 1))
+    }.foldLeft(baseDf)(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    all.withColumn("__mc", max(col("__c")).over(w))
+      .filter(col("__c") === col("__mc") && !col("__del"))
+      .drop("__del", "__c", "__mc")
+  }
+
   def readAt(id: Long): DataFrame = {
     val info = snapshotInfo(id)
     if (isDelta(info)) return resolveDelta(id, info)
+    if (isZDelta(info)) return resolveZDelta(id)
     val buckets = bucketPaths(id)
     if (buckets.nonEmpty)
       spark.read.parquet(buckets.values.map(_.toString).toSeq.sorted: _*)
@@ -381,20 +416,45 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     def empty: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(info("schema")))
+    val bboxPred =
+      col(lonCol) >= minLon && col(lonCol) <= maxLon &&
+        col(latCol) >= minLat && col(latCol) <= maxLat
+    val chain = if (isZDelta(info)) zDeltaChain(cur) else Nil
+    val baseId = if (chain.nonEmpty) zChainBase(cur) else cur
     val ivs = graft.geo.ZOrder.zIntervals(minLon, maxLon, minLat, maxLat, bits)
-    val all = bucketPaths(cur)
-    if (ivs.isEmpty || all.isEmpty) return empty
-    val keep = all.filter { case (b, _) =>
-      val bLo = b.toLong << shift; val bHi = ((b.toLong + 1) << shift) - 1
-      ivs.exists { case (lo, hi) => bLo <= hi && bHi >= lo }
-    }
-    if (keep.isEmpty) return empty
-    val zPred = ivs.map { case (lo, hi) =>
-      col("zval") >= lo && col("zval") <= hi }.reduce(_ || _)
-    spark.read.parquet(keep.values.map(_.toString).toSeq.sorted: _*)
-      .filter(zPred &&
-        col(lonCol) >= minLon && col(lonCol) <= maxLon &&
-        col(latCol) >= minLat && col(latCol) <= maxLat)
+    val all = bucketPaths(baseId)
+    val baseScan: Option[DataFrame] =
+      if (ivs.isEmpty || all.isEmpty) None
+      else {
+        val keep = all.filter { case (b, _) =>
+          val bLo = b.toLong << shift; val bHi = ((b.toLong + 1) << shift) - 1
+          ivs.exists { case (lo, hi) => bLo <= hi && bHi >= lo }
+        }
+        if (keep.isEmpty) None
+        else {
+          val zPred = ivs.map { case (lo, hi) =>
+            col("zval") >= lo && col("zval") <= hi }.reduce(_ || _)
+          Some(spark.read
+            .parquet(keep.values.map(_.toString).toSeq.sorted: _*)
+            .filter(zPred && bboxPred))
+        }
+      }
+    if (chain.isEmpty) return baseScan.getOrElse(empty)
+    // merge-on-read: the pruned base still enjoys the manifest skip;
+    // delta rows join UNFILTERED so a row moved OUT of the box still
+    // suppresses its stale base copy — the bbox re-applies at the end
+    val keyCols = info("keyCols").split(",").toSeq
+    val base0 = baseScan.getOrElse(empty) // schema DDL already carries zval
+      .withColumn("__del", lit(false)).withColumn("__c", lit(0))
+    val withDeltas = chain.zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(dataDir(d).toString).withColumn("__c", lit(i + 1))
+    }.foldLeft(base0)(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    withDeltas.withColumn("__mc", max(col("__c")).over(w))
+      .filter(col("__c") === col("__mc") && !col("__del"))
+      .drop("__del", "__c", "__mc")
+      .filter(bboxPred)
   }
 
   /** MERGE INTO: upsert by key — rows in `updates` replace same-key
@@ -416,7 +476,8 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     require(!info.contains("zorder"),
       s"table at $root is z-ordered (read-optimized): a row's bucket is a " +
         "function of its coordinates, so a key-merge cannot locate a moved " +
-        "row's old copy without a table scan — rewrite via commit()")
+        "row's old copy without a table scan — merge via mergeIntoZDelta " +
+        "(merge-on-read) or rewrite via commit()")
     info.get("keyCols").filter(_.nonEmpty) match {
       case Some(keys) =>
         require(keys.split(",").toSeq == keyCols,
@@ -563,7 +624,7 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"no current snapshot at $root"))
     val info = snapshotInfo(cur)
     require(!info.contains("zorder"),
-      s"table at $root is z-ordered (read-optimized, full-replace only)")
+      s"table at $root is z-ordered — use mergeIntoZDelta (merge-on-read)")
     val keys = info.get("keyCols").filter(_.nonEmpty).getOrElse(
       throw new IllegalStateException("delta merge requires a bucketed table"))
     require(keys.split(",").toSeq == keyCols,
@@ -609,6 +670,93 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** MERGE INTO a Z-ORDERED table, merge-on-read: the batch lands as
+    * ONE O(batch) delta dir (upserts carry fresh coordinates → fresh
+    * zval; tombstones ride `deleteMarker`), and reads resolve
+    * latest-wins per key. This is what makes a z-clustered spatial
+    * layer MAINTAINABLE: a key-merge cannot locate a moved row's old
+    * copy in the z-layout without a table scan (the bucket is a
+    * function of the coordinates), but merge-on-read never needs to —
+    * the old copy is SUPPRESSED at read by the key, wherever it sits,
+    * and [[readBbox]]'s manifest pruning still applies to the base
+    * (the delta overlay is O(batches) small until compaction folds it
+    * back into a fresh z-layout). Updates must carry the table's
+    * lon/lat columns. Auto-compacts (with the batch folded in) once
+    * the chain exceeds `compactEvery`. Idempotent per batch. */
+  def mergeIntoZDelta(updates: DataFrame, keyCols: Seq[String],
+      deleteMarker: Option[String] = None, compactEvery: Int = 8): MergeResult = {
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no current snapshot at $root"))
+    val info = snapshotInfo(cur)
+    require(info.contains("zorder"),
+      s"table at $root is not z-ordered; use mergeInto/mergeIntoDelta")
+    info.get("keyCols").filter(_.nonEmpty).foreach { keys =>
+      require(keys.split(",").toSeq == keyCols,
+        s"table keyed on [$keys], merge keyed on [${keyCols.mkString(",")}]")
+    }
+    val Array(lonCol, latCol) = info("zorder").split(",")
+    val zBits = info("zbits").toInt
+    val withDel = deleteMarker match {
+      case Some(m) => updates.withColumnRenamed(m, "__del")
+      case None => updates.withColumn("__del", lit(false))
+    }
+    val rows0 = withDel.drop("zval")
+      .withColumn("zval", graft.geo.ZOrder.zValue(col(lonCol), col(latCol), zBits))
+    if (zDeltaChain(cur).length + 1 > compactEvery)
+      return compactZWith(rows0, keyCols, lonCol, latCol, zBits,
+        info("numBuckets").toInt)
+    val id = cur + 1
+    val dir = dataDir(id)
+    // ONE Spark job: the write carries its own observed row count
+    val obs = new org.apache.spark.sql.Observation(s"zdelta-$id")
+    rows0.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val updateRows = obs.get("n").asInstanceOf[Long]
+    if (updateRows == 0L) {
+      // an empty batch must not commit (cf. mergeIntoDelta's guard)
+      SnapshotTable.deleteRecursively(dir)
+      return MergeResult(cur, 0L)
+    }
+    val sid = writeMeta(id, "zdelta",
+      info.get("rowCount").map(_.toLong).getOrElse(0L), dirBytes(dir), Map(
+        "zorder" -> info("zorder"), "zbits" -> info("zbits"),
+        "numBuckets" -> info("numBuckets"),
+        "keyCols" -> keyCols.mkString(","),
+        "schema" -> info.getOrElse("schema", ""),
+        "bucketSrc" -> info.getOrElse("bucketSrc", ""),
+        "bucketRows" -> info.getOrElse("bucketRows", ""),
+        "bucketBytes" -> info.getOrElse("bucketBytes", ""),
+        "rowCountApprox" -> "true",
+        "zdeltaParent" -> cur.toString))
+    MergeResult(sid, updateRows)
+  }
+
+  /** Fold the z-delta chain (plus an optional in-flight batch) back
+    * into a fresh full z-layout — Delta OPTIMIZE ZORDER's analogue. */
+  def compactZOrdered(): Long = {
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no current snapshot at $root"))
+    val info = snapshotInfo(cur)
+    require(isZDelta(info), s"no z-delta chain to compact at $root")
+    val Array(lonCol, latCol) = info("zorder").split(",")
+    commitZOrdered(resolveZDelta(cur), "compact", lonCol, latCol,
+      info("zbits").toInt, info("numBuckets").toInt)
+  }
+
+  private def compactZWith(rows0: DataFrame, keyCols: Seq[String],
+      lonCol: String, latCol: String, zBits: Int,
+      numBuckets: Int): MergeResult = {
+    val upd = rows0.cache()
+    val n = upd.count()
+    val base = read()
+    val keep = base.join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val ins = upd.filter(!col("__del")).drop("__del")
+    val id = commitZOrdered(keep.unionByName(ins), "compact+merge",
+      lonCol, latCol, zBits, numBuckets)
+    upd.unpersist()
+    MergeResult(id, n)
+  }
+
   // ---- maintenance + metadata tables ---------------------------------
 
   /** Snapshot ids whose data dirs are still REFERENCED by any kept
@@ -617,7 +765,8 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
     * member's bucketSrc in turn). */
   private def referencedBy(keep: Seq[Long]): Set[Long] =
     keep.flatMap { id =>
-      val chain = (deltaChain(id) :+ chainBase(id)) :+ id
+      val chain = (deltaChain(id) :+ chainBase(id)) ++
+        (zDeltaChain(id) :+ zChainBase(id)) :+ id
       chain ++ chain.flatMap(c => bucketSources(c).values)
     }.toSet
 
