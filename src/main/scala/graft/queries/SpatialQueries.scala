@@ -500,6 +500,42 @@ object SpatialQueries {
         .readBbox(Q82Box._1, Q82Box._2, Q82Box._3, Q82Box._4)
         .select(col("doc_id"), col("entity"), col("zval"))
     }),
+    "q257_zorder_mor_scan" -> ((s, dir) => {
+      // the z-MOR path end-to-end under the standard document change
+      // batch: the z-clustered layer takes the batch as a
+      // merge-on-read delta (mergeIntoZDelta — O(batch), NO table
+      // rewrite), and the pruned bbox scan must return exactly the
+      // post-change rows — new entities appear, deleted docs' rows
+      // vanish (suppressed BY KEY wherever their stale base copies
+      // sit, which is the property that makes z-layouts maintainable;
+      // cf. SnapshotZMergeSpec). Key = (doc_id, entity); tombstones
+      // cover deleted docs' point sets and entities an update
+      // removed. Oracle: the post-change corpus filtered to the box
+      // with the Morton encoding pinned (q82's contract).
+      val root = "target/q257_zmor_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val t = graft.tables.SnapshotTable.createZOrdered(s, root,
+        SynthUniverse.points(s, dir), "lon", "lat", ZBits, numBuckets = 32)
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5).select(col("doc_id"))
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      val newPts = SynthUniverse.pointsOf(updatedLive)
+      val removedKeys = SynthUniverse.points(s, dir)
+        .join(updatedLive.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(newPts.select(col("doc_id"), col("entity")),
+          Seq("doc_id", "entity"), "left_anti")
+      val delPts = SynthUniverse.points(s, dir)
+        .join(deletedIds, Seq("doc_id"), "left_semi")
+      val batch = newPts.withColumn("__rm", lit(false))
+        .unionByName(removedKeys.withColumn("__rm", lit(true)))
+        .unionByName(delPts.withColumn("__rm", lit(true)))
+      t.mergeIntoZDelta(batch, Seq("doc_id", "entity"), Some("__rm"))
+      t.readBbox(Q82Box._1, Q82Box._2, Q82Box._3, Q82Box._4)
+        .select(col("doc_id"), col("entity"), col("zval"))
+    }),
     "q86_bbox_overlap" -> ((s, dir) => {
       // polygon×polygon overlap pairs via the cell-cover equi-join with
       // reference-point dedup — the oracle plans the quadratic
@@ -3840,6 +3876,26 @@ object SpatialQueries {
          |WHERE rank <= 3""".stripMargin
 
   private val tileOracles: Map[String, String] = Map(
+    // identical Morton/bbox contract over the POST-change corpus —
+    // the merge-on-read chain must resolve to exactly these rows
+    "q257_zorder_mor_scan" -> {
+      import graft.geo.ZOrder
+      s"""WITH final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 5),
+         |${SynthSql.pointsCte.replace("FROM documents", "FROM final")},
+         |b AS (
+         |  SELECT doc_id, entity,
+         |    ${ZOrder.quantSql("lon", ZOrder.LonLo, ZOrder.LonSpan, ZBits)} AS ix,
+         |    ${ZOrder.quantSql("lat", ZOrder.LatLo, ZOrder.LatSpan, ZBits)} AS iy
+         |  FROM points
+         |  WHERE lon >= ${Q82Box._1} AND lon <= ${Q82Box._2}
+         |    AND lat >= ${Q82Box._3} AND lat <= ${Q82Box._4})
+         |SELECT doc_id, entity, ${ZOrder.interleaveSql("ix", "iy", ZBits)} AS zval
+         |FROM b""".stripMargin
+    },
     "q82_zorder_scan" -> {
       import graft.geo.ZOrder
       s"""WITH ${SynthSql.pointsCte},
