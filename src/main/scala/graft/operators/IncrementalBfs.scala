@@ -39,23 +39,33 @@ object IncrementalBfs {
       .union(postLinksAll.join(changedSrc, Seq("src"), "left_semi")
         .select(col("dst").as("doc_id")))
       .distinct()
-    val unionLinks = baseLinks.unionByName(postLinksAll).distinct()
-    var halo = d0
+    // Both loops below reference their previous round MULTIPLE times,
+    // and passThrough (which embeds the stored layer's own iterative
+    // DAG) rides in EVERY relaxation round — without per-round
+    // localCheckpoint + caches the lazy DAG re-evaluates the whole
+    // ancestry exponentially (measured 334 s at sf0.1 before the fix,
+    // ~2 s after; the q119/q124 iterative-plan convention).
+    val unionLinks = baseLinks.unionByName(postLinksAll).distinct().cache()
+    var halo = d0.localCheckpoint(true)
     for (_ <- 1 until k) {
       halo = halo.union(
           halo.join(unionLinks, halo("doc_id") === unionLinks("src"))
             .select(col("dst").as("doc_id")))
         .distinct()
+        .localCheckpoint(true)
     }
-    val haloLive = halo.join(postDocs, Seq("doc_id"), "left_semi")
+    val haloLive = halo.join(postDocs, Seq("doc_id"), "left_semi").cache()
     val passThrough = stored
       .join(postDocs, Seq("doc_id"), "left_semi")
       .join(haloLive, Seq("doc_id"), "left_anti")
+      .cache()
     val edgesIn = postLinks
       .join(haloLive.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+      .cache()
     val inf = lit(Long.MaxValue)
     var est = haloLive.join(
-      seedsPost.select(col("doc_id"), lit(0L).as("hops")), Seq("doc_id"), "left")
+        seedsPost.select(col("doc_id"), lit(0L).as("hops")), Seq("doc_id"), "left")
+      .localCheckpoint(true)
     for (_ <- 1 to k) {
       val preds = passThrough.unionByName(est.filter(col("hops").isNotNull))
         .select(col("doc_id").as("src"), col("hops").as("ph"))
@@ -68,6 +78,7 @@ object IncrementalBfs {
         .select(col("doc_id"),
           when(col("h2") === inf, lit(null).cast("long"))
             .otherwise(col("h2")).as("hops"))
+        .localCheckpoint(true)
     }
     passThrough.unionByName(
       est.filter(col("hops").isNotNull && col("hops") <= k))
