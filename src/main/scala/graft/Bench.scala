@@ -106,7 +106,8 @@ object Bench {
     "q250_incremental_chunk_dedup",
     "q251_harmonic_centrality", "q252_graph_audit", "q253_incremental_bfs",
     "q254_viterbi_map_match", "q255_join_cardinality_estimate",
-    "q256_seasonal_decompose", "q257_zorder_mor_scan")
+    "q256_seasonal_decompose", "q257_zorder_mor_scan",
+    "q258_geohash_codec", "q259_reverse_nn")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

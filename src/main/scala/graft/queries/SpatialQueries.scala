@@ -536,6 +536,57 @@ object SpatialQueries {
       t.readBbox(Q82Box._1, Q82Box._2, Q82Box._3, Q82Box._4)
         .select(col("doc_id"), col("entity"), col("zval"))
     }),
+    "q258_geohash_codec" -> ((s, dir) => {
+      // base32 cell-string interop (geohash-style): the 20-bit Morton
+      // code of each occupied res-10 cell ENCODES to 4 chars of the
+      // standard geohash alphabet and DECODES back by independent
+      // string arithmetic — the interchange format an external tile
+      // consumer speaks. Encode and decode share no code (substring
+      // into the alphabet vs position back out of it), and the
+      // roundtrip flag rides the hashed output, so either side lying
+      // fails the oracle. Pure codegen string/bit ops over the
+      // bounded occupied-cell aggregate; no UDF anywhere.
+      val cells = SynthUniverse.points(s, dir)
+        .select(graft.geo.ZOrder.zValue(col("lon"), col("lat"), 10).as("z"))
+        .groupBy(col("z")).agg(count(lit(1)).as("n_points"))
+      val enc = (0 until 4).map(k => expr(
+        s"substring('$GeohashAlphabet', " +
+          s"cast(shiftright(z, ${15 - 5 * k}) & 31 as int) + 1, 1)"))
+      val dec = (0 until 4).map(k => expr(
+        s"shiftleft(cast(position(substring(gh, ${k + 1}, 1), " +
+          s"'$GeohashAlphabet') - 1 as bigint), ${15 - 5 * k})"))
+        .reduce(_ + _)
+      cells.withColumn("gh", concat(enc: _*))
+        .withColumn("z_rt", dec)
+        .select(col("z"), col("gh"), col("z_rt"),
+          (col("z_rt") === col("z")).cast("long").as("ok"), col("n_points"))
+    }),
+    "q259_reverse_nn" -> ((s, dir) => {
+      // reverse-nearest-neighbor catchments (facility influence /
+      // reverse geocoding's assignment step): every extracted point
+      // assigns to its NEAREST gazetteer base position, and the
+      // output is each facility's catchment size. The facility set is
+      // bounded and known (8 gazetteer entities), so the argmin is a
+      // driver-built LEAST + first-match CASE chain over plan
+      // literals — join-free, window-free, pure codegen (q240's
+      // WHEN-chain convention); the squared-distance expression tree
+      // is generated from the SAME integer hash constants on both
+      // engines, so the IEEE doubles fold identically.
+      val pts = SynthUniverse.points(s, dir)
+      val ds = GazetteerSites.map { case (_, hx, hy) =>
+        val ex = lit(hx).cast("double") / 1000.0 - 160.0
+        val ey = lit(hy).cast("double") / 1000.0 - 75.0
+        (col("lon") - ex) * (col("lon") - ex) +
+          (col("lat") - ey) * (col("lat") - ey)
+      }
+      val best = least(ds: _*)
+      val pick = GazetteerSites.zip(ds).tail.foldLeft(
+        when(ds.head === best, lit(GazetteerSites.head._1))) {
+        case (acc, ((e, _, _), d)) => acc.when(d === best, lit(e))
+      }
+      pts.select(pick.as("entity"))
+        .groupBy(col("entity")).agg(count(lit(1)).as("catchment"))
+    }),
     "q86_bbox_overlap" -> ((s, dir) => {
       // polygon×polygon overlap pairs via the cell-cover equi-join with
       // reference-point dedup — the oracle plans the quadratic
@@ -2613,6 +2664,22 @@ object SpatialQueries {
        |FROM k""".stripMargin
   }
 
+  /** q258's interchange alphabet (the standard geohash base32). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** q259's facility constants: (entity, hash60 mod 320000,
+    * hash60("lat:"+e) mod 150000) — the SAME md5-derived integers the
+    * synth points use, computed driver-side so both engines build the
+    * identical double expression tree from them. Sorted by name for a
+    * deterministic tie order. */
+  lazy val GazetteerSites: Seq[(String, Long, Long)] = {
+    def h60(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    SynthUniverse.Gazetteer.sorted.map(e =>
+      (e, h60(e) % 320000L, h60("lat:" + e) % 150000L))
+  }
+
   /** q254's oracle: the identical Viterbi recurrence as a recursive
     * CTE with R explicit state columns (c0..c7) and generated LEAST
     * chains — both engines walk the same BIGINTs step for step. */
@@ -3876,6 +3943,44 @@ object SpatialQueries {
          |WHERE rank <= 3""".stripMargin
 
   private val tileOracles: Map[String, String] = Map(
+    "q258_geohash_codec" -> {
+      import graft.geo.ZOrder
+      val enc = (0 until 4).map(k =>
+        s"substr('$GeohashAlphabet', CAST((z >> ${15 - 5 * k}) & 31 AS INT) + 1, 1)")
+        .mkString(" || ")
+      val dec = (0 until 4).map(k =>
+        s"((strpos('$GeohashAlphabet', substr(gh, ${k + 1}, 1)) - 1)::BIGINT << ${15 - 5 * k})")
+        .mkString(" + ")
+      s"""WITH ${SynthSql.pointsCte},
+         |q AS (SELECT
+         |    ${ZOrder.quantSql("lon", ZOrder.LonLo, ZOrder.LonSpan, 10)} AS ix,
+         |    ${ZOrder.quantSql("lat", ZOrder.LatLo, ZOrder.LatSpan, 10)} AS iy
+         |  FROM points),
+         |c AS (SELECT ${ZOrder.interleaveSql("ix", "iy", 10)} AS z,
+         |    COUNT(*) AS n_points
+         |  FROM q GROUP BY 1),
+         |g AS (SELECT z, n_points, $enc AS gh FROM c),
+         |r AS (SELECT z, gh, $dec AS z_rt, n_points FROM g)
+         |SELECT z, gh, z_rt,
+         |  CAST(CASE WHEN z_rt = z THEN 1 ELSE 0 END AS BIGINT) AS ok,
+         |  n_points
+         |FROM r""".stripMargin
+    },
+    "q259_reverse_nn" -> {
+      def d2(hx: Long, hy: Long): String = {
+        val ex = s"($hx / 1000.0 - 160.0)"
+        val ey = s"($hy / 1000.0 - 75.0)"
+        s"((lon - $ex) * (lon - $ex) + (lat - $ey) * (lat - $ey))"
+      }
+      val ds = GazetteerSites.map { case (e, hx, hy) => (e, d2(hx, hy)) }
+      val best = ds.map(_._2).mkString("LEAST(", ", ", ")")
+      val pick = ds.map { case (e, d) => s"WHEN $d = best THEN '$e'" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH ${SynthSql.pointsCte},
+         |b AS (SELECT lon, lat, $best AS best FROM points)
+         |SELECT $pick AS entity, COUNT(*) AS catchment
+         |FROM b GROUP BY 1""".stripMargin
+    },
     // identical Morton/bbox contract over the POST-change corpus —
     // the merge-on-read chain must resolve to exactly these rows
     "q257_zorder_mor_scan" -> {

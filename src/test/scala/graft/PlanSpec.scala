@@ -599,7 +599,8 @@ class PlanSpec extends SparkTestBase {
         "q247_template_prefix", "q248_ann_recall", "q249_weighted_sample",
         "q250_incremental_chunk_dedup", "q251_harmonic_centrality",
         "q253_incremental_bfs", "q254_viterbi_map_match",
-        "q255_join_cardinality_estimate", "q256_seasonal_decompose")) {
+        "q255_join_cardinality_estimate", "q256_seasonal_decompose",
+        "q258_geohash_codec", "q259_reverse_nn")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
@@ -664,6 +665,14 @@ class PlanSpec extends SparkTestBase {
     val p254 = formatted(SparkEntry.queries("q254_viterbi_map_match")(spark, sfSmoke))
     assert(!p254.contains("Join"), "q254 must plan no join (one-fold DP)")
     Bench.clearState(spark)
+    // q258's codec and q259's argmin are literal chains: no join, no
+    // window in either plan
+    for (q <- Seq("q258_geohash_codec", "q259_reverse_nn")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("Join") && !plan.contains("Window"),
+        s"$q must stay join- and window-free")
+      Bench.clearState(spark)
+    }
   }
 
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
