@@ -107,7 +107,9 @@ object Bench {
     "q251_harmonic_centrality", "q252_graph_audit", "q253_incremental_bfs",
     "q254_viterbi_map_match", "q255_join_cardinality_estimate",
     "q256_seasonal_decompose", "q257_zorder_mor_scan",
-    "q258_geohash_codec", "q259_reverse_nn")
+    "q258_geohash_codec", "q259_reverse_nn",
+    "q260_class_separation", "q261_auc_eval",
+    "q262_incremental_decontamination")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -201,6 +201,49 @@ object SimilarityQueries {
         .select(col("id_a"), col("id_b"),
           round(col("cos") * 1e9, 0).cast("long").as("cos_ppb"))
     }),
+    "q260_class_separation" -> ((s, dir) => {
+      // embedding-space class-separation audit — the representation-
+      // quality eval a labeling/centroid pipeline (q76/q88/q145) runs
+      // before trusting its clusters: pairwise squared distance
+      // between LABEL CENTROIDS, kept exact-rational the whole way.
+      // Vectors quantize to e4 BIGINTs; a centroid is carried as its
+      // (per-dim sum, count) pair — never a divided float — and
+      // dist²(mean_a, mean_b) = Σ_d (sa_d·nb − sb_d·na)² / (na·nb)²
+      // emits as the integer quotient, products in DECIMAL(38,0)
+      // (q163's determinism discipline). Per-label sums are ONE
+      // map-side-combined shuffle on (label, dim); the pairing joins
+      // two ≤#labels-row aggregates (bounded broadcast, a<b).
+      val sums = Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(transform(col("embedding"),
+            x => round((x + lit(1.0)) * 10000).cast("long"))).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d")).agg(sum(col("x")).as("sv"))
+      val cnts = Tables.embeddings(s, dir)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"))
+      val cent = sums.join(cnts, "label")
+        .groupBy(col("label"), col("n"))
+        .agg(sort_array(collect_list(struct(col("d"), col("sv")))).as("ps"))
+        .select(col("label"), col("n"),
+          transform(col("ps"), p => p.getField("sv")).as("sv"))
+      val a = cent.select(col("label").as("la"), col("n").as("na"), col("sv").as("sa"))
+      val b = cent.select(col("label").as("lb"), col("n").as("nb"), col("sv").as("sb"))
+      val num = aggregate(
+        zip_with(col("sa"), col("sb"), (x, y) => {
+          val t = (x * col("nb") - y * col("na")).cast("decimal(38,0)")
+          t * t
+        }),
+        lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+      a.join(broadcast(b), col("la") < col("lb"))
+        .withColumn("num", num)
+        .withColumn("den",
+          (col("na") * col("nb") * col("na") * col("nb")).cast("decimal(38,0)"))
+        // `div` = integral quotient on decimals (both positive, so
+        // trunc == floor == DuckDB's //); never decimal `/` (scale
+        // rounding would break hash parity)
+        .select(col("la"), col("lb"), col("na"), col("nb"),
+          expr("num div den").cast("long").as("dist2q"))
+    }),
     "q248_ann_recall" -> ((s, dir) => {
       // recall@k evaluation of the bucketed ANN (q20) against the
       // exact top-k ground truth (q19's machinery) — the metric that
@@ -422,6 +465,29 @@ object SimilarityQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p)
          |WHERE rank <= 3""".stripMargin,
+    "q260_class_separation" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label, i AS d,
+        |    CAST(ROUND((embedding[CAST(i + 1 AS INT)]::DOUBLE + 1.0) * 10000, 0)
+        |      AS BIGINT) AS x
+        |  FROM embeddings, range(0, 64) t(i)),
+        |sums AS (SELECT label, d, CAST(SUM(x) AS BIGINT) AS sv
+        |  FROM q GROUP BY 1, 2),
+        |cnts AS (SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
+        |  FROM embeddings GROUP BY 1),
+        |pairnum AS (
+        |  SELECT a.label AS la, b.label AS lb, ca.n AS na, cb.n AS nb,
+        |    SUM(CAST(a.sv * cb.n - b.sv * ca.n AS HUGEINT)
+        |      * CAST(a.sv * cb.n - b.sv * ca.n AS HUGEINT)) AS num
+        |  FROM sums a
+        |  JOIN sums b ON a.d = b.d AND a.label < b.label
+        |  JOIN cnts ca ON ca.label = a.label
+        |  JOIN cnts cb ON cb.label = b.label
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT la, lb, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(num // (CAST(na AS HUGEINT) * nb * na * nb) AS BIGINT)
+        |    AS dist2q
+        |FROM pairnum""".stripMargin,
     // the exact and banded top-3 legs re-derived independently, then
     // intersected — recall must agree to the last ppm digit
     "q248_ann_recall" ->

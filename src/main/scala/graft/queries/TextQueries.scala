@@ -322,6 +322,91 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("g")).as("n_hits"))
     }),
+    "q261_auc_eval" -> ((s, dir) => {
+      // exact Mann-Whitney AUC of the English-stopword score against
+      // the lang='en' label — the threshold-free classifier eval
+      // (does the q15 signal actually SEPARATE?), exact the whole
+      // way: midranks carry as 2×rank integers (a tie group starting
+      // after cum docs with n members has midrank2 = 2·cum + n + 1),
+      // U2 = Σ_pos midrank2 − n_pos·(n_pos+1), AUC_ppm = U2·10⁶ div
+      // (2·n_pos·n_neg). The per-score distribution is BOUNDED
+      // (stopword counts), so the cumulative walk folds over ONE
+      // collected sorted array per source (q213's KS convention) —
+      // join-free, window-free; the oracle uses RANK windows as the
+      // independent formulation.
+      val en = langProfiles.toMap.apply("en")
+      val scored = Tables.documents(s, dir)
+        .withColumn("ts", tokens(col("text")))
+        .select(col("source"),
+          expr(s"size(filter(ts, t -> t IN ${inList(en)}))")
+            .cast("long").as("sc"),
+          (col("lang") === "en").cast("long").as("pos"))
+      scored.groupBy(col("source"), col("sc"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+        .groupBy(col("source"))
+        .agg(sort_array(collect_list(
+          struct(col("sc"), col("n"), col("np")))).as("arr"))
+        .withColumn("st", aggregate(col("arr"),
+          struct(lit(0L).as("cum"), lit(0L).as("u2"),
+            lit(0L).as("npos"), lit(0L).as("ntot")),
+          (acc, x) => struct(
+            (acc.getField("cum") + x.getField("n")).as("cum"),
+            (acc.getField("u2") + x.getField("np") *
+              (acc.getField("cum") * 2 + x.getField("n") + 1)).as("u2"),
+            (acc.getField("npos") + x.getField("np")).as("npos"),
+            (acc.getField("ntot") + x.getField("n")).as("ntot"))))
+        .filter(col("st.npos") > 0 && col("st.ntot") > col("st.npos"))
+        .select(col("source"), col("st.npos").as("n_pos"),
+          (col("st.ntot") - col("st.npos")).as("n_neg"),
+          expr("(st.u2 - st.npos * (st.npos + 1)) * 1000000 div " +
+            "(2 * st.npos * (st.ntot - st.npos))").as("auc_ppm"))
+    }),
+    "q262_incremental_decontamination" -> ((s, dir) => {
+      // IVM #17 — the FILTER-SET axis the family lacked: q61's
+      // contamination flags maintained under a change batch to the
+      // BENCHMARK side, which is what actually changes in production
+      // (new evals ship; nobody re-scans the training corpus for
+      // them). Benchmark docs (%11=0) take the standard batch (%7=3
+      // append, %13=5 delete, delete wins); the gram-set delta
+      // ΔB = (B1\B0) ∪ (B0\B1) is small and BROADCASTS, affected
+      // training docs = those containing a ΔB gram (one semi-join),
+      // and only they re-count against B1 — every other doc's stored
+      // hit count passes through one anti-join. O(docs touching
+      // changed grams), never a corpus re-scan. Stored layer rebuilt
+      // in-query as oracle scaffolding (q52/q70 adjudication);
+      // oracle = full q61 recompute against the post benchmark set.
+      val n = 3
+      val grams = Tables.documents(s, dir)
+        .withColumn("ts", tokens(col("text")))
+        .filter(size(col("ts")) >= n)
+        .select(col("doc_id"), explode(ngrams(col("ts"), n)).as("g"))
+      val benchDocs0 = Tables.documents(s, dir)
+        .filter(col("doc_id") % 11 === 0).select(col("doc_id"), col("text"))
+      val b0 = grams.filter(col("doc_id") % 11 === 0).select(col("g")).distinct()
+      val train = grams.filter(col("doc_id") % 11 =!= 0)
+      val stored = train.join(broadcast(b0), Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(countDistinct(col("g")).as("n_hits"))
+      val upd = benchDocs0.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val del = benchDocs0.filter(col("doc_id") % 13 === 5).select(col("doc_id"))
+      val post = benchDocs0
+        .join(upd.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(upd)
+        .join(del, Seq("doc_id"), "left_anti")
+      val b1 = post.withColumn("ts", tokens(col("text")))
+        .filter(size(col("ts")) >= n)
+        .select(explode(ngrams(col("ts"), n)).as("g")).distinct()
+      val deltaB = b1.join(b0, Seq("g"), "left_anti")
+        .unionByName(b0.join(b1, Seq("g"), "left_anti"))
+      val affected = train.join(broadcast(deltaB), Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val rederived = train.join(affected, Seq("doc_id"), "left_semi")
+        .join(broadcast(b1), Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(countDistinct(col("g")).as("n_hits"))
+      stored.join(affected, Seq("doc_id"), "left_anti")
+        .unionByName(rederived)
+    }),
     "q74_sequence_pack" -> ((s, dir) => {
       // greedy sequence packing over the corpus — see
       // [[graft.operators.SequencePack]] for the operator (one
@@ -1738,6 +1823,48 @@ object TextQueries {
         |                         for i in range(1, len(ts) - 1)]) AS g
         |  FROM toks WHERE len(ts) >= 3
         |),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0)
+        |SELECT g.doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_hits
+        |FROM grams g JOIN bench b ON g.g = b.g
+        |WHERE g.doc_id % 11 <> 0
+        |GROUP BY 1""".stripMargin,
+    // independent formulation: RANK-window midranks (the plan folds a
+    // collected bounded array instead)
+    "q261_auc_eval" ->
+      s"""WITH s AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      t -> t IN ${inList(langProfiles.toMap.apply("en"))})) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |r AS (SELECT source, sc, pos,
+         |    2 * (RANK() OVER (PARTITION BY source ORDER BY sc) - 1)
+         |      + COUNT(*) OVER (PARTITION BY source, sc) + 1 AS mid2
+         |  FROM s),
+         |t AS (SELECT source,
+         |    SUM(CASE WHEN pos = 1 THEN mid2 ELSE 0 END) AS u2,
+         |    SUM(pos) AS npos, COUNT(*) AS ntot
+         |  FROM r GROUP BY 1)
+         |SELECT source, CAST(npos AS BIGINT) AS n_pos,
+         |  CAST(ntot - npos AS BIGINT) AS n_neg,
+         |  CAST((u2 - npos * (npos + 1)) * 1000000
+         |    // (2 * npos * (ntot - npos)) AS BIGINT) AS auc_ppm
+         |FROM t WHERE npos > 0 AND ntot > npos""".stripMargin,
+    // full q61 recompute against the post benchmark set — the
+    // filter-set IVM must reproduce it row-for-row
+    "q262_incremental_decontamination" ->
+      """WITH pd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 AND doc_id % 7 = 3
+        |      THEN text || ' merge stream merge' ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 11 <> 0 OR doc_id % 13 <> 5),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM pd),
+        |grams AS (
+        |  SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
+        |                         for i in range(1, len(ts) - 1)]) AS g
+        |  FROM toks WHERE len(ts) >= 3),
         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0)
         |SELECT g.doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_hits
         |FROM grams g JOIN bench b ON g.g = b.g

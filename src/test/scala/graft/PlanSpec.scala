@@ -600,7 +600,8 @@ class PlanSpec extends SparkTestBase {
         "q250_incremental_chunk_dedup", "q251_harmonic_centrality",
         "q253_incremental_bfs", "q254_viterbi_map_match",
         "q255_join_cardinality_estimate", "q256_seasonal_decompose",
-        "q258_geohash_codec", "q259_reverse_nn")) {
+        "q258_geohash_codec", "q259_reverse_nn", "q260_class_separation",
+        "q261_auc_eval", "q262_incremental_decontamination")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
@@ -671,6 +672,13 @@ class PlanSpec extends SparkTestBase {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("Join") && !plan.contains("Window"),
         s"$q must stay join- and window-free")
+      Bench.clearState(spark)
+    }
+    // q261's rank walk folds a collected bounded array (the RANK
+    // windows live only in the oracle); q262's delta probes broadcast
+    for (q <- Seq("q261_auc_eval", "q262_incremental_decontamination")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("Window"), s"$q must stay window-free")
       Bench.clearState(spark)
     }
   }
