@@ -109,7 +109,7 @@ object Bench {
     "q256_seasonal_decompose", "q257_zorder_mor_scan",
     "q258_geohash_codec", "q259_reverse_nn",
     "q260_class_separation", "q261_auc_eval",
-    "q262_incremental_decontamination")
+    "q262_incremental_decontamination", "q263_cluster_purity")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -115,6 +115,49 @@ object DedupQueries {
           jaccardPpm(col("sh_a"), col("sh_b")).as("jaccard_ppm"))
     }),
     "q13_minhash_lsh_pairs" -> ((s, dir) => lshPairs(s, dir)),
+    "q263_cluster_purity" -> ((s, dir) => {
+      // clustering-quality eval against PLANTED ground truth — the
+      // dashboard gate a dedup deployment alarms on before shipping a
+      // cluster table: corpus = q11's withDupes (every doc carries an
+      // exact copy at id+1e6), so truth pairs are KNOWN by
+      // construction (same text ⟺ same group); precision = TP /
+      // intra-cluster pair mass, recall = TP / truth pairs, exact
+      // ppm, single row. Shapes: truth pairs enumerate from the
+      // bounded per-text id lists (double posexplode of tiny
+      // arrays), intra-cluster mass folds Σ C(n,2) from cluster
+      // sizes map-side, TP is one join of the truth pairs against
+      // the label table — never an all-pairs comparison. Docs
+      // outside the pair graph are singletons (contribute no intra
+      // mass and can never be TP endpoints — the NULL label check).
+      val d = withDupes(s, dir)
+      val sh = shingleSetsOf(d).cache()
+      val pairs = verifiedPairs(bandCandidates(d), sh, sh)
+      val labels = graft.operators.ConnectedComponents.alternatingStar(
+        pairs.select(col("id_a").as("u"), col("id_b").as("v")))._1.cache()
+      val groups = d.groupBy(col("text"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      val truthPairs = groups
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+        .select(col("id_a"), col("i"),
+          posexplode(col("ids")).as(Seq("j", "id_b")))
+        .filter(col("j") > col("i"))
+        .select(col("id_a"), col("id_b"))
+        .cache()
+      val tp = truthPairs
+        .join(labels.select(col("doc_id").as("id_a"), col("cluster_id").as("ca")),
+          Seq("id_a"), "left")
+        .join(labels.select(col("doc_id").as("id_b"), col("cluster_id").as("cb")),
+          Seq("id_b"), "left")
+        .filter(col("ca").isNotNull && col("ca") === col("cb"))
+        .agg(count(lit(1)).as("tp"))
+      val truthN = truthPairs.agg(count(lit(1)).as("truth_pairs"))
+      val intra = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2")).as("intra_pairs"))
+      truthN.crossJoin(broadcast(tp)).crossJoin(broadcast(intra))
+        .select(col("truth_pairs"), col("intra_pairs"), col("tp"),
+          expr("tp * 1000000 div intra_pairs").as("precision_ppm"),
+          expr("tp * 1000000 div truth_pairs").as("recall_ppm"))
+    }),
     "q245_containment_probe" -> ((s, dir) => {
       // asymmetric near-CONTAINMENT join (excerpt / quotation
       // detection): probe docs are synthetic excerpts — the middle
@@ -901,6 +944,41 @@ object DedupQueries {
          |      ORDER BY length(d.text) DESC, l.doc_id ASC) AS rank
          |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
          |WHERE rank = 1""".stripMargin,
+    "q263_cluster_purity" -> {
+      val du =
+        """du AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents)""".stripMargin
+      s"""WITH RECURSIVE $du,
+         |${lshCtesFrom("du")},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |  UNION SELECT id_a, id_a FROM pairs
+         |  UNION SELECT id_b, id_b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), labels AS (
+         |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+         |), g AS (SELECT text, list_sort(list(doc_id)) AS ids FROM du GROUP BY text),
+         |tp0 AS (
+         |  SELECT ids[CAST(i AS INT)] AS id_a, ids[CAST(j AS INT)] AS id_b
+         |  FROM g, range(1, 100) t1(i), range(1, 100) t2(j)
+         |  WHERE j > i AND j <= len(ids)),
+         |tpc AS (SELECT COUNT(*) AS tp FROM tp0
+         |  JOIN labels a ON a.doc_id = tp0.id_a
+         |  JOIN labels b ON b.doc_id = tp0.id_b
+         |  WHERE a.cluster_id = b.cluster_id),
+         |tn AS (SELECT COUNT(*) AS truth_pairs FROM tp0),
+         |ic AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS intra_pairs
+         |  FROM (SELECT COUNT(*) AS n FROM labels GROUP BY cluster_id))
+         |SELECT truth_pairs, intra_pairs, CAST(tp AS BIGINT) AS tp,
+         |  CAST(tp * 1000000 // intra_pairs AS BIGINT) AS precision_ppm,
+         |  CAST(tp * 1000000 // truth_pairs AS BIGINT) AS recall_ppm
+         |FROM tn, ic, tpc""".stripMargin
+    },
     "q49_neardup_clusters" -> ccOracleFrom(lshCtes),
     // the alternating-star plan must produce EXACTLY the label-
     // propagation plan's clustering — one truth, two algorithms

@@ -601,7 +601,8 @@ class PlanSpec extends SparkTestBase {
         "q253_incremental_bfs", "q254_viterbi_map_match",
         "q255_join_cardinality_estimate", "q256_seasonal_decompose",
         "q258_geohash_codec", "q259_reverse_nn", "q260_class_separation",
-        "q261_auc_eval", "q262_incremental_decontamination")) {
+        "q261_auc_eval", "q262_incremental_decontamination",
+        "q263_cluster_purity")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
