@@ -65,4 +65,53 @@ object Triangles {
         Seq("v", "w"), "left_semi")
       .agg(F.count(lit(1)).as("n_triangles"))
   }
+
+  /** Triangles of `edges` containing at least one edge of `marked`
+    * (both DISTINCT undirected `(u, v)` sets, `marked ⊆ edges`), each
+    * triangle counted EXACTLY once — attributed to its
+    * lexicographically-smallest marked edge. A triangle with 2 or 3
+    * marked edges would be double/triple-counted by the naive
+    * per-marked-edge common-neighbor sum; the ordering rule (each side
+    * edge must be unmarked OR a marked edge strictly greater than the
+    * attributing one) is the standard exactness fix.
+    *
+    * Cost is O(|marked| × endpoint degree), never a full recount: the
+    * two adjacency probes are equi-joins of the marked set against the
+    * edge list keyed by one endpoint — at scale the edge table stays
+    * hash-partitioned on that key and both probes reuse the exchange.
+    * One row, column `n_touch`. */
+  def countTouching(edges: DataFrame, marked: DataFrame): DataFrame = {
+    val tagged = edges.join(
+        marked.select(col("u"), col("v"), lit(true).as("ism0")),
+        Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("ism0"), lit(false)).as("ism"))
+    // both orientations so each endpoint's neighborhood is one equi-join
+    val adj = tagged.select(col("u").as("x"), col("v").as("y"),
+        col("u").as("eu"), col("v").as("ev"), col("ism"))
+      .unionByName(tagged.select(col("v").as("x"), col("u").as("y"),
+        col("u").as("eu"), col("v").as("ev"), col("ism")))
+    def allowed(p: String): Column =
+      !col(s"$p.ism") ||
+        (col(s"$p.eu") > col("ma")) ||
+        (col(s"$p.eu") === col("ma") && col(s"$p.ev") > col("mb"))
+    marked.select(col("u").as("ma"), col("v").as("mb"))
+      .join(adj.as("p"), col("p.x") === col("ma"))
+      .join(adj.as("q"),
+        col("q.x") === col("mb") && col("q.y") === col("p.y"))
+      .filter(allowed("p") && allowed("q"))
+      .agg(F.count(lit(1)).as("n_touch"))
+  }
+
+  /** Incremental-maintenance delta for a global triangle count under an
+    * edge-set change `epre → epost`: `tri_add` = triangles of the post
+    * graph touching an added edge, `tri_del` = triangles of the pre
+    * graph touching a removed edge; the maintained count is
+    * `n_pre + tri_add − tri_del`. Work is bounded by the changed edges'
+    * neighborhoods (the IVM shape), never a recount of either graph. */
+  def deltaCount(epre: DataFrame, epost: DataFrame): DataFrame = {
+    val added = epost.join(epre, Seq("u", "v"), "left_anti")
+    val removed = epre.join(epost, Seq("u", "v"), "left_anti")
+    countTouching(epost, added).select(col("n_touch").as("tri_add"))
+      .crossJoin(countTouching(epre, removed).select(col("n_touch").as("tri_del")))
+  }
 }

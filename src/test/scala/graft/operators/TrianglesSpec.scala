@@ -62,4 +62,40 @@ class TrianglesSpec extends SparkTestBase {
     val b = graft.SparkEntry.queries("q107b_triangles_degree")(spark, sfSmoke).head().getLong(0)
     assert(a == b)
   }
+
+  test("deltaCount multiplicity: triangles with 1, 2 and 3 changed edges count once each") {
+    // post adds: (1,3) closing the pre wedge 1-2-3 (ONE added edge in
+    // that triangle), (20,22)+(21,22) completing 20-21-22 over the pre
+    // edge (20,21) (TWO added edges), and the fully-new 10-11-12
+    // (THREE added edges). Naive per-added-edge common-neighbor sums
+    // would count them 1+2+3 = 6; the smallest-marked-edge attribution
+    // must count 3.
+    val pre = Seq((1L, 2L), (2L, 3L), (20L, 21L))
+    val post = pre ++ Seq((1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 22L), (21L, 22L))
+    val d = Triangles.deltaCount(edgeDf(pre), edgeDf(post)).head()
+    assert(d.getAs[Long]("tri_add") == 3L && d.getAs[Long]("tri_del") == 0L)
+    // the removal direction is the same attribution on the pre graph
+    val d2 = Triangles.deltaCount(edgeDf(post), edgeDf(pre)).head()
+    assert(d2.getAs[Long]("tri_add") == 0L && d2.getAs[Long]("tri_del") == 3L)
+  }
+
+  test("deltaCount: maintained count equals full recompute under random edge flips") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val preSet = Seq.fill(220) {
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      }.filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      val flips = Seq.fill(30) {
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      }.filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      val postSet = (preSet -- flips) ++ (flips -- preSet)
+      val d = Triangles.deltaCount(edgeDf(preSet.toSeq), edgeDf(postSet.toSeq)).head()
+      val maintained = bruteTriangles(preSet.toSeq) +
+        d.getAs[Long]("tri_add") - d.getAs[Long]("tri_del")
+      assert(maintained == bruteTriangles(postSet.toSeq), s"trial $trial")
+    }
+  }
 }
