@@ -1243,6 +1243,36 @@ object SpatialQueries {
         .select(col("user_a"), col("user_b"), col("n_shared"),
           expr("n_shared * 10000 div (na + nb - n_shared)").as("jaccard_bp"))
     }),
+    "q269_spacetime_contact" -> ((s, dir) => {
+      // contact-tracing pair detection — the SPATIOTEMPORAL tightening
+      // of q158 (co-travelers share tiles EVER; contacts share a tile
+      // IN THE SAME HOUR). Positions are venue-style meeting points
+      // (community user_id%10 × rotating hour slot) so co-presence
+      // genuinely occurs on the synthetic stream — the spacing (6°/1°
+      // steps at res 9, cell ≈ 0.7°) keeps distinct venues in distinct
+      // cells. Plan: distinct (user, tile, slot) first (repeat pings in
+      // one venue-hour count once), inverted (tile, slot)-keyed
+      // self-join emits each pair once per shared venue-hour,
+      // map-side-combined pair count, ≥3 support floor. The hour RIDES
+      // IN the equi-key next to the tile — a hot venue is sharded
+      // across its hours, which is exactly the (tile, time-bucket)
+      // production key q158's scaladoc prescribes for skew.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_timestamp(ts) div 3600").as("slot"))
+        .select(col("user_id"), col("slot"),
+          (lit(-150.0) + (col("user_id") % 10) * 6.0 +
+            (col("slot") % 5) * 1.0).as("lon"),
+          (lit(10.0) + (col("user_id") % 10) * 1.5).as("lat"))
+      val t = ev.select(col("user_id"), col("slot"),
+          GeoFunctions.cellAt(col("lon"), col("lat"), 9).as("tile"))
+        .distinct()
+      t.as("a").join(t.as("b"),
+          col("a.tile") === col("b.tile") && col("a.slot") === col("b.slot") &&
+            col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+        .agg(count(lit(1)).as("n_contacts"))
+        .filter(col("n_contacts") >= 3)
+    }),
     "q159_spatial_balance" -> ((s, dir) => {
       // partitioner-quality audit of the point raster: occupancy skew
       // as exact integers — max/mean ratio and the Gini coefficient
@@ -3127,6 +3157,26 @@ object SpatialQueries {
          |  n_shared * 10000 // (sa.nt + sb.nt - n_shared) AS jaccard_bp
          |FROM p JOIN sz sa ON p.user_a = sa.user_id
          |       JOIN sz sb ON p.user_b = sb.user_id""".stripMargin,
+    // venue doubles are exact (6.0/1.0/1.5-degree steps), so the cell
+    // encode folds bit-identically; floor(epoch/3600) == Spark's
+    // truncate-then-div (a sub-second fraction cannot cross an hour)
+    "q269_spacetime_contact" ->
+      s"""WITH pos AS (
+         |  SELECT user_id, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS slot
+         |  FROM events),
+         |p2 AS (
+         |  SELECT user_id, slot,
+         |    -150.0 + (user_id % 10) * 6.0 + (slot % 5) * 1.0 AS lon,
+         |    10.0 + (user_id % 10) * 1.5 AS lat
+         |  FROM pos),
+         |t AS (SELECT DISTINCT user_id, slot,
+         |    ${GeoFunctions.cellAtSql("lon", "lat", 9)} AS tile
+         |  FROM p2)
+         |SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |  COUNT(*) AS n_contacts
+         |FROM t a JOIN t b ON a.tile = b.tile AND a.slot = b.slot
+         |  AND a.user_id < b.user_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
     "q159_spatial_balance" -> {
       val n = graft.geo.CellIndex.width(ContourRes)
       s"""WITH ${SynthSql.pointsCte},

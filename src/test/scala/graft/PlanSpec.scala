@@ -684,6 +684,42 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q264-q270 wave: equi-joins only, key-partitioned windows, bounded argmax") {
+    // no cross products anywhere beyond broadcast one-row scalars
+    for (q <- Seq("q264_scc_mutual", "q265_incremental_triangles",
+        "q266_nb_classifier", "q267_bpe_train", "q269_spacetime_contact",
+        "q270_incremental_cms")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+    // the contact pairing and the triangle-delta probes are pure
+    // equi-joins; neither plans a window (their dedup/count shapes are
+    // aggregates)
+    for (q <- Seq("q269_spacetime_contact", "q270_incremental_cms")) {
+      val p = SparkEntry.queries(q)(spark, sfSmoke)
+      assert(!formatted(p).contains("Window"), s"$q must stay window-free")
+      val joins = p.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.forall(_.condition.isDefined),
+        s"$q joins must all carry conditions")
+      Bench.clearState(spark)
+    }
+    // the classifier's argmax window partitions by doc; the BPE
+    // trainer's island/renumber windows all partition by doc — never
+    // a global window in either
+    for (q <- Seq("q266_nb_classifier", "q267_bpe_train")) {
+      val ws = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+        }
+      assert(ws.nonEmpty && ws.forall(_.nonEmpty),
+        s"$q windows must all be key-partitioned")
+      Bench.clearState(spark)
+    }
+  }
+
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cell_at",
