@@ -140,6 +140,43 @@ object SpatialQueries {
        |FROM d_${L - 1}_${L - 1}""".stripMargin
   }
 
+  /** q271's oracle: the trackDpOracle skeleton with the LCSS fold —
+    * match cells extend the diagonal, misses take the best border. */
+  private def lcssOracle(eps2: Long): String = {
+    val L = 12
+    var prevCte = "p"
+    val cells = for (i <- 0 until L; j <- 0 until L) yield {
+      val cost = s"((xa[${i + 1}]-xb[${j + 1}])*(xa[${i + 1}]-xb[${j + 1}])" +
+        s" + (ya[${i + 1}]-yb[${j + 1}])*(ya[${i + 1}]-yb[${j + 1}]))"
+      val diag = if (i == 0 || j == 0) "0" else s"c_${i - 1}_${j - 1}"
+      val up = if (i == 0) "0" else s"c_${i - 1}_$j"
+      val left = if (j == 0) "0" else s"c_${i}_${j - 1}"
+      val cell = s"CASE WHEN $cost <= $eps2 THEN $diag + 1" +
+        s" ELSE GREATEST($up, $left) END"
+      val cte = s"d_${i}_$j AS MATERIALIZED (SELECT *, $cell AS c_${i}_$j FROM $prevCte)"
+      prevCte = s"d_${i}_$j"
+      cte
+    }
+    s"""WITH t AS (
+       |  SELECT user_id,
+       |    (list(xi ORDER BY ts, event_id))[1:$L] AS xs,
+       |    (list(yi ORDER BY ts, event_id))[1:$L] AS ys
+       |  FROM (SELECT user_id, ts, event_id,
+       |      event_id*17 % 320000 AS xi, event_id*23 % 150000 AS yi
+       |    FROM events)
+       |  GROUP BY 1 HAVING COUNT(*) >= $L),
+       |tb AS (SELECT user_id, xs, ys,
+       |    xs[1] // 20000 AS bx, ys[1] // 20000 AS by FROM t),
+       |p AS MATERIALIZED (SELECT a.user_id AS user_a, b.user_id AS user_b,
+       |    a.xs AS xa, a.ys AS ya, b.xs AS xb, b.ys AS yb
+       |  FROM tb a JOIN tb b
+       |    ON a.bx = b.bx AND a.by = b.by AND a.user_id < b.user_id),
+       |${cells.mkString(",\n")}
+       |SELECT user_a, user_b, CAST(c_${L - 1}_${L - 1} AS BIGINT) AS lcss_len,
+       |  CAST(c_${L - 1}_${L - 1} * 1000000 // $L AS BIGINT) AS sim_ppm
+       |FROM d_${L - 1}_${L - 1}""".stripMargin
+  }
+
   private def polys(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.polygons(SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
 
@@ -2182,6 +2219,26 @@ object SpatialQueries {
             org.apache.spark.sql.GraftSqlShim.expression(col("xb")),
             org.apache.spark.sql.GraftSqlShim.expression(col("yb")))).as("dtw_d2"))
     }),
+    "q271_lcss" -> ((s, dir) => {
+      // LCSS trajectory similarity — the GAP-TOLERANT third member of
+      // the trajectory-distance family (q199 DTW sums every warped
+      // step, q204 Fréchet takes the worst one; LCSS counts matchable
+      // steps — within eps — and FORGIVES outlier pings, the standard
+      // noisy-GPS co-movement score). Same blocked candidate pairs,
+      // per-pair exact-integer DP in spatial.LcssExpr with eps² = 10⁸
+      // (tuned so the synthetic pairs spread over the full 2..12
+      // range); sim_ppm = 10⁶·len div 12. The oracle unrolls the same
+      // 12×12 CASE/GREATEST grid.
+      trackPairs12(s, dir)
+        .select(col("user_a"), col("user_b"),
+          org.apache.spark.sql.GraftSqlShim.column(graft.spatial.LcssExpr(
+            org.apache.spark.sql.GraftSqlShim.expression(col("xa")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("ya")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("xb")),
+            org.apache.spark.sql.GraftSqlShim.expression(col("yb")),
+            100000000L)).as("lcss_len"))
+        .withColumn("sim_ppm", expr("lcss_len * 1000000 div 12"))
+    }),
     "q204_frechet" -> ((s, dir) => {
       // discrete Frechet distance — the BOTTLENECK companion to q199's
       // summed DTW cost ("shortest dog leash": minimum over monotone
@@ -3799,6 +3856,7 @@ object SpatialQueries {
     // inlines lateral column aliases textually, so the 3-way LEAST
     // chain explodes to ~3^22 expression nodes and the planner hangs.
     "q199_dtw" -> trackDpOracle(frechet = false),
+    "q271_lcss" -> lcssOracle(100000000L),
     "q204_frechet" -> trackDpOracle(frechet = true),
     // same discrete-line sampling formula (the definition both engines
     // share); floor division is spelled with a positive-mod adjustment

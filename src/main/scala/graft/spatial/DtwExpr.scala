@@ -104,3 +104,48 @@ case class FrechetExpr(first: Expression, second: Expression,
       f: Expression, s: Expression, t: Expression, q: Expression): FrechetExpr =
     copy(first = f, second = s, third = t, fourth = q)
 }
+
+/** Longest Common SubSequence length between two integer trajectories
+  * — the GAP-TOLERANT member of the family: two samples "match" when
+  * their squared lattice distance is ≤ `eps2`, and the score counts
+  * the longest monotone chain of matches, forgiving outlier pings
+  * entirely (DTW must pay for them, Fréchet is dominated by the worst
+  * one — LCSS is the standard noisy-GPS similarity). `eps2` is a plan
+  * literal (not a child expression), like CellAtExpr's resolution.
+  * Recurrence: c(i,j) = c(i−1,j−1)+1 if match else
+  * max(c(i−1,j), c(i,j−1)), zero borders; exact integers. */
+case class LcssExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, eps2: Long)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lcss_len"
+
+  override def nullSafeEval(xa: Any, ya: Any, xb: Any, yb: Any): Any = {
+    val axs = xa.asInstanceOf[ArrayData]; val ays = ya.asInstanceOf[ArrayData]
+    val bxs = xb.asInstanceOf[ArrayData]; val bys = yb.asInstanceOf[ArrayData]
+    val n = axs.numElements(); val m = bxs.numElements()
+    require(n > 0 && m > 0, "lcss_len requires non-empty tracks")
+    val prev = new Array[Long](m + 1)
+    val cur = new Array[Long](m + 1)
+    var i = 0
+    while (i < n) {
+      java.util.Arrays.fill(cur, 0L)
+      var j = 0
+      while (j < m) {
+        val dx = axs.getLong(i) - bxs.getLong(j)
+        val dy = ays.getLong(i) - bys.getLong(j)
+        cur(j + 1) =
+          if (dx * dx + dy * dy <= eps2) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): LcssExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+}

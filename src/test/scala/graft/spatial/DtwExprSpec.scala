@@ -103,4 +103,58 @@ class DtwExprSpec extends SparkTestBase {
     // b = a shifted by (3,4): every aligned step costs exactly 25
     assert(frechetSpark(xs, ys, xs.map(_ + 3), ys.map(_ + 4)) === 25L)
   }
+
+  /** Independent memoised recursive LCSS (top-down, written against
+    * the textbook recurrence — not the expression's rolling rows). */
+  private def lcssRef(ax: Array[Long], ay: Array[Long],
+      bx: Array[Long], by: Array[Long], eps2: Long): Long = {
+    val memo = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    def go(i: Int, j: Int): Long = memo.getOrElseUpdate((i, j), {
+      if (i < 0 || j < 0) 0L
+      else {
+        val dx = ax(i) - bx(j); val dy = ay(i) - by(j)
+        if (dx * dx + dy * dy <= eps2) go(i - 1, j - 1) + 1
+        else math.max(go(i - 1, j), go(i, j - 1))
+      }
+    })
+    go(ax.length - 1, bx.length - 1)
+  }
+
+  private def lcssSpark(ax: Array[Long], ay: Array[Long],
+      bx: Array[Long], by: Array[Long], eps2: Long): Long = {
+    import spark.implicits._
+    val df = Seq((ax.toSeq, ay.toSeq, bx.toSeq, by.toSeq)).toDF("xa", "ya", "xb", "yb")
+    df.select(GraftSqlShim.column(LcssExpr(
+      GraftSqlShim.expression(col("xa")), GraftSqlShim.expression(col("ya")),
+      GraftSqlShim.expression(col("xb")), GraftSqlShim.expression(col("yb")),
+      eps2)).as("d")).head().getLong(0)
+  }
+
+  test("LCSS matches memoised reference on 50 random pairs; bounded and eps-monotone") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(15); val m = 1 + rnd.nextInt(15)
+      val ax = Array.fill(n)(rnd.nextInt(60).toLong)
+      val ay = Array.fill(n)(rnd.nextInt(60).toLong)
+      val bx = Array.fill(m)(rnd.nextInt(60).toLong)
+      val by = Array.fill(m)(rnd.nextInt(60).toLong)
+      val tight = lcssSpark(ax, ay, bx, by, 100L)
+      assert(tight === lcssRef(ax, ay, bx, by, 100L))
+      assert(tight <= math.min(n, m))
+      // widening the match radius can only grow the score
+      val loose = lcssSpark(ax, ay, bx, by, 2000L)
+      assert(loose === lcssRef(ax, ay, bx, by, 2000L))
+      assert(loose >= tight)
+    }
+  }
+
+  test("LCSS of identical tracks is the full length; disjoint far tracks score 0") {
+    val xs = Array(1L, 5L, 9L, 14L); val ys = Array(2L, 4L, 8L, 1L)
+    assert(lcssSpark(xs, ys, xs, ys, 0L) === 4L)
+    assert(lcssSpark(xs, ys, xs.map(_ + 100000), ys, 100L) === 0L)
+    // an outlier spike in the middle costs exactly one match slot —
+    // the gap tolerance DTW/Frechet lack
+    val sy = ys.clone(); sy(2) = 999999L
+    assert(lcssSpark(xs, ys, xs, sy, 0L) === 3L)
+  }
 }
