@@ -109,7 +109,10 @@ object Bench {
     "q256_seasonal_decompose", "q257_zorder_mor_scan",
     "q258_geohash_codec", "q259_reverse_nn",
     "q260_class_separation", "q261_auc_eval",
-    "q262_incremental_decontamination", "q263_cluster_purity")
+    "q262_incremental_decontamination", "q263_cluster_purity",
+    "q264_scc_mutual", "q265_incremental_triangles",
+    "q266_nb_classifier", "q267_bpe_train", "q269_spacetime_contact",
+    "q270_incremental_cms", "q271_lcss", "q272_time_travel")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -78,6 +78,36 @@ object TableQueries {
             col("payload.rev").as("rev"), col("payload.n_chars").as("n_chars"))
       } finally base.unpersist()
     }),
+    "q272_time_travel" -> ((s, dir) => {
+      // TIME-TRAVEL read — the history face of the snapshot store
+      // (Iceberg's `VERSION AS OF`): after q73's full three-batch MOR
+      // run (including the compaction that folds the delta chain at
+      // compactEvery=2), `readAt(2)` must still reproduce the state
+      // EXACTLY as of batch 1 — older snapshots stay resolvable
+      // because commits only add directories and the GC keeps every
+      // snapshot the manifest chain references. The oracle is the
+      // batch-1-only closed form; the head having moved three commits
+      // and one compaction past it is the point of the test.
+      val root = "target/q272_store_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      SnapshotTable.deleteRecursively(Paths.get(root))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), lit(0L).as("rev"), col("n_chars")).cache()
+      try {
+        val t = SnapshotTable.create(s, root, base,
+          keyCols = Seq("doc_id"), numBuckets = 16)
+        (1 to 3).foreach { b =>
+          val ups = base.filter(col("doc_id") % 5 === b)
+            .select(col("doc_id"), lit(b.toLong).as("rev"),
+              (col("n_chars") + b).as("n_chars"), lit(false).as("del"))
+          val dels = base.filter(col("doc_id") % 17 === b && col("doc_id") % 5 =!= b)
+            .select(col("doc_id"), lit(0L).as("rev"),
+              lit(null).cast("long").as("n_chars"), lit(true).as("del"))
+          t.mergeIntoDelta(ups.unionByName(dels), Seq("doc_id"),
+            deleteMarker = Some("del"), compactEvery = 2)
+        }
+        t.readAt(2L).select(col("doc_id"), col("rev"), col("n_chars"))
+      } finally base.unpersist()
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,5 +139,14 @@ object TableQueries {
         |UNION ALL
         |SELECT doc_id, 'delete', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         |FROM documents WHERE doc_id % 17 = 1 AND doc_id % 5 <> 1""".stripMargin,
+    // state exactly as of batch 1: the %5=1 upserts applied, the %17=1
+    // tombstones gone, everything else at rev 0
+    "q272_time_travel" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS BIGINT) AS rev,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN n_chars + 1 ELSE n_chars END
+        |    AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE NOT (doc_id % 17 = 1 AND doc_id % 5 <> 1)""".stripMargin,
   )
 }
