@@ -625,6 +625,43 @@ object GraphQueries {
         .toDF("doc_id", "bwd_hops")
       fwd.join(bwd, Seq("doc_id"))
     }),
+    "q274_temporal_reach" -> ((s, dir) => {
+      // TIME-RESPECTING reachability — the temporal-network primitive
+      // (links carry observation days; a path may only traverse edges
+      // in non-decreasing time — how influence/crawl freshness
+      // actually propagates). State is the (node, arrival) REACH-PAIR
+      // set (q251's shape) because bounded-hop earliest arrival
+      // cannot relax from per-node minima alone: a LATER arrival
+      // reached in FEWER hops still extends where the minimum's
+      // deeper path has exhausted the hop budget. Dedup on (node, t)
+      // keeps the earliest-hop copy, which dominates (same arrival,
+      // more budget left), so the pair set — and the final min —
+      // equal the oracle's full path enumeration. Pairs are bounded
+      // by n × 30 arrival days; per round ONE frontier⋈links
+      // equi-join (+ the time filter) and one anti-join vs seen.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val lt = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(k => struct(
+            pmod(col("doc_id") * 31 + k * 7, lit(n)).as("dst"),
+            pmod(col("doc_id") * 13 + k * 29, lit(30L)).as("et"))): _*)).as("e"))
+        .select(col("src"), col("e.dst").as("dst"),
+          col("e.et").cast("long").as("et"))
+      var seen = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), lit(0L).as("t"))
+      var frontier = seen
+      for (_ <- 1 to 4) {
+        val next = frontier.join(lt,
+            frontier("doc_id") === lt("src") && lt("et") >= frontier("t"))
+          .select(col("dst").as("doc_id"), col("et").as("t")).distinct()
+          .join(seen, Seq("doc_id", "t"), "left_anti")
+        seen = seen.unionByName(next)
+        frontier = next
+      }
+      seen.groupBy(col("doc_id"))
+        .agg(min(col("t")).as("earliest_arrival"),
+          count(lit(1)).as("n_arrivals"))
+    }),
     "q265_incremental_triangles" -> ((s, dir) => {
       // IVM #18, the TRIANGLE axis: the global triangle count
       // maintained under the standard change batch (doc_id%7=3 rewires
@@ -1070,6 +1107,25 @@ object GraphQueries {
         |SELECT x.src AS a, y.src AS b, COUNT(*) AS n_shared
         |FROM capped x JOIN capped y ON x.dst = y.dst AND x.src < y.src
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // full path enumeration: the recursion carries (node, t, h)
+    // triples; MIN(t)/COUNT(DISTINCT t) collapse to the pair set the
+    // anti-join loop maintains
+    "q274_temporal_reach" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM documents),
+        |lt AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % n.n AS dst,
+        |    (d.doc_id*13 + 29*k) % 30 AS et
+        |  FROM documents d CROSS JOIN n, range(1, 4) t(k)),
+        |r AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS t, 0 AS h
+        |  FROM documents WHERE doc_id % 50 = 0
+        |  UNION
+        |  SELECT l.dst, CAST(l.et AS BIGINT), r.h + 1
+        |  FROM r JOIN lt l ON l.src = r.doc_id AND l.et >= r.t
+        |  WHERE r.h < 4)
+        |SELECT doc_id, MIN(t) AS earliest_arrival,
+        |  CAST(COUNT(DISTINCT t) AS BIGINT) AS n_arrivals
+        |FROM r GROUP BY 1""".stripMargin,
     // forward and backward bounded reachability as two recursive CTEs;
     // MIN collapses re-reaches exactly like the anti-join loop
     "q264_scc_mutual" ->

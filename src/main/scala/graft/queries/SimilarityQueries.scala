@@ -141,6 +141,39 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_cosine_topk" -> ((s, dir) => topK(cosinePairs(s, dir), 5)),
+    "q273_matryoshka_eval" -> ((s, dir) => {
+      // dimension-truncation fidelity (the Matryoshka question): how
+      // much of the exact top-3 survives when scoring uses only the
+      // first 16 of 64 dims? This is the eval that sizes a cheap
+      // prefix-dim PREFILTER stage (score on the prefix, refine
+      // survivors on the full vector — 4× less bandwidth through the
+      // scoring join). Both legs share q19's machinery (broadcast
+      // probe side, the declared exactness baseline; at corpus scale
+      // the eval runs on the sampled %50 query set it already uses);
+      // overlap@3 in exact ppm. Completes the eval family on the
+      // truncation axis (q248 covers bucketing, q231/q234 banding).
+      val e = embAsDouble(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      def pairsAt(trunc: Option[Int]): DataFrame = {
+        val (va, vb) = trunc match {
+          case Some(d) => (slice(col("v"), 1, d), slice(col("qv"), 1, d))
+          case None => (col("v"), col("qv"))
+        }
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cos(va, vb).as("cos"))
+      }
+      val full = topK(pairsAt(None), 3).select(col("query_id"), col("neighbor_id"))
+      val trunc = topK(pairsAt(Some(16)), 3).select(col("query_id"), col("neighbor_id"))
+      val hits = trunc.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      full.groupBy(col("query_id")).agg(count(lit(1)).as("n_full"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_full"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("coalesce(n_hit, 0) * 1000000 div n_full").as("overlap_ppm"))
+    }),
     "q145_knn_classify" -> ((s, dir) => {
       // k-NN majority-vote classification: each held-out query vector
       // takes its 5 exact nearest neighbors' majority label
@@ -415,6 +448,36 @@ object SimilarityQueries {
     s"sqrt(${dotSql2(s"$t.$c", s"$t.$c")})"
 
   val oracles: Map[String, String] = Map(
+    // the truncated leg re-derives its OWN norms over v[1:16]; the
+    // rank windows and ppm fold mirror the Spark side exactly
+    "q273_matryoshka_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |pf AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    $dotSql / (${normSql("a", "v")} * ${normSql("q", "qv")}) AS cos
+         |  FROM e a, q WHERE a.vec_id <> q.query_id),
+         |full3 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM pf) WHERE rn <= 3),
+         |et AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+         |qt AS (SELECT vec_id AS query_id, v AS qv FROM et WHERE vec_id % 50 = 0),
+         |pt AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    $dotSql / (${normSql("a", "v")} * ${normSql("q", "qv")}) AS cos
+         |  FROM et a, qt q WHERE a.vec_id <> q.query_id),
+         |tr3 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM pt) WHERE rn <= 3),
+         |h AS (SELECT t.query_id, COUNT(*) AS n_hit FROM tr3 t
+         |  JOIN full3 f ON f.query_id = t.query_id
+         |    AND f.neighbor_id = t.neighbor_id
+         |  GROUP BY 1),
+         |fin AS (SELECT query_id, COUNT(*) AS n_full FROM full3 GROUP BY 1)
+         |SELECT fin.query_id, CAST(n_full AS BIGINT) AS n_full,
+         |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(n_hit, 0) * 1000000 // n_full AS BIGINT) AS overlap_ppm
+         |FROM fin LEFT JOIN h USING (query_id)""".stripMargin,
     "q145_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),

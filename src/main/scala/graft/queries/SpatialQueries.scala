@@ -893,6 +893,40 @@ object SpatialQueries {
         .groupBy(col("level"), col("tile"))
         .agg(count(lit(1)).as("n_points"))
     }),
+    "q275_raster_peaks" -> ((s, dir) => {
+      // non-maximum suppression on the point-density raster — local
+      // peak detection (the step after q125's smoothing in any
+      // hotspot/landmark extraction): a cell is a peak iff its count
+      // STRICTLY exceeds every existing 8-neighbor (absent neighbors
+      // count 0, so an isolated occupied cell is a peak — the
+      // detection convention). Join-free neighbor-max by SCATTER
+      // (q125's shape with self excluded), one map-side-combined max
+      // per target, one equi-join back on the bounded occupied-cell
+      // table. Never a raster self-join.
+      val n = graft.geo.CellIndex.width(ContourRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      val base = SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
+      val nb = base
+        .select(col("ix"), col("iy"), col("cnt"),
+          explode(sequence(lit(-1), lit(1))).as("dx"))
+        .select(col("ix"), col("iy"), col("cnt"), col("dx"),
+          explode(sequence(lit(-1), lit(1))).as("dy"))
+        .filter(!(col("dx") === 0 && col("dy") === 0))
+        .select((col("ix") + col("dx")).as("tx"),
+          (col("iy") + col("dy")).as("ty"), col("cnt"))
+        .filter(col("tx") >= 0 && col("tx") < n && col("ty") >= 0 && col("ty") < n)
+        .groupBy(col("tx"), col("ty")).agg(max(col("cnt")).as("nb_max"))
+      base.join(nb, col("ix") === col("tx") && col("iy") === col("ty"), "left")
+        .select(col("ix"), col("iy"), col("cnt"),
+          when(col("cnt") > coalesce(col("nb_max"), lit(0L)), 1L)
+            .otherwise(0L).as("is_peak"))
+    }),
     "q125_focal_smooth" -> ((s, dir) => {
       // focal (3x3-neighborhood) smoothing of the point-density raster
       // — the moving-window aggregation every heatmap/KDE tile pipeline
@@ -3567,6 +3601,25 @@ object SpatialQueries {
         .mkString("\nUNION ALL\n")
       s"""WITH ${SynthSql.pointsCte}
          |$sel""".stripMargin
+    },
+    "q275_raster_peaks" -> {
+      val n = graft.geo.CellIndex.width(ContourRes)
+      s"""WITH ${SynthSql.pointsCte},
+         |b AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy
+         |  FROM points),
+         |c AS (SELECT ix, iy, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |nb AS (SELECT ix + dx AS tx, iy + dy AS ty, MAX(cnt) AS nb_max
+         |  FROM c, range(-1, 2) t1(dx), range(-1, 2) t2(dy)
+         |  WHERE NOT (dx = 0 AND dy = 0)
+         |    AND ix + dx BETWEEN 0 AND ${n - 1}
+         |    AND iy + dy BETWEEN 0 AND ${n - 1}
+         |  GROUP BY 1, 2)
+         |SELECT c.ix, c.iy, c.cnt,
+         |  CAST(CASE WHEN c.cnt > COALESCE(nb.nb_max, 0) THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_peak
+         |FROM c LEFT JOIN nb ON nb.tx = c.ix AND nb.ty = c.iy""".stripMargin
     },
     "q125_focal_smooth" -> {
       val n = graft.geo.CellIndex.width(TileRes)

@@ -688,7 +688,8 @@ class PlanSpec extends SparkTestBase {
     // no cross products anywhere beyond broadcast one-row scalars
     for (q <- Seq("q264_scc_mutual", "q265_incremental_triangles",
         "q266_nb_classifier", "q267_bpe_train", "q269_spacetime_contact",
-        "q270_incremental_cms")) {
+        "q270_incremental_cms", "q274_temporal_reach",
+        "q275_raster_peaks")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
@@ -696,7 +697,8 @@ class PlanSpec extends SparkTestBase {
     // the contact pairing and the triangle-delta probes are pure
     // equi-joins; neither plans a window (their dedup/count shapes are
     // aggregates)
-    for (q <- Seq("q269_spacetime_contact", "q270_incremental_cms")) {
+    for (q <- Seq("q269_spacetime_contact", "q270_incremental_cms",
+        "q274_temporal_reach", "q275_raster_peaks")) {
       val p = SparkEntry.queries(q)(spark, sfSmoke)
       assert(!formatted(p).contains("Window"), s"$q must stay window-free")
       val joins = p.queryExecution.optimizedPlan.collect {
