@@ -113,7 +113,9 @@ object Bench {
     "q264_scc_mutual", "q265_incremental_triangles",
     "q266_nb_classifier", "q267_bpe_train", "q269_spacetime_contact",
     "q270_incremental_cms", "q271_lcss", "q272_time_travel",
-    "q273_matryoshka_eval", "q274_temporal_reach", "q275_raster_peaks")
+    "q273_matryoshka_eval", "q274_temporal_reach", "q275_raster_peaks",
+    "q276_winnowing", "q277_robots_match", "q278_kappa",
+    "q279_crawl_budget", "q280_distance_transform")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

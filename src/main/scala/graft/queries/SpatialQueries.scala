@@ -927,6 +927,57 @@ object SpatialQueries {
           when(col("cnt") > coalesce(col("nb_max"), lit(0L)), 1L)
             .otherwise(0L).as("is_peak"))
     }),
+    "q280_distance_transform" -> ((s, dir) => {
+      // bounded raster distance transform — Chebyshev distance (8-way
+      // grid metric) to the nearest HOT cell, the proximity surface
+      // behind "how far is every tile from a hotspot" styling and
+      // coverage audits. Hot = 2·cnt·n_occupied ≥ 3·total, an exact
+      // integer "above 1.5× mean density" test that is scale-free (no
+      // tuned absolute threshold; the synthetic raster's occupied
+      // cells are near-uniform — max ≈ 1.8× mean — so 2× would never
+      // fire). The engine runs the general
+      // multi-source BFS wavefront — K=3 rounds, each ONE 8-neighbor
+      // scatter + distinct + anti-join vs settled cells (the loop
+      // shape that generalizes to obstacle-aware propagation, cf.
+      // q208's occlusion raster); rows bounded by |hot| · (2K+1)².
+      // The oracle computes the closed-form Chebyshev minimum over
+      // source windows — an independent formulation the BFS must
+      // reproduce exactly on an obstacle-free grid.
+      val n = graft.geo.CellIndex.width(ContourRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      val base = SynthUniverse.points(s, dir)
+        .select(q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .groupBy(col("ix"), col("iy")).agg(count(lit(1)).as("cnt"))
+      val stats = base.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("nc"))
+      val src = base.crossJoin(broadcast(stats))
+        .filter(lit(2L) * col("cnt") * col("nc") >= lit(3L) * col("total"))
+        .select(col("ix"), col("iy"))
+      var seen = src.select(col("ix"), col("iy"), lit(0L).as("dist"))
+      var frontier = src
+      for (h <- 1 to 3) {
+        val next = frontier
+          .select(col("ix"), col("iy"),
+            explode(sequence(lit(-1), lit(1))).as("dx"))
+          .select(col("ix"), col("iy"), col("dx"),
+            explode(sequence(lit(-1), lit(1))).as("dy"))
+          .filter(!(col("dx") === 0 && col("dy") === 0))
+          .select((col("ix") + col("dx")).as("nx"),
+            (col("iy") + col("dy")).as("ny"))
+          .filter(col("nx") >= 0 && col("nx") < n &&
+            col("ny") >= 0 && col("ny") < n)
+          .select(col("nx").as("ix"), col("ny").as("iy")).distinct()
+          .join(seen.select(col("ix"), col("iy")), Seq("ix", "iy"), "left_anti")
+          .withColumn("dist", lit(h.toLong))
+        seen = seen.unionByName(next)
+        frontier = next.select(col("ix"), col("iy"))
+      }
+      seen
+    }),
     "q125_focal_smooth" -> ((s, dir) => {
       // focal (3x3-neighborhood) smoothing of the point-density raster
       // — the moving-window aggregation every heatmap/KDE tile pipeline
@@ -3620,6 +3671,26 @@ object SpatialQueries {
          |  CAST(CASE WHEN c.cnt > COALESCE(nb.nb_max, 0) THEN 1 ELSE 0 END
          |    AS BIGINT) AS is_peak
          |FROM c LEFT JOIN nb ON nb.tx = c.ix AND nb.ty = c.iy""".stripMargin
+    },
+    // closed-form Chebyshev minimum over per-source (2K+1)² windows —
+    // independent of the engine's BFS wavefront loop
+    "q280_distance_transform" -> {
+      val n = graft.geo.CellIndex.width(ContourRes)
+      s"""WITH ${SynthSql.pointsCte},
+         |b AS (SELECT
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy
+         |  FROM points),
+         |c AS (SELECT ix, iy, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |t AS (SELECT SUM(cnt) AS total, COUNT(*) AS nc FROM c),
+         |s AS (SELECT ix, iy FROM c, t WHERE 2 * cnt * t.nc >= 3 * t.total),
+         |d AS (SELECT s.ix + dx AS ix, s.iy + dy AS iy,
+         |    MIN(GREATEST(abs(dx), abs(dy))) AS dist
+         |  FROM s, range(-3, 4) a(dx), range(-3, 4) b2(dy)
+         |  WHERE s.ix + dx BETWEEN 0 AND ${n - 1}
+         |    AND s.iy + dy BETWEEN 0 AND ${n - 1}
+         |  GROUP BY 1, 2)
+         |SELECT ix, iy, CAST(dist AS BIGINT) AS dist FROM d""".stripMargin
     },
     "q125_focal_smooth" -> {
       val n = graft.geo.CellIndex.width(TileRes)

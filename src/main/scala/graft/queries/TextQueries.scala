@@ -71,24 +71,175 @@ object TextQueries {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** q15's language predictor — score_l = count of profile-stopword
+    * tokens (with multiplicity); winner = min over (−score, lang)
+    * struct ordering. Codegen'd, no UDF, no shuffle beyond the scan.
+    * ONE definition shared by q15 and the q278 agreement eval. */
+  private def langPred(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.withColumn("ts", tokens(col("text")))
+    val scored = langProfiles.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        expr(s"size(filter(ts, t -> t IN ${inList(words)}))").cast("long"))
+    }
+    val candidates = array(langProfiles.map { case (lang, _) =>
+      struct((-col(s"score_$lang")).as("neg"), lit(lang).as("lang"))
+    }: _*)
+    scored.select(
+      col("doc_id"),
+      array_min(candidates).getField("lang").as("pred_lang"),
+      greatest(langProfiles.map(p => col(s"score_${p._1}")): _*).as("best_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q15_langid" -> ((s, dir) => {
-      // score_l = count of profile-stopword tokens (with multiplicity);
-      // winner = min over (−score, lang) struct ordering — codegen'd,
-      // no UDF, no shuffle beyond the scan.
-      val docs = Tables.documents(s, dir).withColumn("ts", tokens(col("text")))
-      val scored = langProfiles.foldLeft(docs) { case (df, (lang, words)) =>
-        df.withColumn(s"score_$lang",
-          expr(s"size(filter(ts, t -> t IN ${inList(words)}))").cast("long"))
-      }
-      val candidates = array(langProfiles.map { case (lang, _) =>
-        struct((-col(s"score_$lang")).as("neg"), lit(lang).as("lang"))
-      }: _*)
-      scored.select(
-        col("doc_id"),
-        array_min(candidates).getField("lang").as("pred_lang"),
-        greatest(langProfiles.map(p => col(s"score_${p._1}")): _*).as("best_score"))
+    "q276_winnowing" -> ((s, dir) => {
+      // MOSS-style winnowing fingerprint selection (Schleimer et al.,
+      // SIGMOD'03 — public algorithm): over each document's 3-gram
+      // hash sequence, every w=4 consecutive-hash window selects its
+      // MINIMAL hash, rightmost on ties. Guarantee: any exact token
+      // run of >= w+k-1 = 6 tokens shared by two documents shares a
+      // selected fingerprint, at ~2/(w+1) the density of the full
+      // k-gram set — the index a plagiarism/near-dup detector stores
+      // instead of every shingle. ONE posexplode + ONE doc-keyed
+      // window (partitionBy doc_id, so never a global sort), distinct
+      // selected (pos, fp) per doc. At 100 TB this is a narrow
+      // map-side pass per doc; the shuffle is only the final distinct
+      // on (doc, fp) — a fraction of the q13 shingle volume.
+      import org.apache.spark.sql.expressions.Window
+      val K = 3; val W = 4
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), size(col("ts")).as("m"),
+          posexplode(transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+            i => array_join(slice(col("ts"), i, lit(K)), " ")))
+            .as(Seq("p0", "gram")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+          (col("m") - (K - 1)).cast("long").as("ng"),
+          hash60(col("gram")).as("fp"))
+      val win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, W - 1)
+      g.filter(col("ng") >= W)
+        .withColumn("sel",
+          min(struct(col("fp"), (-col("p")).as("np"))).over(win))
+        .filter(col("p") <= col("ng") - (W - 1))
+        .select(col("doc_id"), (-col("sel.np")).as("sel_pos"),
+          col("sel.fp").as("sel_fp"))
+        .distinct()
     }),
+    "q277_robots_match" -> ((s, dir) => {
+      // longest-prefix rule matching — the crawl-politeness gate
+      // (robots.txt semantics: most-specific path prefix wins). The
+      // per-host rule set derives deterministically from the distinct
+      // sources (depth-1 rules for every first segment, depth-2 rules
+      // only for b <= 3 so deeper paths REALLY fall back), so both
+      // engines build the identical ruleset; the operator is the
+      // match. Scale shape: rules are host-blocked and broadcast
+      // (rules-per-host is small and bounded in any real crawl), the
+      // candidate join is an equi-join on host + a codegen startswith
+      // filter, winner = max over (prefix_len, prefix) struct — never
+      // URL × all-rules.
+      val docs = Tables.documents(s, dir)
+      val srcs = docs.select(col("source")).distinct()
+      val aCol = explode(sequence(lit(0), lit(6))).as("a")
+      val r1 = srcs.select(col("source"), lit("/").as("prefix"),
+        lit("allow").as("verdict"))
+      val r2 = srcs.select(col("source"), aCol)
+        .select(col("source"),
+          concat(lit("/"), col("a").cast("string"), lit("/")).as("prefix"),
+          when(pmod(hash60(concat(col("source"), lit(":"),
+            col("a").cast("string"))), lit(2)) === 0, lit("allow"))
+            .otherwise(lit("deny")).as("verdict"))
+      val r3 = srcs.select(col("source"), aCol)
+        .select(col("source"), col("a"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .select(col("source"),
+          concat(lit("/"), col("a").cast("string"), lit("/"),
+            col("b").cast("string"), lit("/")).as("prefix"),
+          when(pmod(hash60(concat(col("source"), lit(":"),
+            col("a").cast("string"), lit(":"), col("b").cast("string"))), lit(2)) === 0,
+            lit("deny")).otherwise(lit("allow")).as("verdict"))
+      val rules = r1.unionByName(r2).unionByName(r3)
+      val urls = docs.select(col("doc_id"), col("source").as("host"),
+        concat(lit("/"), (col("doc_id") % 7).cast("string"), lit("/"),
+          (col("doc_id") % 13).cast("string"), lit("/page-"),
+          (col("doc_id") % 5).cast("string")).as("path"))
+      urls.join(broadcast(rules),
+          urls("host") === rules("source") &&
+            col("path").startsWith(col("prefix")))
+        .groupBy(col("doc_id"), col("host"), col("path"))
+        .agg(max(struct(length(col("prefix")).as("l"),
+          col("prefix").as("rule_prefix"), col("verdict").as("v"))).as("w"))
+        .select(col("doc_id"), col("host"), col("path"),
+          col("w.rule_prefix").as("rule_prefix"), col("w.v").as("verdict"))
+    }),
+    "q278_kappa" -> ((s, dir) => {
+      // Cohen's kappa between the q15 heuristic language predictor and
+      // the stored lang label — chance-corrected agreement, THE
+      // classifier-audit statistic before trusting a cheap gate to
+      // route a corpus. Exact integers end to end: po and pe carried
+      // as (numerator, N²) rationals, kappa = (agree·N − Σ row_l·col_l)
+      // / (N² − Σ row_l·col_l) emitted as a floor ppm via the engine-
+      // identical (x − pmod(x,d)) div d. The confusion matrix is one
+      // small shuffle (≤ 25 cells at any corpus size); everything
+      // after folds broadcast one-row frames.
+      val docs = Tables.documents(s, dir)
+      val j = docs.select(col("doc_id"), col("lang"))
+        .join(langPred(docs).select(col("doc_id"), col("pred_lang")), "doc_id")
+      val conf = j.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("c"))
+      val n = conf.agg(sum(col("c")).as("n_docs"))
+      val agree = conf.filter(col("lang") === col("pred_lang"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_agree"))
+      val rowm = conf.groupBy(col("lang")).agg(sum(col("c")).as("rn"))
+      val colm = conf.groupBy(col("pred_lang")).agg(sum(col("c")).as("cn"))
+      val pe = rowm.join(colm, col("lang") === col("pred_lang"))
+        .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("pe_num"))
+      n.crossJoin(broadcast(agree)).crossJoin(broadcast(pe))
+        .withColumn("num",
+          lit(1000000L) * (col("n_agree") * col("n_docs") - col("pe_num")))
+        .withColumn("den", col("n_docs") * col("n_docs") - col("pe_num"))
+        .select(col("n_docs"), col("n_agree"), col("pe_num"),
+          expr("(num - pmod(num, den)) div den").as("kappa_ppm"))
+    }),
+    "q279_crawl_budget" -> ((s, dir) => {
+      // largest-remainder (Hamilton) apportionment of a fixed crawl
+      // budget of B=10000 fetch slots across (source, lang) strata by
+      // document share — the exact-integer allocator behind politeness
+      // budgeting and mixture targets (q77 samples by rate; this
+      // apportions a hard total: Σ alloc == B exactly, which
+      // rate-rounding cannot promise). base = (B·n_i) div N, the L
+      // leftover slots go to the L largest remainders (source, lang
+      // tie-break). Rank over the ≤ |sources|·|langs| bounded stratum
+      // table via a self-join count — window-free, so no global sort
+      // appears at any scale; the only corpus-size work is the one
+      // counting shuffle.
+      val B = 10000L
+      val c = Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val t = c.agg(sum(col("n_docs")).as("n"))
+      val b = c.crossJoin(broadcast(t))
+        .select(col("source"), col("lang"), col("n_docs"),
+          expr(s"($B * n_docs) div n").as("base_slots"),
+          expr(s"$B * n_docs - (($B * n_docs) div n) * n").as("rem"))
+      val lft = b.agg((lit(B) - sum(col("base_slots"))).as("leftover"))
+      val other = b.select(col("rem").as("o_rem"), col("source").as("o_src"),
+        col("lang").as("o_lang"))
+      val ahead = b.join(other,
+          col("o_rem") > col("rem") ||
+            (col("o_rem") === col("rem") &&
+              (col("o_src") < col("source") ||
+                (col("o_src") === col("source") && col("o_lang") < col("lang")))),
+          "left")
+        .groupBy(col("source"), col("lang"), col("n_docs"),
+          col("base_slots"), col("rem"))
+        .agg(count(col("o_rem")).as("n_ahead"))
+      ahead.crossJoin(broadcast(lft))
+        .select(col("source"), col("lang"), col("n_docs"), col("base_slots"),
+          when(col("n_ahead") < col("leftover"), 1L).otherwise(0L).as("extra"),
+          (col("base_slots") +
+            when(col("n_ahead") < col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+    }),
+    "q15_langid" -> ((s, dir) => langPred(Tables.documents(s, dir))),
     "q16_quality_score" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).withColumn("ts", tokens(col("text")))
       docs.select(
@@ -1836,6 +1987,111 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // window-free formulation: per-window min via a bounded 4-row
+    // band self-join, rightmost tie via MAX(p) over the min's rows
+    "q276_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, CAST(len(ts) - 2 AS BIGINT) AS ng,
+        |    unnest([{'p': i,
+        |      'fp': CAST('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),1,15) AS BIGINT)}
+        |      for i in range(1, len(ts) - 1)]) AS u
+        |  FROM toks WHERE len(ts) >= 3
+        |), g AS (
+        |  SELECT doc_id, ng, CAST(u.p AS BIGINT) AS p, u.fp AS fp FROM g0
+        |), wmin AS (
+        |  SELECT a.doc_id, a.p AS w0, MIN(b.fp) AS sel_fp
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.p BETWEEN a.p AND a.p + 3
+        |  WHERE a.p <= a.ng - 3
+        |  GROUP BY 1, 2
+        |), sel AS (
+        |  SELECT m.doc_id, m.w0, m.sel_fp, MAX(g.p) AS sel_pos
+        |  FROM wmin m JOIN g ON g.doc_id = m.doc_id AND g.fp = m.sel_fp
+        |    AND g.p BETWEEN m.w0 AND m.w0 + 3
+        |  GROUP BY 1, 2, 3)
+        |SELECT DISTINCT doc_id, CAST(sel_pos AS BIGINT) AS sel_pos, sel_fp
+        |FROM sel""".stripMargin,
+    "q277_robots_match" ->
+      """WITH srcs AS (SELECT DISTINCT source FROM documents),
+        |r1 AS (SELECT source, '/' AS prefix, 'allow' AS verdict FROM srcs),
+        |r2 AS (
+        |  SELECT source, '/' || CAST(a AS VARCHAR) || '/' AS prefix,
+        |    CASE WHEN CAST('0x' || substr(md5(source || ':' || CAST(a AS VARCHAR)),1,15) AS BIGINT) % 2 = 0
+        |      THEN 'allow' ELSE 'deny' END AS verdict
+        |  FROM srcs, range(0, 7) t(a)),
+        |r3 AS (
+        |  SELECT source,
+        |    '/' || CAST(a AS VARCHAR) || '/' || CAST(b AS VARCHAR) || '/' AS prefix,
+        |    CASE WHEN CAST('0x' || substr(md5(source || ':' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)),1,15) AS BIGINT) % 2 = 0
+        |      THEN 'deny' ELSE 'allow' END AS verdict
+        |  FROM srcs, range(0, 7) t(a), range(0, 4) u(b)),
+        |rules AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3),
+        |d AS (
+        |  SELECT doc_id, source AS host,
+        |    '/' || CAST(doc_id % 7 AS VARCHAR) || '/' || CAST(doc_id % 13 AS VARCHAR)
+        |      || '/page-' || CAST(doc_id % 5 AS VARCHAR) AS path
+        |  FROM documents),
+        |m AS (
+        |  SELECT d.doc_id, d.host, d.path, r.prefix, r.verdict,
+        |    ROW_NUMBER() OVER (PARTITION BY d.doc_id
+        |      ORDER BY length(r.prefix) DESC, r.prefix DESC) AS rn
+        |  FROM d JOIN rules r ON r.source = d.host AND starts_with(d.path, r.prefix))
+        |SELECT doc_id, host, path, prefix AS rule_prefix, verdict
+        |FROM m WHERE rn = 1""".stripMargin,
+    "q278_kappa" -> {
+      val scores = profileSql.map { case (l, e) =>
+        s"SELECT doc_id, '$l' AS lang, $e AS score FROM toks" }
+        .mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents
+         |), scores AS ($scores),
+         |pred AS (
+         |  SELECT doc_id, lang AS pred_lang
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY score DESC, lang ASC) AS rn FROM scores)
+         |  WHERE rn = 1),
+         |conf AS (
+         |  SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs FROM conf),
+         |ag AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_agree
+         |  FROM conf WHERE lang = pred_lang),
+         |rm AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS rn FROM conf GROUP BY 1),
+         |cm AS (SELECT pred_lang, CAST(SUM(c) AS BIGINT) AS cn FROM conf GROUP BY 1),
+         |pe AS (SELECT CAST(COALESCE(SUM(rm.rn * cm.cn), 0) AS BIGINT) AS pe_num
+         |  FROM rm JOIN cm ON cm.pred_lang = rm.lang),
+         |k AS (
+         |  SELECT n_docs, n_agree, pe_num,
+         |    1000000 * (n_agree * n_docs - pe_num) AS num,
+         |    n_docs * n_docs - pe_num AS den
+         |  FROM n, ag, pe)
+         |SELECT n_docs, n_agree, pe_num,
+         |  CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS kappa_ppm
+         |FROM k""".stripMargin
+    },
+    "q279_crawl_budget" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM c),
+        |b AS (
+        |  SELECT c.source, c.lang, c.n_docs,
+        |    CAST((10000 * n_docs) // t.n AS BIGINT) AS base_slots,
+        |    CAST(10000 * n_docs - ((10000 * n_docs) // t.n) * t.n AS BIGINT) AS rem
+        |  FROM c, t),
+        |l AS (SELECT CAST(10000 - SUM(base_slots) AS BIGINT) AS leftover FROM b),
+        |r AS (
+        |  SELECT a.source, a.lang, a.n_docs, a.base_slots,
+        |    (SELECT COUNT(*) FROM b x
+        |     WHERE x.rem > a.rem OR (x.rem = a.rem AND
+        |       (x.source < a.source OR (x.source = a.source AND x.lang < a.lang))))
+        |      AS n_ahead
+        |  FROM b a)
+        |SELECT source, lang, n_docs, base_slots,
+        |  CAST(CASE WHEN n_ahead < l.leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(base_slots + CASE WHEN n_ahead < l.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r, l""".stripMargin,
     // not-dominated ⟺ b beats every b' at strictly larger a AND a
     // beats every a' at strictly larger b — two integer-RANGE window
     // sweeps replace the quadratic NOT EXISTS

@@ -722,6 +722,31 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q276-q280 wave: no cross products, winnowing window doc-keyed, allocator window-free") {
+    for (q <- Seq("q276_winnowing", "q277_robots_match", "q278_kappa",
+        "q279_crawl_budget", "q280_distance_transform")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+    // the winnowing selection window partitions by doc_id — never a
+    // global sort; the longest-prefix match and the apportionment
+    // rank are aggregate/join shapes with no window at all
+    for (q <- Seq("q277_robots_match", "q279_crawl_budget",
+        "q280_distance_transform")) {
+      assert(!formatted(SparkEntry.queries(q)(spark, sfSmoke))
+        .contains("Window"), s"$q must stay window-free")
+      Bench.clearState(spark)
+    }
+    val ws = SparkEntry.queries("q276_winnowing")(spark, sfSmoke)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+    assert(ws.nonEmpty && ws.forall(_.nonEmpty),
+      "q276 winnowing windows must all be doc-keyed")
+    Bench.clearState(spark)
+  }
+
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "cell_at",
