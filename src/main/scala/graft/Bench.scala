@@ -115,7 +115,8 @@ object Bench {
     "q270_incremental_cms", "q271_lcss", "q272_time_travel",
     "q273_matryoshka_eval", "q274_temporal_reach", "q275_raster_peaks",
     "q276_winnowing", "q277_robots_match", "q278_kappa",
-    "q279_crawl_budget", "q280_distance_transform")
+    "q279_crawl_budget", "q280_distance_transform",
+    "q281_incremental_winnowing", "q282_kendall_tau")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -90,39 +90,145 @@ object TextQueries {
       greatest(langProfiles.map(p => col(s"score_${p._1}")): _*).as("best_score"))
   }
 
+  /** MOSS-style winnowing fingerprint selection (Schleimer et al.,
+    * SIGMOD'03 — public algorithm) over a (doc_id, text) frame: over
+    * each document's 3-gram hash sequence, every w=4 consecutive-hash
+    * window selects its MINIMAL hash, rightmost on ties. Guarantee:
+    * any exact token run of >= w+k-1 = 6 tokens shared by two
+    * documents shares a selected fingerprint, at ~2/(w+1) the density
+    * of the full k-gram set — the index a plagiarism/near-dup
+    * detector stores instead of every shingle. ONE posexplode + ONE
+    * doc-keyed window (partitionBy doc_id, so never a global sort),
+    * distinct selected (pos, fp) per doc. THE one definition shared
+    * by q276 and its IVM face q281. */
+  private def winnowOf(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 3; val W = 4
+    val g = docsIn
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("m"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+          i => array_join(slice(col("ts"), i, lit(K)), " ")))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        (col("m") - (K - 1)).cast("long").as("ng"),
+        hash60(col("gram")).as("fp"))
+    val win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, W - 1)
+    g.filter(col("ng") >= W)
+      .withColumn("sel",
+        min(struct(col("fp"), (-col("p")).as("np"))).over(win))
+      .filter(col("p") <= col("ng") - (W - 1))
+      .select(col("doc_id"), (-col("sel.np")).as("sel_pos"),
+        col("sel.fp").as("sel_fp"))
+      .distinct()
+  }
+
+  /** The winnowing oracle recipe over an arbitrary (doc_id, text)
+    * corpus CTE — window-free: per-window min via a bounded 4-row
+    * band self-join, rightmost tie via MAX(p) over the min's rows. */
+  private def winnowSql(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM corpus
+       |), g0 AS (
+       |  SELECT doc_id, CAST(len(ts) - 2 AS BIGINT) AS ng,
+       |    unnest([{'p': i,
+       |      'fp': CAST('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),1,15) AS BIGINT)}
+       |      for i in range(1, len(ts) - 1)]) AS u
+       |  FROM toks WHERE len(ts) >= 3
+       |), g AS (
+       |  SELECT doc_id, ng, CAST(u.p AS BIGINT) AS p, u.fp AS fp FROM g0
+       |), wmin AS (
+       |  SELECT a.doc_id, a.p AS w0, MIN(b.fp) AS sel_fp
+       |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.p BETWEEN a.p AND a.p + 3
+       |  WHERE a.p <= a.ng - 3
+       |  GROUP BY 1, 2
+       |), sel AS (
+       |  SELECT m.doc_id, m.w0, m.sel_fp, MAX(g.p) AS sel_pos
+       |  FROM wmin m JOIN g ON g.doc_id = m.doc_id AND g.fp = m.sel_fp
+       |    AND g.p BETWEEN m.w0 AND m.w0 + 3
+       |  GROUP BY 1, 2, 3)
+       |SELECT DISTINCT doc_id, CAST(sel_pos AS BIGINT) AS sel_pos, sel_fp
+       |FROM sel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q276_winnowing" -> ((s, dir) => {
-      // MOSS-style winnowing fingerprint selection (Schleimer et al.,
-      // SIGMOD'03 — public algorithm): over each document's 3-gram
-      // hash sequence, every w=4 consecutive-hash window selects its
-      // MINIMAL hash, rightmost on ties. Guarantee: any exact token
-      // run of >= w+k-1 = 6 tokens shared by two documents shares a
-      // selected fingerprint, at ~2/(w+1) the density of the full
-      // k-gram set — the index a plagiarism/near-dup detector stores
-      // instead of every shingle. ONE posexplode + ONE doc-keyed
-      // window (partitionBy doc_id, so never a global sort), distinct
-      // selected (pos, fp) per doc. At 100 TB this is a narrow
-      // map-side pass per doc; the shuffle is only the final distinct
-      // on (doc, fp) — a fraction of the q13 shingle volume.
-      import org.apache.spark.sql.expressions.Window
-      val K = 3; val W = 4
-      val g = Tables.documents(s, dir)
+    "q276_winnowing" -> ((s, dir) => winnowOf(Tables.documents(s, dir))),
+    "q281_incremental_winnowing" -> ((s, dir) => {
+      // IVM #20, the fingerprint-INDEX axis: maintain q276's winnowed
+      // fingerprint set under the standard change batch (id%7=3 text
+      // update, id%13=5 delete). Winnowing is per-document LOCAL — no
+      // cross-document state — so its maintenance is the cleanest in
+      // the IVM family: delta work is EXACTLY the touched documents'
+      // re-winnow (one narrow pass over the batch), every untouched
+      // document's fingerprints pass through one anti-join unread.
+      // That locality is why production plagiarism/near-dup indexes
+      // (the thing q276 feeds) are maintained incrementally while
+      // banded MinHash (q101) needs bucket re-probes. Full-recompute
+      // oracle over the post-change corpus.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = winnowOf(docs)
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"))
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      val touched = updated.select(col("doc_id")).union(deletedIds).distinct()
+      base.join(touched, Seq("doc_id"), "left_anti")
+        .unionByName(winnowOf(updatedLive))
+    }),
+    "q282_kendall_tau" -> ((s, dir) => {
+      // exact Kendall tau between two retrieval scorers on the head —
+      // the ranking-agreement eval next to overlap@k (q273/q248) and
+      // RRF/MMR (q222/q230): do BM25 (q130's scorer) and plain
+      // integer tf·idf order the top-20 the same way? Both rankings
+      // carry a full (score DESC, doc_id ASC) tie-break, and since
+      // pairs are enumerated with id_i < id_j, "i ranks before j"
+      // collapses to score_i >= score_j — so concordance is pure
+      // sign arithmetic, no rank window anywhere. The only unbounded
+      // work is q130's own scoring shuffle; the pair fold runs on the
+      // bounded 20-row head (190 pairs). tau emitted as floor ppm.
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("ts"))
-        .select(col("doc_id"), size(col("ts")).as("m"),
-          posexplode(transform(sequence(lit(1), size(col("ts")) - (K - 1)),
-            i => array_join(slice(col("ts"), i, lit(K)), " ")))
-            .as(Seq("p0", "gram")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
-          (col("m") - (K - 1)).cast("long").as("ng"),
-          hash60(col("gram")).as("fp"))
-      val win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, W - 1)
-      g.filter(col("ng") >= W)
-        .withColumn("sel",
-          min(struct(col("fp"), (-col("p")).as("np"))).over(win))
-        .filter(col("p") <= col("ng") - (W - 1))
-        .select(col("doc_id"), (-col("sel.np")).as("sel_pos"),
-          col("sel.fp").as("sel_fp"))
-        .distinct()
+        .withColumn("len", size(col("ts")).cast("long"))
+      val hits = docs.select(col("doc_id"), col("len"), explode(col("ts")).as("t"))
+        .filter(col("t").isin(Bm25Terms: _*))
+      val tf = hits.groupBy(col("doc_id"), col("len"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val n = docs.count()
+      val avglen = docs.agg(sum(col("len"))).head.getLong(0).toDouble / n
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val scoredTerms = tf.join(broadcast(dfreq), "t")
+        .withColumn("idf_s", expr(s"${n * 1000L} div df"))
+        .withColumn("contrib",
+          col("idf_s") * (col("tf") * (k1 + 1.0)) /
+            (col("tf") + (lit(1.0 - b) + col("len") * b / avglen) * k1))
+      val cols = Bm25Terms.map(t =>
+        max(when(col("t") === t, col("contrib")).otherwise(lit(0.0))).as(s"c_$t"))
+      val scored = scoredTerms.groupBy(col("doc_id"))
+        .agg(cols.head, cols.tail ++
+          Seq(sum(col("tf") * col("idf_s")).as("tfidf")): _*)
+        .select(col("doc_id"),
+          round((Bm25Terms.map(t => col(s"c_$t")).reduce(_ + _)) * 1e4, 0)
+            .cast("long").as("a"),
+          col("tfidf").as("b"))
+      val top = scored.orderBy(col("a").desc, col("doc_id").asc).limit(20).cache()
+      val l = top.select(col("doc_id").as("id_i"), col("a").as("a_i"),
+        col("b").as("b_i"))
+      val r = top.select(col("doc_id").as("id_j"), col("a").as("a_j"),
+        col("b").as("b_j"))
+      val pairs = l.join(r, col("id_i") < col("id_j"))
+      val agg = pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("a_i") >= col("a_j")) === (col("b_i") >= col("b_j")), 1L)
+          .otherwise(0L)).as("concordant"))
+      top.agg(count(lit(1)).as("n_items")).crossJoin(broadcast(agg))
+        .withColumn("discordant", col("n_pairs") - col("concordant"))
+        .withColumn("num", lit(1000000L) * (col("concordant") - col("discordant")))
+        .select(col("n_items"), col("n_pairs"), col("concordant"),
+          col("discordant"),
+          expr("(num - pmod(num, n_pairs)) div n_pairs").as("tau_ppm"))
     }),
     "q277_robots_match" -> ((s, dir) => {
       // longest-prefix rule matching — the crawl-politeness gate
@@ -1987,31 +2093,54 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
-    // window-free formulation: per-window min via a bounded 4-row
-    // band self-join, rightmost tie via MAX(p) over the min's rows
     "q276_winnowing" ->
+      winnowSql("SELECT doc_id, text FROM documents"),
+    // full recompute over the post-change corpus — the IVM loop must
+    // reproduce it row-for-row
+    "q281_incremental_winnowing" ->
+      winnowSql("""SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5""".stripMargin),
+    "q282_kendall_tau" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
-        |), g0 AS (
-        |  SELECT doc_id, CAST(len(ts) - 2 AS BIGINT) AS ng,
-        |    unnest([{'p': i,
-        |      'fp': CAST('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),1,15) AS BIGINT)}
-        |      for i in range(1, len(ts) - 1)]) AS u
-        |  FROM toks WHERE len(ts) >= 3
-        |), g AS (
-        |  SELECT doc_id, ng, CAST(u.p AS BIGINT) AS p, u.fp AS fp FROM g0
-        |), wmin AS (
-        |  SELECT a.doc_id, a.p AS w0, MIN(b.fp) AS sel_fp
-        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.p BETWEEN a.p AND a.p + 3
-        |  WHERE a.p <= a.ng - 3
-        |  GROUP BY 1, 2
-        |), sel AS (
-        |  SELECT m.doc_id, m.w0, m.sel_fp, MAX(g.p) AS sel_pos
-        |  FROM wmin m JOIN g ON g.doc_id = m.doc_id AND g.fp = m.sel_fp
-        |    AND g.p BETWEEN m.w0 AND m.w0 + 3
-        |  GROUP BY 1, 2, 3)
-        |SELECT DISTINCT doc_id, CAST(sel_pos AS BIGINT) AS sel_pos, sel_fp
-        |FROM sel""".stripMargin,
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS len, ts FROM toks),
+        |stats AS (SELECT COUNT(*) AS n, CAST(SUM(len) AS BIGINT) AS sl FROM d),
+        |hits AS (SELECT doc_id, len, t
+        |  FROM (SELECT doc_id, len, unnest(ts) AS t FROM d)
+        |  WHERE t IN ('merge', 'stream', 'vector')),
+        |tf AS (SELECT doc_id, len, t, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3),
+        |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |c AS (SELECT tf.doc_id, tf.t, tf.tf,
+        |    ((SELECT n FROM stats) * 1000 // df.df) AS idf_s,
+        |    (((SELECT n FROM stats) * 1000 // df.df) * (tf.tf * (1.2 + 1.0))) /
+        |    (tf.tf + 1.2 * ((1.0 - 0.75) +
+        |      0.75 * tf.len / (CAST((SELECT sl FROM stats) AS DOUBLE)
+        |                       / (SELECT n FROM stats)))) AS contrib
+        |  FROM tf JOIN df ON tf.t = df.t),
+        |s AS (SELECT doc_id, CAST(ROUND((
+        |      MAX(CASE WHEN t = 'merge' THEN contrib ELSE 0.0 END)
+        |    + MAX(CASE WHEN t = 'stream' THEN contrib ELSE 0.0 END)
+        |    + MAX(CASE WHEN t = 'vector' THEN contrib ELSE 0.0 END)) * 10000, 0)
+        |    AS BIGINT) AS a,
+        |    CAST(SUM(tf * idf_s) AS BIGINT) AS b
+        |  FROM c GROUP BY doc_id),
+        |top AS (SELECT * FROM s ORDER BY a DESC, doc_id ASC LIMIT 20),
+        |p AS (SELECT i.a AS a_i, j.a AS a_j, i.b AS b_i, j.b AS b_j
+        |  FROM top i JOIN top j ON i.doc_id < j.doc_id),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN (a_i >= a_j) = (b_i >= b_j) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS concordant
+        |  FROM p),
+        |k AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM top) AS n_items,
+        |    n_pairs, concordant, n_pairs - concordant AS discordant,
+        |    1000000 * (concordant - (n_pairs - concordant)) AS num
+        |  FROM f)
+        |SELECT n_items, n_pairs, concordant, discordant,
+        |  CAST((num - (((num % n_pairs) + n_pairs) % n_pairs)) // n_pairs
+        |    AS BIGINT) AS tau_ppm
+        |FROM k""".stripMargin,
     "q277_robots_match" ->
       """WITH srcs AS (SELECT DISTINCT source FROM documents),
         |r1 AS (SELECT source, '/' AS prefix, 'allow' AS verdict FROM srcs),

@@ -724,7 +724,8 @@ class PlanSpec extends SparkTestBase {
 
   test("q276-q280 wave: no cross products, winnowing window doc-keyed, allocator window-free") {
     for (q <- Seq("q276_winnowing", "q277_robots_match", "q278_kappa",
-        "q279_crawl_budget", "q280_distance_transform")) {
+        "q279_crawl_budget", "q280_distance_transform",
+        "q281_incremental_winnowing", "q282_kendall_tau")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
