@@ -927,6 +927,41 @@ object SpatialQueries {
           when(col("cnt") > coalesce(col("nb_max"), lit(0L)), 1L)
             .otherwise(0L).as("is_peak"))
     }),
+    "q283_dwell_time" -> ((s, dir) => {
+      // time-weighted cell occupancy (dwell time) — the raster every
+      // mobility/engagement heatmap actually wants: a cell visited by
+      // one user for an hour must outweigh a cell crossed by sixty
+      // users in a minute flat, which the q32-style COUNT raster
+      // cannot express. Each ping holds its cell until the user's
+      // next ping (standard last-observation-carried-forward
+      // attribution); the interval is exact integer MICROSECONDS
+      // (unix_micros), so the per-cell sum is order-insensitive and
+      // hash-stable. ONE user-keyed window (the lead) + ONE cell
+      // shuffle; per-user track ordering carries the same full
+      // (ts, event_id) tie-break as the trajectory family.
+      import org.apache.spark.sql.expressions.Window
+      val n = graft.geo.CellIndex.width(ContourRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"),
+          ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("lon"),
+          ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("lat"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          // events.ts is TIMESTAMP_NTZ; the session pins UTC, so the
+          // cast is a pure reinterpretation — micros stay exact
+          unix_micros(col("ts").cast("timestamp")).as("t"),
+          q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .withColumn("t2", lead(col("t"), 1).over(w))
+        .groupBy(col("ix"), col("iy"))
+        .agg(count(lit(1)).as("n_pings"),
+          countDistinct(col("user_id")).as("n_users"),
+          coalesce(sum(col("t2") - col("t")), lit(0L)).as("dwell_us"))
+    }),
     "q280_distance_transform" -> ((s, dir) => {
       // bounded raster distance transform — Chebyshev distance (8-way
       // grid metric) to the nearest HOT cell, the proximity surface
@@ -3671,6 +3706,24 @@ object SpatialQueries {
          |  CAST(CASE WHEN c.cnt > COALESCE(nb.nb_max, 0) THEN 1 ELSE 0 END
          |    AS BIGINT) AS is_peak
          |FROM c LEFT JOIN nb ON nb.tx = c.ix AND nb.ty = c.iy""".stripMargin
+    },
+    "q283_dwell_time" -> {
+      val n = graft.geo.CellIndex.width(ContourRes)
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, epoch_us(ts) AS t,
+         |    CAST(event_id*17 % 320000 AS DOUBLE) / 1000.0 - 160.0 AS lon,
+         |    CAST(event_id*23 % 150000 AS DOUBLE) / 1000.0 - 75.0 AS lat
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, t,
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy,
+         |    LEAD(t) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+         |  FROM e)
+         |SELECT ix, iy, CAST(COUNT(*) AS BIGINT) AS n_pings,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(COALESCE(SUM(t2 - t), 0) AS BIGINT) AS dwell_us
+         |FROM g GROUP BY 1, 2""".stripMargin
     },
     // closed-form Chebyshev minimum over per-source (2K+1)² windows —
     // independent of the engine's BFS wavefront loop

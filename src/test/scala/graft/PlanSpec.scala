@@ -739,13 +739,18 @@ class PlanSpec extends SparkTestBase {
         .contains("Window"), s"$q must stay window-free")
       Bench.clearState(spark)
     }
-    val ws = SparkEntry.queries("q276_winnowing")(spark, sfSmoke)
-      .queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
-      }
-    assert(ws.nonEmpty && ws.forall(_.nonEmpty),
-      "q276 winnowing windows must all be doc-keyed")
-    Bench.clearState(spark)
+    // winnowing selects under a doc-keyed window, dwell attribution
+    // under a user-keyed lead — never a global window in either
+    for (q <- Seq("q276_winnowing", "q281_incremental_winnowing",
+        "q283_dwell_time")) {
+      val ws = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+        }
+      assert(ws.nonEmpty && ws.forall(_.nonEmpty),
+        s"$q windows must all be key-partitioned")
+      Bench.clearState(spark)
+    }
   }
 
   test("cell_at / cover_cells SQL functions agree with CellIndex and contain each other") {
