@@ -927,6 +927,40 @@ object SpatialQueries {
           when(col("cnt") > coalesce(col("nb_max"), lit(0L)), 1L)
             .otherwise(0L).as("is_peak"))
     }),
+    "q285_tile_lang_diversity" -> ((s, dir) => {
+      // geo-linguistic diversity map — per-cell Simpson concentration
+      // of the LANGUAGES mentioning each place (q214's statistic made
+      // spatial): conc = Σ n_l(n_l−1) / n(n−1) in exact floor ppm,
+      // 1e6 = monolingual cell, low = a place the whole multilingual
+      // web talks about. Join carries only (doc_id → lang) — a
+      // broadcast-sized dimension at any corpus scale is wrong to
+      // assume, so it stays a hash join on doc_id; then two map-side-
+      // combined aggregates ((cell, lang) → cell). Single-point cells
+      // emit 1e6 by convention (a one-sample cell is trivially
+      // concentrated).
+      val n = graft.geo.CellIndex.width(ContourRes)
+      def q(v: Column, hi: Long): Column = {
+        val f = floor(v).cast("long")
+        when(f < 0, lit(0L)).when(f >= hi, lit(hi - 1)).otherwise(f)
+      }
+      val pts = SynthUniverse.points(s, dir)
+        .select(col("doc_id"),
+          q((col("lon") + 180.0) / 360.0 * n, n).as("ix"),
+          q((col("lat") + 90.0) / 180.0 * n, n).as("iy"))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id")
+      val perLang = pts.groupBy(col("ix"), col("iy"), col("lang"))
+        .agg(count(lit(1)).as("nl"))
+      perLang.groupBy(col("ix"), col("iy"))
+        .agg(sum(col("nl")).as("n_points"),
+          count(lit(1)).as("n_langs"),
+          sum(col("nl") * (col("nl") - 1)).as("num"))
+        .select(col("ix"), col("iy"), col("n_points"), col("n_langs"),
+          when(col("n_points") < 2, lit(1000000L))
+            .otherwise(expr(
+              "(1000000 * num) div (n_points * (n_points - 1))"))
+            .as("conc_ppm"))
+    }),
     "q283_dwell_time" -> ((s, dir) => {
       // time-weighted cell occupancy (dwell time) — the raster every
       // mobility/engagement heatmap actually wants: a cell visited by
@@ -3706,6 +3740,26 @@ object SpatialQueries {
          |  CAST(CASE WHEN c.cnt > COALESCE(nb.nb_max, 0) THEN 1 ELSE 0 END
          |    AS BIGINT) AS is_peak
          |FROM c LEFT JOIN nb ON nb.tx = c.ix AND nb.ty = c.iy""".stripMargin
+    },
+    "q285_tile_lang_diversity" -> {
+      val n = graft.geo.CellIndex.width(ContourRes)
+      s"""WITH ${SynthSql.pointsCte},
+         |p AS (
+         |  SELECT pt.doc_id, d.lang,
+         |    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT), 0), ${n - 1}) AS ix,
+         |    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT), 0), ${n - 1}) AS iy
+         |  FROM points pt JOIN documents d ON d.doc_id = pt.doc_id),
+         |pl AS (SELECT ix, iy, lang, COUNT(*) AS nl FROM p GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT ix, iy, CAST(SUM(nl) AS BIGINT) AS n_points,
+         |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+         |    CAST(SUM(nl * (nl - 1)) AS BIGINT) AS num
+         |  FROM pl GROUP BY 1, 2)
+         |SELECT ix, iy, n_points, n_langs,
+         |  CAST(CASE WHEN n_points < 2 THEN 1000000
+         |    ELSE (1000000 * num) // (n_points * (n_points - 1)) END
+         |    AS BIGINT) AS conc_ppm
+         |FROM c""".stripMargin
     },
     "q283_dwell_time" -> {
       val n = graft.geo.CellIndex.width(ContourRes)

@@ -125,9 +125,16 @@ object TextQueries {
 
   /** The winnowing oracle recipe over an arbitrary (doc_id, text)
     * corpus CTE — window-free: per-window min via a bounded 4-row
-    * band self-join, rightmost tie via MAX(p) over the min's rows. */
+    * band self-join, rightmost tie via MAX(p) over the min's rows.
+    * [[winnowCtes]] emits the CTE chain (ending in `sel`) so callers
+    * can extend it; [[winnowSql]] is the complete selection query. */
   private def winnowSql(corpusSql: String): String =
-    s"""WITH corpus AS ($corpusSql),
+    s"""WITH ${winnowCtes(corpusSql)}
+       |SELECT DISTINCT doc_id, CAST(sel_pos AS BIGINT) AS sel_pos, sel_fp
+       |FROM sel""".stripMargin
+
+  private def winnowCtes(corpusSql: String): String =
+    s"""corpus AS ($corpusSql),
        |toks AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM corpus
        |), g0 AS (
@@ -147,9 +154,7 @@ object TextQueries {
        |  SELECT m.doc_id, m.w0, m.sel_fp, MAX(g.p) AS sel_pos
        |  FROM wmin m JOIN g ON g.doc_id = m.doc_id AND g.fp = m.sel_fp
        |    AND g.p BETWEEN m.w0 AND m.w0 + 3
-       |  GROUP BY 1, 2, 3)
-       |SELECT DISTINCT doc_id, CAST(sel_pos AS BIGINT) AS sel_pos, sel_fp
-       |FROM sel""".stripMargin
+       |  GROUP BY 1, 2, 3)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q276_winnowing" -> ((s, dir) => winnowOf(Tables.documents(s, dir))),
@@ -176,6 +181,33 @@ object TextQueries {
       val touched = updated.select(col("doc_id")).union(deletedIds).distinct()
       base.join(touched, Seq("doc_id"), "left_anti")
         .unionByName(winnowOf(updatedLive))
+    }),
+    "q284_fingerprint_pairs" -> ((s, dir) => {
+      // the winnowed index OPERATIONALIZED — shared-run document pair
+      // mining by fingerprint equi-join, what q276's index exists for
+      // (MOSS's second half). Two standard guards make it scale:
+      // fingerprints held by > 16 documents drop BEFORE pairing (a
+      // template fingerprint pairs O(df²); capping hot postings is
+      // the inverted-index convention, cf. q232's capped co-citation
+      // — at web scale the cap IS the skew control), and a pair must
+      // share >= 2 distinct fingerprints (one shared minimum can be a
+      // lone hash tie). Work is Σ df² over RARE fingerprints only —
+      // never doc × doc.
+      val sel = winnowOf(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("sel_fp")).distinct()
+      val rareFps = sel.groupBy(col("sel_fp"))
+        .agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") >= 2 && col("dfc") <= 16)
+        .select(col("sel_fp"))
+      val rare = sel.join(rareFps, Seq("sel_fp"), "left_semi")
+      rare.as("x").join(rare.as("y"),
+          col("x.sel_fp") === col("y.sel_fp") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
     }),
     "q282_kendall_tau" -> ((s, dir) => {
       // exact Kendall tau between two retrieval scorers on the head —
@@ -2102,6 +2134,20 @@ object TextQueries {
         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
         |      ELSE text END AS text
         |  FROM documents WHERE doc_id % 13 <> 5""".stripMargin),
+    "q284_fingerprint_pairs" ->
+      s"""WITH ${winnowCtes("SELECT doc_id, text FROM documents")},
+         |w AS (SELECT DISTINCT doc_id, sel_fp FROM sel),
+         |rarefp AS (
+         |  SELECT sel_fp FROM w GROUP BY sel_fp
+         |  HAVING COUNT(*) BETWEEN 2 AND 16),
+         |rare AS (SELECT w.* FROM w JOIN rarefp USING (sel_fp)),
+         |p AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared
+         |  FROM rare x JOIN rare y
+         |    ON x.sel_fp = y.sel_fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM p WHERE n_shared >= 2""".stripMargin,
     "q282_kendall_tau" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),

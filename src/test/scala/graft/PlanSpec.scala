@@ -725,9 +725,23 @@ class PlanSpec extends SparkTestBase {
   test("q276-q280 wave: no cross products, winnowing window doc-keyed, allocator window-free") {
     for (q <- Seq("q276_winnowing", "q277_robots_match", "q278_kappa",
         "q279_crawl_budget", "q280_distance_transform",
-        "q281_incremental_winnowing", "q282_kendall_tau")) {
+        "q281_incremental_winnowing", "q282_kendall_tau",
+        "q284_fingerprint_pairs", "q285_tile_lang_diversity")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      Bench.clearState(spark)
+    }
+    // the pair miner and the diversity raster are pure equi-join +
+    // aggregate shapes — window-free
+    for (q <- Seq("q284_fingerprint_pairs", "q285_tile_lang_diversity")) {
+      val p = SparkEntry.queries(q)(spark, sfSmoke)
+      val plan = formatted(p)
+      // q284's winnowed input carries the doc-keyed selection window;
+      // beyond it, no window may appear (the pair fold is aggregates)
+      val ws = p.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+      assert(ws.forall(_.nonEmpty), s"$q windows must all be key-partitioned")
       Bench.clearState(spark)
     }
     // the winnowing selection window partitions by doc_id — never a
