@@ -89,6 +89,32 @@ object SpatialQueries {
         expr("(event_id * 23 % 150000) div 4000").as("cy"))
       .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("z"))
 
+  /** The D8 steepest-descent pointer (cx, cy → nx, ny): each occupied
+    * cell drains to its steepest strictly-lower 8-neighbor, tie-break
+    * (z, nx, ny). Neighbor candidates come from a JOIN-FREE 8-offset
+    * scatter (q125's focal pattern — never a quadratic cell×cell
+    * distance join). ONE definition shared by q203's flow accumulation
+    * and q286's watershed labeling. */
+  private def d8Flow(cells: DataFrame): DataFrame = {
+    val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+      (1, -1), (1, 0), (1, 1))
+    // scatter each cell's z to its 8 neighbors: the receiving cell
+    // collects candidate (nz, nx, ny) rows by equi-join on its own key
+    val scattered = cells.select(
+      explode(array(offsets.map { case (dx, dy) =>
+        struct((col("cx") + dx).as("tcx"), (col("cy") + dy).as("tcy"))
+      }: _*)).as("t"),
+      col("cx").as("nx"), col("cy").as("ny"), col("z").as("nz"))
+      .select(col("t.tcx").as("cx"), col("t.tcy").as("cy"),
+        col("nx"), col("ny"), col("nz"))
+    cells.join(scattered, Seq("cx", "cy"))
+      .filter(col("nz") < col("z"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(min(struct(col("nz"), col("nx"), col("ny"))).as("m"))
+      .select(col("cx"), col("cy"),
+        col("m.nx").as("nx"), col("m.ny").as("ny"))
+  }
+
   /** q199/q204's oracle: the full 12x12 DP grid as 144 CHAINED
     * MATERIALIZED CTEs, one per cell (each adds one column referencing
     * only materialized ones). A single SELECT with 144 lateral aliases
@@ -926,6 +952,94 @@ object SpatialQueries {
         .select(col("ix"), col("iy"), col("cnt"),
           when(col("cnt") > coalesce(col("nb_max"), lit(0L)), 1L)
             .otherwise(0L).as("is_peak"))
+    }),
+    "q287_entity_conflation" -> ((s, dir) => {
+      // gazetteer conflation — the fuzzy entity-resolution JOIN that
+      // turns extracted geo-entity mentions into canonical facility
+      // ids by combining lexical and spatial evidence (the step
+      // between q29's extraction and any downstream spatial join).
+      // Candidates block on a 4-char token prefix (token-blocking is
+      // the standard ER candidate generator; the prefix also admits
+      // morphological variants like "merges"), then the winner per
+      // mention is the lexicographic (exact-token match DESC,
+      // distance² ASC, fac_id) minimum — exact name evidence
+      // dominates, geometry breaks ties, never a mention × gazetteer
+      // cross join. Distances are rounded to integer milli-degrees
+      // BEFORE squaring so the comparison is exact cross-engine. The
+      // facility side here is a bounded broadcast; at a real
+      // gazetteer's scale the same plan stays an equi-join on the
+      // block key with the big side hash-shuffled.
+      import graft.text.TextFunctions.hash60
+      val gaz = SynthUniverse.Gazetteer
+      val ents = s.range(1).select(explode(array(gaz.map(lit): _*)).as("gent"))
+      val fac = ents
+        .select(col("gent"), explode(sequence(lit(0), lit(3))).as("k"))
+        .select(col("gent"), col("k"),
+          when(col("k") === 0, col("gent"))
+            .when(col("k") === 1, concat(col("gent"), lit(" depot")))
+            .when(col("k") === 2, concat(col("gent"), lit("s")))
+            .otherwise(concat(lit("north "), col("gent"))).as("name"),
+          ((hash60(col("gent")) % 320000) / 1000.0 - 160.0 +
+            col("k") * 0.21).as("flon"),
+          ((hash60(concat(lit("lat:"), col("gent"))) % 150000) / 1000.0 -
+            75.0 + col("k") * 0.17).as("flat"))
+        .select(hash60(col("name")).as("fac_id"), col("name"),
+          col("flon"), col("flat"))
+      val ftok = fac.select(col("fac_id"), col("name"), col("flon"),
+          col("flat"), explode(split(col("name"), " ")).as("tok"))
+        .withColumn("blk", substring(col("tok"), 1, 4))
+      val pts = SynthUniverse.points(s, dir)
+        .withColumn("blk", substring(col("entity"), 1, 4))
+      val scored = pts.join(broadcast(ftok), "blk")
+        .select(col("doc_id"), col("entity"), col("fac_id"), col("name"),
+          when(col("tok") === col("entity"), 1L).otherwise(0L).as("exact"),
+          round((col("lon") - col("flon")) * 1000, 0).cast("long").as("rdx"),
+          round((col("lat") - col("flat")) * 1000, 0).cast("long").as("rdy"))
+        .withColumn("d2", col("rdx") * col("rdx") + col("rdy") * col("rdy"))
+      scored.groupBy(col("doc_id"), col("entity"))
+        .agg(min(struct((-col("exact")).as("ne"), col("d2").as("d2"),
+          col("fac_id").as("fid"), col("name").as("nm"))).as("w"),
+          count(lit(1)).as("n_candidates"))
+        .select(col("doc_id"), col("entity"),
+          col("w.fid").as("fac_id"), col("w.nm").as("fac_name"),
+          (-col("w.ne")).as("exact"), col("w.d2").as("d2_milli2"),
+          col("n_candidates"))
+    }),
+    "q286_watershed" -> ((s, dir) => {
+      // watershed (basin) labeling by POINTER DOUBLING over the D8
+      // descent pointer: every cell's label is the cell its drainage
+      // reaches after 2^D = 8 descent steps (sinks self-absorb, so a
+      // converged path carries its true basin sink and `settled`
+      // marks the fixpoint). Doubling is the log-round primitive the
+      // engine's K-linear-round loops (q203's routing, q161's BFS)
+      // cannot match at continental raster diameters: D rounds of ONE
+      // self-equi-join each cover 2^D hops — the classic parallel
+      // pointer-jumping trade (more total work per round, O(log d)
+      // rounds). Each round localCheckpoints: the round references
+      // its predecessor TWICE, and without the checkpoint the lazy
+      // plan re-evaluates ancestry exponentially (the q253 lesson).
+      val cells = densityCells(s, dir)
+      val flow = d8Flow(cells)
+      var p = cells.join(flow, Seq("cx", "cy"), "left")
+        .select(col("cx"), col("cy"),
+          coalesce(col("nx"), col("cx")).as("px"),
+          coalesce(col("ny"), col("cy")).as("py"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val q = p.select(col("cx").as("jx"), col("cy").as("jy"),
+          col("px").as("qx"), col("py").as("qy"))
+        p = p.join(q, col("px") === col("jx") && col("py") === col("jy"))
+          .select(col("cx"), col("cy"),
+            col("qx").as("px"), col("qy").as("py"))
+          .localCheckpoint()
+      }
+      val sink = p.select(col("cx").as("lx"), col("cy").as("ly"),
+        col("px").as("sx"), col("py").as("sy"))
+      p.join(sink, col("px") === col("lx") && col("py") === col("ly"))
+        .select(col("cx"), col("cy"),
+          col("px").as("bx"), col("py").as("by"),
+          when(col("sx") === col("px") && col("sy") === col("py"), 1L)
+            .otherwise(0L).as("settled"))
     }),
     "q285_tile_lang_diversity" -> ((s, dir) => {
       // geo-linguistic diversity map — per-cell Simpson concentration
@@ -2444,24 +2558,7 @@ object SpatialQueries {
       // cell key and K bounds the iteration depth.
       val K = 6
       val cells = densityCells(s, dir)
-      val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
-        (1, -1), (1, 0), (1, 1))
-      // scatter each cell's z to its 8 neighbors: the receiving cell
-      // collects candidate (nz, nx, ny) rows by equi-join on its own key
-      val scattered = cells.select(
-        explode(array(offsets.map { case (dx, dy) =>
-          struct((col("cx") + dx).as("tcx"), (col("cy") + dy).as("tcy"))
-        }: _*)).as("t"),
-        col("cx").as("nx"), col("cy").as("ny"), col("z").as("nz"))
-        .select(col("t.tcx").as("cx"), col("t.tcy").as("cy"),
-          col("nx"), col("ny"), col("nz"))
-      val flow = cells.join(scattered, Seq("cx", "cy"))
-        .filter(col("nz") < col("z"))
-        .groupBy(col("cx"), col("cy"))
-        .agg(min(struct(col("nz"), col("nx"), col("ny"))).as("m"))
-        .select(col("cx"), col("cy"),
-          col("m.nx").as("nx"), col("m.ny").as("ny"))
-        .cache()
+      val flow = d8Flow(cells).cache()
       // route each cell's unit contribution K hops downstream; paths
       // are unique (out-degree <= 1) so no dedup is ever needed
       var frontier = flow.select(col("cx").as("acx"), col("cy").as("acy"),
@@ -3740,6 +3837,75 @@ object SpatialQueries {
          |  CAST(CASE WHEN c.cnt > COALESCE(nb.nb_max, 0) THEN 1 ELSE 0 END
          |    AS BIGINT) AS is_peak
          |FROM c LEFT JOIN nb ON nb.tx = c.ix AND nb.ty = c.iy""".stripMargin
+    },
+    "q287_entity_conflation" ->
+      s"""WITH ${SynthSql.pointsCte},
+         |gaz AS (SELECT unnest(['table','row','scan','merge','join','window','stream','vector']) AS gent),
+         |fac0 AS (
+         |  SELECT gent, k,
+         |    CASE k WHEN 0 THEN gent WHEN 1 THEN gent || ' depot'
+         |      WHEN 2 THEN gent || 's' ELSE 'north ' || gent END AS name,
+         |    (CAST('0x' || substr(md5(gent),1,15) AS BIGINT) % 320000) / 1000.0
+         |      - 160.0 + k * 0.21 AS flon,
+         |    (CAST('0x' || substr(md5('lat:' || gent),1,15) AS BIGINT) % 150000) / 1000.0
+         |      - 75.0 + k * 0.17 AS flat
+         |  FROM gaz, range(0, 4) t(k)),
+         |fac AS (SELECT CAST('0x' || substr(md5(name),1,15) AS BIGINT) AS fac_id,
+         |    name, flon, flat FROM fac0),
+         |ftok AS (SELECT fac_id, name, flon, flat,
+         |    unnest(string_split(name, ' ')) AS tok FROM fac),
+         |cand AS (
+         |  SELECT p.doc_id, p.entity, f.fac_id, f.name, f.tok,
+         |    f.flon, f.flat, p.lon, p.lat
+         |  FROM points p JOIN ftok f
+         |    ON substr(f.tok, 1, 4) = substr(p.entity, 1, 4)),
+         |scored AS (
+         |  SELECT doc_id, entity, fac_id, name,
+         |    CASE WHEN tok = entity THEN 1 ELSE 0 END AS exact,
+         |    CAST(ROUND((lon - flon) * 1000, 0) AS BIGINT) AS rdx,
+         |    CAST(ROUND((lat - flat) * 1000, 0) AS BIGINT) AS rdy
+         |  FROM cand),
+         |d AS (SELECT *, rdx*rdx + rdy*rdy AS d2 FROM scored),
+         |w AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id, entity
+         |      ORDER BY exact DESC, d2 ASC, fac_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY doc_id, entity) AS n_candidates
+         |  FROM d)
+         |SELECT doc_id, entity, fac_id, name AS fac_name,
+         |  CAST(exact AS BIGINT) AS exact, d2 AS d2_milli2,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates
+         |FROM w WHERE rn = 1""".stripMargin,
+    // the oracle walks 8 SINGLE steps through the totalized pointer —
+    // the doubling loop must land on the identical 8-step ancestor
+    "q286_watershed" -> {
+      val steps = (2 to 8).map(i =>
+        s"p$i AS (SELECT a.cx, a.cy, b.px, b.py FROM p${i - 1} a " +
+          s"JOIN p0 b ON a.px = b.cx AND a.py = b.cy)").mkString(",\n")
+      s"""WITH cells AS (
+         |  SELECT (event_id*17 % 320000) // 4000 AS cx,
+         |         (event_id*23 % 150000) // 4000 AS cy, COUNT(*) AS z
+         |  FROM events GROUP BY 1, 2),
+         |nbr AS (
+         |  SELECT c.cx, c.cy, n.cx AS nx, n.cy AS ny, n.z AS nz
+         |  FROM cells c JOIN cells n
+         |    ON abs(n.cx - c.cx) <= 1 AND abs(n.cy - c.cy) <= 1
+         |   AND NOT (n.cx = c.cx AND n.cy = c.cy)
+         |   AND n.z < c.z),
+         |flow AS (
+         |  SELECT cx, cy, nx, ny FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cx, cy
+         |      ORDER BY nz, nx, ny) AS rn FROM nbr)
+         |  WHERE rn = 1),
+         |p1 AS (
+         |  SELECT c.cx, c.cy, COALESCE(f.nx, c.cx) AS px,
+         |    COALESCE(f.ny, c.cy) AS py
+         |  FROM cells c LEFT JOIN flow f ON c.cx = f.cx AND c.cy = f.cy),
+         |p0 AS (SELECT * FROM p1),
+         |$steps
+         |SELECT p8.cx, p8.cy, p8.px AS bx, p8.py AS by,
+         |  CAST(CASE WHEN q.px = p8.px AND q.py = p8.py THEN 1 ELSE 0 END
+         |    AS BIGINT) AS settled
+         |FROM p8 JOIN p0 q ON p8.px = q.cx AND p8.py = q.cy""".stripMargin
     },
     "q285_tile_lang_diversity" -> {
       val n = graft.geo.CellIndex.width(ContourRes)
