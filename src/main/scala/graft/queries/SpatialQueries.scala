@@ -89,6 +89,87 @@ object SpatialQueries {
         expr("(event_id * 23 % 150000) div 4000").as("cy"))
       .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("z"))
 
+  /** q287's conflation over an arbitrary (doc_id, entity, lon, lat)
+    * mention frame — THE one definition shared by q287 and its IVM
+    * face q289. Candidates block on a 4-char token prefix; winner =
+    * (exact-token DESC, milli-degree dist² ASC, fac_id) struct-min. */
+  private def conflate(s: SparkSession, pts0: DataFrame): DataFrame = {
+    import graft.text.TextFunctions.hash60
+    val gaz = SynthUniverse.Gazetteer
+    val ents = s.range(1).select(explode(array(gaz.map(lit): _*)).as("gent"))
+    val fac = ents
+      .select(col("gent"), explode(sequence(lit(0), lit(3))).as("k"))
+      .select(col("gent"), col("k"),
+        when(col("k") === 0, col("gent"))
+          .when(col("k") === 1, concat(col("gent"), lit(" depot")))
+          .when(col("k") === 2, concat(col("gent"), lit("s")))
+          .otherwise(concat(lit("north "), col("gent"))).as("name"),
+        ((hash60(col("gent")) % 320000) / 1000.0 - 160.0 +
+          col("k") * 0.21).as("flon"),
+        ((hash60(concat(lit("lat:"), col("gent"))) % 150000) / 1000.0 -
+          75.0 + col("k") * 0.17).as("flat"))
+      .select(hash60(col("name")).as("fac_id"), col("name"),
+        col("flon"), col("flat"))
+    val ftok = fac.select(col("fac_id"), col("name"), col("flon"),
+        col("flat"), explode(split(col("name"), " ")).as("tok"))
+      .withColumn("blk", substring(col("tok"), 1, 4))
+    val pts = pts0.withColumn("blk", substring(col("entity"), 1, 4))
+    val scored = pts.join(broadcast(ftok), "blk")
+      .select(col("doc_id"), col("entity"), col("fac_id"), col("name"),
+        when(col("tok") === col("entity"), 1L).otherwise(0L).as("exact"),
+        round((col("lon") - col("flon")) * 1000, 0).cast("long").as("rdx"),
+        round((col("lat") - col("flat")) * 1000, 0).cast("long").as("rdy"))
+      .withColumn("d2", col("rdx") * col("rdx") + col("rdy") * col("rdy"))
+    scored.groupBy(col("doc_id"), col("entity"))
+      .agg(min(struct((-col("exact")).as("ne"), col("d2").as("d2"),
+        col("fac_id").as("fid"), col("name").as("nm"))).as("w"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("doc_id"), col("entity"),
+        col("w.fid").as("fac_id"), col("w.nm").as("fac_name"),
+        (-col("w.ne")).as("exact"), col("w.d2").as("d2_milli2"),
+        col("n_candidates"))
+  }
+
+  /** [[conflate]]'s oracle, parameterized by the points source CTE so
+    * q289 can re-point it at the post-change corpus. */
+  private def conflateSql(pointsCtes: String): String =
+    s"""WITH $pointsCtes,
+       |gaz AS (SELECT unnest(['table','row','scan','merge','join','window','stream','vector']) AS gent),
+       |fac0 AS (
+       |  SELECT gent, k,
+       |    CASE k WHEN 0 THEN gent WHEN 1 THEN gent || ' depot'
+       |      WHEN 2 THEN gent || 's' ELSE 'north ' || gent END AS name,
+       |    (CAST('0x' || substr(md5(gent),1,15) AS BIGINT) % 320000) / 1000.0
+       |      - 160.0 + k * 0.21 AS flon,
+       |    (CAST('0x' || substr(md5('lat:' || gent),1,15) AS BIGINT) % 150000) / 1000.0
+       |      - 75.0 + k * 0.17 AS flat
+       |  FROM gaz, range(0, 4) t(k)),
+       |fac AS (SELECT CAST('0x' || substr(md5(name),1,15) AS BIGINT) AS fac_id,
+       |    name, flon, flat FROM fac0),
+       |ftok AS (SELECT fac_id, name, flon, flat,
+       |    unnest(string_split(name, ' ')) AS tok FROM fac),
+       |cand AS (
+       |  SELECT p.doc_id, p.entity, f.fac_id, f.name, f.tok,
+       |    f.flon, f.flat, p.lon, p.lat
+       |  FROM points p JOIN ftok f
+       |    ON substr(f.tok, 1, 4) = substr(p.entity, 1, 4)),
+       |scored AS (
+       |  SELECT doc_id, entity, fac_id, name,
+       |    CASE WHEN tok = entity THEN 1 ELSE 0 END AS exact,
+       |    CAST(ROUND((lon - flon) * 1000, 0) AS BIGINT) AS rdx,
+       |    CAST(ROUND((lat - flat) * 1000, 0) AS BIGINT) AS rdy
+       |  FROM cand),
+       |d AS (SELECT *, rdx*rdx + rdy*rdy AS d2 FROM scored),
+       |w AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, entity
+       |      ORDER BY exact DESC, d2 ASC, fac_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY doc_id, entity) AS n_candidates
+       |  FROM d)
+       |SELECT doc_id, entity, fac_id, name AS fac_name,
+       |  CAST(exact AS BIGINT) AS exact, d2 AS d2_milli2,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates
+       |FROM w WHERE rn = 1""".stripMargin
+
   /** The D8 steepest-descent pointer (cx, cy → nx, ny): each occupied
     * cell drains to its steepest strictly-lower 8-neighbor, tie-break
     * (z, nx, ny). Neighbor candidates come from a JOIN-FREE 8-offset
@@ -969,41 +1050,68 @@ object SpatialQueries {
       // facility side here is a bounded broadcast; at a real
       // gazetteer's scale the same plan stays an equi-join on the
       // block key with the big side hash-shuffled.
-      import graft.text.TextFunctions.hash60
-      val gaz = SynthUniverse.Gazetteer
-      val ents = s.range(1).select(explode(array(gaz.map(lit): _*)).as("gent"))
-      val fac = ents
-        .select(col("gent"), explode(sequence(lit(0), lit(3))).as("k"))
-        .select(col("gent"), col("k"),
-          when(col("k") === 0, col("gent"))
-            .when(col("k") === 1, concat(col("gent"), lit(" depot")))
-            .when(col("k") === 2, concat(col("gent"), lit("s")))
-            .otherwise(concat(lit("north "), col("gent"))).as("name"),
-          ((hash60(col("gent")) % 320000) / 1000.0 - 160.0 +
-            col("k") * 0.21).as("flon"),
-          ((hash60(concat(lit("lat:"), col("gent"))) % 150000) / 1000.0 -
-            75.0 + col("k") * 0.17).as("flat"))
-        .select(hash60(col("name")).as("fac_id"), col("name"),
-          col("flon"), col("flat"))
-      val ftok = fac.select(col("fac_id"), col("name"), col("flon"),
-          col("flat"), explode(split(col("name"), " ")).as("tok"))
-        .withColumn("blk", substring(col("tok"), 1, 4))
-      val pts = SynthUniverse.points(s, dir)
-        .withColumn("blk", substring(col("entity"), 1, 4))
-      val scored = pts.join(broadcast(ftok), "blk")
-        .select(col("doc_id"), col("entity"), col("fac_id"), col("name"),
-          when(col("tok") === col("entity"), 1L).otherwise(0L).as("exact"),
-          round((col("lon") - col("flon")) * 1000, 0).cast("long").as("rdx"),
-          round((col("lat") - col("flat")) * 1000, 0).cast("long").as("rdy"))
-        .withColumn("d2", col("rdx") * col("rdx") + col("rdy") * col("rdy"))
-      scored.groupBy(col("doc_id"), col("entity"))
-        .agg(min(struct((-col("exact")).as("ne"), col("d2").as("d2"),
-          col("fac_id").as("fid"), col("name").as("nm"))).as("w"),
-          count(lit(1)).as("n_candidates"))
-        .select(col("doc_id"), col("entity"),
-          col("w.fid").as("fac_id"), col("w.nm").as("fac_name"),
-          (-col("w.ne")).as("exact"), col("w.d2").as("d2_milli2"),
-          col("n_candidates"))
+      conflate(s, SynthUniverse.points(s, dir))
+    }),
+    "q289_incremental_conflation" -> ((s, dir) => {
+      // IVM #21, the ENTITY-RESOLUTION axis: q287's conflation is
+      // per-mention local (the gazetteer is the stable side), so the
+      // maintenance mirrors q281's — touched documents re-extract and
+      // re-conflate their mentions, untouched assignments pass
+      // through one anti-join. The standard text batch (id%7=3
+      // appends ' merge stream merge' — which ADDS mentions — and
+      // id%13=5 deletes) exercises insert, update, and delete of
+      // whole mention families. Full-recompute oracle.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = conflate(s, SynthUniverse.points(s, dir))
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge stream merge")).as("text"))
+      val deletedIds = docs.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"))
+      val updatedLive = updated.join(deletedIds, Seq("doc_id"), "left_anti")
+      val touched = updated.select(col("doc_id")).union(deletedIds).distinct()
+      base.join(touched, Seq("doc_id"), "left_anti")
+        .unionByName(conflate(s, SynthUniverse.pointsOf(updatedLive)))
+    }),
+    "q288_gradient_aspect" -> ((s, dir) => {
+      // central-difference gradient + downslope aspect on the density
+      // raster — the first derivative every terrain/density styling
+      // pipeline computes (hillshade, slope maps) before q203's
+      // routing. gx = z(E) − z(W), gy = z(N) − z(S), absent neighbors
+      // 0 — all exact integers, so the aspect octant CASE is
+      // engine-identical. JOIN-FREE scatter (each occupied cell mails
+      // ±z to the four targets that see it as a neighbor — q125's
+      // pattern), one map-side-combined sum, one equi-join back onto
+      // occupied cells; the oracle computes the same derivative by
+      // four explicit neighbor LEFT JOINs.
+      val cells = densityCells(s, dir)
+      val contrib = Seq(
+        (-1, 0, 1, 0), (1, 0, -1, 0), // targets west/east of src: ±gx
+        (0, -1, 0, 1), (0, 1, 0, -1)) // targets south/north: ±gy
+      val scat = cells.select(explode(array(contrib.map {
+          case (dx, dy, wx, wy) => struct(
+            (col("cx") + dx).as("tx"), (col("cy") + dy).as("ty"),
+            (col("z") * wx).as("gxc"), (col("z") * wy).as("gyc"))
+        }: _*)).as("t"))
+        .select(col("t.tx").as("cx"), col("t.ty").as("cy"),
+          col("t.gxc").as("gxc"), col("t.gyc").as("gyc"))
+        .groupBy(col("cx"), col("cy"))
+        .agg(sum(col("gxc")).as("gx"), sum(col("gyc")).as("gy"))
+      cells.join(scat, Seq("cx", "cy"), "left")
+        .select(col("cx"), col("cy"), col("z"),
+          coalesce(col("gx"), lit(0L)).as("gx"),
+          coalesce(col("gy"), lit(0L)).as("gy"))
+        .withColumn("aspect",
+          when(col("gx") === 0 && col("gy") === 0, lit("flat"))
+            .when(abs(col("gx")) > abs(col("gy")),
+              when(col("gx") > 0, lit("w")).otherwise(lit("e")))
+            .when(abs(col("gy")) > abs(col("gx")),
+              when(col("gy") > 0, lit("s")).otherwise(lit("n")))
+            .otherwise( // |gx| == |gy| != 0: true diagonal
+              when(col("gx") > 0, when(col("gy") > 0, lit("sw"))
+                .otherwise(lit("nw")))
+                .otherwise(when(col("gy") > 0, lit("se"))
+                  .otherwise(lit("ne")))))
     }),
     "q286_watershed" -> ((s, dir) => {
       // watershed (basin) labeling by POINTER DOUBLING over the D8
@@ -3838,43 +3946,41 @@ object SpatialQueries {
          |    AS BIGINT) AS is_peak
          |FROM c LEFT JOIN nb ON nb.tx = c.ix AND nb.ty = c.iy""".stripMargin
     },
-    "q287_entity_conflation" ->
-      s"""WITH ${SynthSql.pointsCte},
-         |gaz AS (SELECT unnest(['table','row','scan','merge','join','window','stream','vector']) AS gent),
-         |fac0 AS (
-         |  SELECT gent, k,
-         |    CASE k WHEN 0 THEN gent WHEN 1 THEN gent || ' depot'
-         |      WHEN 2 THEN gent || 's' ELSE 'north ' || gent END AS name,
-         |    (CAST('0x' || substr(md5(gent),1,15) AS BIGINT) % 320000) / 1000.0
-         |      - 160.0 + k * 0.21 AS flon,
-         |    (CAST('0x' || substr(md5('lat:' || gent),1,15) AS BIGINT) % 150000) / 1000.0
-         |      - 75.0 + k * 0.17 AS flat
-         |  FROM gaz, range(0, 4) t(k)),
-         |fac AS (SELECT CAST('0x' || substr(md5(name),1,15) AS BIGINT) AS fac_id,
-         |    name, flon, flat FROM fac0),
-         |ftok AS (SELECT fac_id, name, flon, flat,
-         |    unnest(string_split(name, ' ')) AS tok FROM fac),
-         |cand AS (
-         |  SELECT p.doc_id, p.entity, f.fac_id, f.name, f.tok,
-         |    f.flon, f.flat, p.lon, p.lat
-         |  FROM points p JOIN ftok f
-         |    ON substr(f.tok, 1, 4) = substr(p.entity, 1, 4)),
-         |scored AS (
-         |  SELECT doc_id, entity, fac_id, name,
-         |    CASE WHEN tok = entity THEN 1 ELSE 0 END AS exact,
-         |    CAST(ROUND((lon - flon) * 1000, 0) AS BIGINT) AS rdx,
-         |    CAST(ROUND((lat - flat) * 1000, 0) AS BIGINT) AS rdy
-         |  FROM cand),
-         |d AS (SELECT *, rdx*rdx + rdy*rdy AS d2 FROM scored),
-         |w AS (SELECT *,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id, entity
-         |      ORDER BY exact DESC, d2 ASC, fac_id ASC) AS rn,
-         |    COUNT(*) OVER (PARTITION BY doc_id, entity) AS n_candidates
-         |  FROM d)
-         |SELECT doc_id, entity, fac_id, name AS fac_name,
-         |  CAST(exact AS BIGINT) AS exact, d2 AS d2_milli2,
-         |  CAST(n_candidates AS BIGINT) AS n_candidates
-         |FROM w WHERE rn = 1""".stripMargin,
+    "q287_entity_conflation" -> conflateSql(SynthSql.pointsCte),
+    // full recompute over the post-change corpus's mention set — the
+    // IVM union must reproduce it row-for-row
+    "q289_incremental_conflation" -> conflateSql(
+      s"""final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+         |      ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 5),
+         |${SynthSql.pointsCte.replace("FROM documents", "FROM final")}""".stripMargin),
+    // independent formulation: four explicit neighbor LEFT JOINs
+    // instead of the engine's scatter
+    "q288_gradient_aspect" ->
+      """WITH cells AS (
+        |  SELECT (event_id*17 % 320000) // 4000 AS cx,
+        |         (event_id*23 % 150000) // 4000 AS cy, COUNT(*) AS z
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT c.cx, c.cy, c.z,
+        |    CAST(COALESCE(e.z, 0) - COALESCE(w.z, 0) AS BIGINT) AS gx,
+        |    CAST(COALESCE(n.z, 0) - COALESCE(s.z, 0) AS BIGINT) AS gy
+        |  FROM cells c
+        |  LEFT JOIN cells e ON e.cx = c.cx + 1 AND e.cy = c.cy
+        |  LEFT JOIN cells w ON w.cx = c.cx - 1 AND w.cy = c.cy
+        |  LEFT JOIN cells n ON n.cx = c.cx AND n.cy = c.cy + 1
+        |  LEFT JOIN cells s ON s.cx = c.cx AND s.cy = c.cy - 1)
+        |SELECT cx, cy, CAST(z AS BIGINT) AS z, gx, gy,
+        |  CASE
+        |    WHEN gx = 0 AND gy = 0 THEN 'flat'
+        |    WHEN abs(gx) > abs(gy) THEN CASE WHEN gx > 0 THEN 'w' ELSE 'e' END
+        |    WHEN abs(gy) > abs(gx) THEN CASE WHEN gy > 0 THEN 's' ELSE 'n' END
+        |    WHEN gx > 0 THEN CASE WHEN gy > 0 THEN 'sw' ELSE 'nw' END
+        |    ELSE CASE WHEN gy > 0 THEN 'se' ELSE 'ne' END
+        |  END AS aspect
+        |FROM g""".stripMargin,
     // the oracle walks 8 SINGLE steps through the totalized pointer —
     // the doubling loop must land on the identical 8-step ancestor
     "q286_watershed" -> {

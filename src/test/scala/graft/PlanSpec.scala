@@ -727,15 +727,18 @@ class PlanSpec extends SparkTestBase {
         "q279_crawl_budget", "q280_distance_transform",
         "q281_incremental_winnowing", "q282_kendall_tau",
         "q284_fingerprint_pairs", "q285_tile_lang_diversity",
-        "q286_watershed", "q287_entity_conflation")) {
+        "q286_watershed", "q287_entity_conflation", "q288_gradient_aspect",
+        "q289_incremental_conflation")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
     }
-    // the conflation and the watershed are equi-join + aggregate
-    // shapes — window-free (the oracle's rank window has no Spark
-    // counterpart; the winner is a struct-min aggregate)
-    for (q <- Seq("q286_watershed", "q287_entity_conflation")) {
+    // the conflation family, the watershed, and the gradient are
+    // equi-join + aggregate shapes — window-free (the oracle's rank
+    // window has no Spark counterpart; winners are struct-min
+    // aggregates)
+    for (q <- Seq("q286_watershed", "q287_entity_conflation",
+        "q288_gradient_aspect", "q289_incremental_conflation")) {
       assert(!formatted(SparkEntry.queries(q)(spark, sfSmoke))
         .contains("Window"), s"$q must stay window-free")
       Bench.clearState(spark)
