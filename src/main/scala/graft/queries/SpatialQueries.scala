@@ -1052,6 +1052,36 @@ object SpatialQueries {
       // block key with the big side hash-shuffled.
       conflate(s, SynthUniverse.points(s, dir))
     }),
+    "q290_comention_jaccard" -> ((s, dir) => {
+      // entity association by exact SET Jaccard over the mention key —
+      // the gazetteer-disambiguation prior ("merge" and "stream" are
+      // talked about together; "table" is not). The set key here is
+      // the document (non-vacuous on this universe: docs mention
+      // several gazetteer entities; the geographic-cell variant of the
+      // same shape is provably vacuous on md5-spread synthetic bases —
+      // the key is a parameter, the plan is identical). Candidates
+      // come ONLY from the shared-key equi-join, fan-out per key
+      // bounded by the entity vocabulary (the standard co-location
+      // guard — never entity × entity over the corpus); set sizes
+      // fold map-side; jac in exact floor ppm via
+      // |A∪B| = |A| + |B| − |A∩B|.
+      val ec = SynthUniverse.points(s, dir)
+        .select(col("entity"), col("doc_id")).distinct()
+      val sizes = ec.groupBy(col("entity")).agg(count(lit(1)).as("n_docs"))
+      val inter = ec.as("x").join(ec.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("x.entity") < col("y.entity"))
+        .groupBy(col("x.entity").as("ent_a"), col("y.entity").as("ent_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("entity").as("ent_a"), col("n_docs").as("na")),
+          Seq("ent_a"))
+        .join(sizes.select(col("entity").as("ent_b"), col("n_docs").as("nb")),
+          Seq("ent_b"))
+        .select(col("ent_a"), col("ent_b"), col("na"), col("nb"),
+          col("n_inter"),
+          expr("(1000000 * n_inter) div (na + nb - n_inter)").as("jac_ppm"))
+    }),
     "q289_incremental_conflation" -> ((s, dir) => {
       // IVM #21, the ENTITY-RESOLUTION axis: q287's conflation is
       // per-mention local (the gazetteer is the stable side), so the
@@ -3956,6 +3986,22 @@ object SpatialQueries {
          |      ELSE text END AS text
          |  FROM documents WHERE doc_id % 13 <> 5),
          |${SynthSql.pointsCte.replace("FROM documents", "FROM final")}""".stripMargin),
+    "q290_comention_jaccard" ->
+      s"""WITH ${SynthSql.pointsCte},
+         |ec AS (SELECT DISTINCT entity, doc_id FROM points),
+         |sz AS (SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM ec GROUP BY 1),
+         |i AS (
+         |  SELECT x.entity AS ent_a, y.entity AS ent_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM ec x JOIN ec y ON x.doc_id = y.doc_id
+         |    AND x.entity < y.entity
+         |  GROUP BY 1, 2)
+         |SELECT ent_a, ent_b, a.n_docs AS na, b.n_docs AS nb, n_inter,
+         |  CAST((1000000 * n_inter) // (a.n_docs + b.n_docs - n_inter)
+         |    AS BIGINT) AS jac_ppm
+         |FROM i JOIN sz a ON a.entity = i.ent_a
+         |JOIN sz b ON b.entity = i.ent_b""".stripMargin,
     // independent formulation: four explicit neighbor LEFT JOINs
     // instead of the engine's scatter
     "q288_gradient_aspect" ->
