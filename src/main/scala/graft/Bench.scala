@@ -112,7 +112,7 @@ object Bench {
     "q262_incremental_decontamination", "q263_cluster_purity",
     "q264_scc_mutual", "q265_incremental_triangles",
     "q266_nb_classifier", "q267_bpe_train", "q269_spacetime_contact",
-    "q270_incremental_cms", "q271_lcss", "q272_time_travel",
+    "q270_incremental_cms", "q271_lcss", "q272_time_travel", "q291_hyperball",
     "q273_matryoshka_eval", "q274_temporal_reach", "q275_raster_peaks",
     "q276_winnowing", "q277_robots_match", "q278_kappa",
     "q279_crawl_budget", "q280_distance_transform",

@@ -226,6 +226,80 @@ object GraphQueries {
       graft.operators.IncrementalPageRank.maintain(
         postDocs, baseLinks, postLinks, touched, rank1Stored, rank2Stored)
     }),
+    "q291_hyperball" -> ((s, dir) => {
+      // HyperBall (Boldi-Vigna) — the promised scale path of q251's
+      // exact reach-pair loop: per-node HLL registers (q224's bucket/
+      // rank recipe, m=64, rank cap 30) approximate each node's K=3
+      // out-ball. Per round the sketch of v merges its out-neighbors'
+      // sketches — registers are max-mergeable, so the round is ONE
+      // edges⋈registers equi-join + one map-side-combined group-max;
+      // state is O(n·min(64, ball)) sparse register rows instead of
+      // n·ball exact pairs, the trade that survives unbounded-degree
+      // graphs. Sketches are DETERMINISTIC given the hash, so the
+      // oracle reproduces the registers exactly: per (v, j), the max
+      // rank over the recursively-enumerated exact ball. The exact
+      // ball size rides along and err_bp grades the estimate — the
+      // query is its own calibration harness (q224's convention).
+      // Calibration verdict on this synthetic graph: balls of ~40
+      // over m=64 registers sit far below the 2.5m raw-estimator
+      // regime, and err_bp duly reads ~+7000 — the documented
+      // small-range bias a production HyperBall removes by switching
+      // to linear counting over the empty-register count (a float/ln
+      // branch that cannot hash-match cross-engine, hence not mirrored
+      // here). The REGISTERS are the maintained state either way, and
+      // those the oracle pins integer-for-integer.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val lnk = links(docs, n)
+      val h = graft.text.TextFunctions.hash60(
+        concat(lit("hb:"), col("doc_id").cast("string")))
+      var regs = docs.withColumn("h", h)
+        .select(col("doc_id").as("v"), (col("h") % 64).as("j"),
+          when(expr("h div 64") === 0L, lit(55L))
+            .otherwise(lit(55L) - length(bin(expr("h div 64")))).as("r"))
+        .withColumn("r", least(col("r"), lit(30L)))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val nb = lnk.join(regs.select(col("v").as("w"), col("j"), col("r")),
+            lnk("dst") === col("w"))
+          .select(col("src").as("v"), col("j"), col("r"))
+        regs = regs.unionByName(nb)
+          .groupBy(col("v"), col("j")).agg(max(col("r")).as("r"))
+          .localCheckpoint()
+      }
+      val folded = regs
+        .select(col("v"), expr("CAST(pow(2, 30 - r) AS BIGINT)").as("p"))
+        .groupBy(col("v"))
+        .agg(sum(col("p")).as("occ_sum"), count(lit(1)).as("m_occ"))
+        .select(col("v"),
+          (col("occ_sum") + (lit(64L) - col("m_occ")) * lit(1073741824L))
+            .as("n_sum"),
+          col("m_occ"))
+      // exact K=3 out-ball alongside (q251's pair loop, out direction);
+      // the renamed edge copy avoids self-join lineage ambiguity once
+      // the frontier itself derives from the edge table
+      val lnk2 = lnk.select(col("src").as("e_src"), col("dst").as("e_dst"))
+      var seen = docs.select(col("doc_id").as("v"), col("doc_id").as("u"))
+      var frontier = seen
+      for (_ <- 1 to 3) {
+        val nxt = frontier.join(lnk2, frontier("u") === col("e_src"))
+          .select(col("v"), col("e_dst").as("u")).distinct()
+          .join(seen, Seq("v", "u"), "left_anti")
+        seen = seen.union(nxt)
+        frontier = nxt
+      }
+      val exact = seen.groupBy(col("v")).agg(count(lit(1)).as("n_ball"))
+      folded.join(exact, Seq("v"))
+        .select(col("v").as("doc_id"), col("m_occ"), col("n_sum"),
+          col("n_ball"),
+          expr("709213 * (4398046511104 div n_sum) div 1000000").as("est"))
+        .select(col("doc_id"), col("m_occ"), col("n_sum"), col("n_ball"),
+          col("est"),
+          // est underestimates small balls — err can be NEGATIVE, so
+          // the quotient must be the engine-identical floor
+          expr("((est - n_ball) * 10000 - pmod((est - n_ball) * 10000, n_ball)) div n_ball")
+            .as("err_bp"))
+    }),
     "q251_harmonic_centrality" -> ((s, dir) => {
       // bounded-hop (K=4) harmonic centrality c(x) = Σ_u 1/d(u, x)
       // over d <= K — the principled centrality on disconnected
@@ -871,6 +945,44 @@ object GraphQueries {
         |  FROM r JOIN links l ON l.src = r.doc_id WHERE r.hops < 4)
         |SELECT doc_id, CAST(MIN(hops) AS BIGINT) AS hops
         |FROM r GROUP BY 1""".stripMargin,
+    // registers reproduced EXACTLY from the recursively-enumerated
+    // ball: per (v, j), max capped rank over ball members — the
+    // sketch-merge loop must land on identical integers
+    "q291_hyperball" ->
+      """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        |lt AS (
+        |  SELECT d.doc_id AS src, (d.doc_id*31 + 7*k) % nn.n AS dst
+        |  FROM documents d CROSS JOIN nn, range(1, 4) t(k)),
+        |r AS (
+        |  SELECT doc_id AS v, doc_id AS u, 0 AS h FROM documents
+        |  UNION
+        |  SELECT r.v, l.dst, r.h + 1 FROM r JOIN lt l ON l.src = r.u
+        |  WHERE r.h < 3),
+        |ball AS (SELECT DISTINCT v, u FROM r),
+        |hs AS (SELECT doc_id AS u,
+        |    CAST('0x' || substr(md5('hb:' || CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) AS h
+        |  FROM documents),
+        |hr AS (SELECT u, h % 64 AS j,
+        |    LEAST(CASE WHEN h // 64 = 0 THEN 55
+        |      ELSE 55 - length(bin(h // 64)) END, 30) AS r
+        |  FROM hs),
+        |regs AS (
+        |  SELECT b.v, hr.j, MAX(hr.r) AS r
+        |  FROM ball b JOIN hr ON hr.u = b.u GROUP BY 1, 2),
+        |fold AS (
+        |  SELECT v,
+        |    CAST(SUM(CAST(pow(2, 30 - r) AS BIGINT)) +
+        |      (64 - COUNT(*)) * 1073741824 AS BIGINT) AS n_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS m_occ
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_ball
+        |  FROM ball GROUP BY 1),
+        |e AS (SELECT f.v AS doc_id, f.m_occ, f.n_sum, x.n_ball,
+        |    CAST(709213 * (4398046511104 // n_sum) // 1000000 AS BIGINT) AS est
+        |  FROM fold f JOIN ex x ON x.v = f.v)
+        |SELECT doc_id, m_occ, n_sum, n_ball, est,
+        |  CAST((est - n_ball) * 10000 // n_ball AS BIGINT) AS err_bp
+        |FROM e""".stripMargin,
     "q251_harmonic_centrality" ->
       """WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM documents),
         |links AS (

@@ -728,7 +728,8 @@ class PlanSpec extends SparkTestBase {
         "q281_incremental_winnowing", "q282_kendall_tau",
         "q284_fingerprint_pairs", "q285_tile_lang_diversity",
         "q286_watershed", "q287_entity_conflation", "q288_gradient_aspect",
-        "q289_incremental_conflation", "q290_comention_jaccard")) {
+        "q289_incremental_conflation", "q290_comention_jaccard",
+        "q291_hyperball")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
