@@ -119,7 +119,8 @@ object Bench {
     "q281_incremental_winnowing", "q282_kendall_tau", "q283_dwell_time",
     "q284_fingerprint_pairs", "q285_tile_lang_diversity",
     "q286_watershed", "q287_entity_conflation", "q288_gradient_aspect",
-    "q289_incremental_conflation", "q290_comention_jaccard")
+    "q289_incremental_conflation", "q290_comention_jaccard",
+    "q292_greedy_cover")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -182,6 +182,43 @@ object TextQueries {
       base.join(touched, Seq("doc_id"), "left_anti")
         .unionByName(winnowOf(updatedLive))
     }),
+    "q292_greedy_cover" -> ((s, dir) => {
+      // greedy max-coverage corpus selection (the classic (1−1/e)
+      // facility-location greedy): pick K=5 documents maximizing NEW
+      // 3-gram coverage — the principled "most diverse starter set"
+      // selector behind seed-corpus curation and eval-set picking.
+      // Greedy is inherently sequential in K, so the loop is K
+      // bounded rounds: per round ONE anti-join of the gram table
+      // against the (≤ K docs') covered set + a map-side gain count +
+      // a SINGLE-ROW argmax collect (the bounded-collect convention,
+      // cf. q100's histogram); a doc whose grams are all covered —
+      // including every already-picked doc and its exact duplicates —
+      // drops out of the gain table by construction, so no explicit
+      // exclusion list is needed. Output: the picked sequence with
+      // marginal gain and cumulative coverage.
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ts")) - 2),
+            i => array_join(slice(col("ts"), i, lit(3)), " "))).as("gram"))
+        .distinct().cache()
+      var covered = grams.select(col("gram")).filter(lit(false))
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      for (k <- 1 to 5) {
+        val w = grams.join(covered, Seq("gram"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          .agg(max(struct(col("gain"), (-col("doc_id")).as("nid"))).as("m"))
+          .select(col("m.gain"), (-col("m.nid")).as("doc_id")).head()
+        val (gain, id) = (w.getLong(0), w.getLong(1))
+        covered = covered
+          .unionByName(grams.filter(col("doc_id") === id).select(col("gram")))
+          .distinct().localCheckpoint()
+        picks += ((k.toLong, id, gain, covered.count()))
+      }
+      import s.implicits._
+      picks.toSeq.toDF("round", "doc_id", "gain", "covered_after")
+    }),
     "q284_fingerprint_pairs" -> ((s, dir) => {
       // the winnowed index OPERATIONALIZED — shared-run document pair
       // mining by fingerprint equi-join, what q276's index exists for
@@ -2134,6 +2171,37 @@ object TextQueries {
         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
         |      ELSE text END AS text
         |  FROM documents WHERE doc_id % 13 <> 5""".stripMargin),
+    // the greedy rounds unroll as chained MATERIALIZED CTEs (each
+    // argmax and covered set is materialized before the next round
+    // reads it — the q191/q199 convention for sequential oracles)
+    "q292_greedy_cover" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""w$k AS MATERIALIZED (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+           |  FROM g WHERE gram NOT IN (SELECT gram FROM c${k - 1})
+           |  GROUP BY 1 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+           |c$k AS MATERIALIZED (
+           |  SELECT gram FROM c${k - 1}
+           |  UNION
+           |  SELECT gram FROM g WHERE doc_id = (SELECT doc_id FROM w$k))""".stripMargin
+      }.mkString(",\n")
+      val finals = (1 to 5).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS round, doc_id, gain,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$k) AS covered_after
+           |FROM w$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+         |      for i in range(1, len(ts) - 1)]) AS gram
+         |  FROM toks WHERE len(ts) >= 3),
+         |g AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM g0),
+         |c0 AS (SELECT gram FROM g WHERE false),
+         |$rounds
+         |$finals""".stripMargin
+    },
     "q284_fingerprint_pairs" ->
       s"""WITH ${winnowCtes("SELECT doc_id, text FROM documents")},
          |w AS (SELECT DISTINCT doc_id, sel_fp FROM sel),
