@@ -182,6 +182,46 @@ object TextQueries {
       base.join(touched, Seq("doc_id"), "left_anti")
         .unionByName(winnowOf(updatedLive))
     }),
+    "q293_symspell_join" -> ((s, dir) => {
+      // SymSpell/FastSS deletion-neighborhood join — the THIRD
+      // edit-distance candidate generator beside banding (q13/q110)
+      // and sorted-neighborhood blocking (q195): two keys within
+      // Levenshtein 1 ALWAYS share a 1-deletion variant (delete the
+      // edited position on whichever side carries it — substitutions
+      // share the variant with BOTH sides' position deleted), so the
+      // equi-join on the variant is provably complete at t=1 and the
+      // exact levenshtein verify prices candidates only. Work is
+      // Σ len(key) variant rows + bucket-bounded pairs — never
+      // key × key (the oracle runs exactly that quadratic as the
+      // independent formulation). Keys are the corpus's first tokens
+      // with planted deterministic single-char deletions (%3=1) and
+      // substitutions (%3=2) — the dirty-key matching scenario the
+      // operator exists for.
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("element_at(split(lower(text), '\\\\s+'), 1)").as("b"))
+      val keyed = base.select(
+        when(length(col("b")) < 4 || col("doc_id") % 3 === 0, col("b"))
+          .when(col("doc_id") % 3 === 1,
+            expr("substring(b, 1, CAST(doc_id % length(b) AS INT)) || " +
+              "substring(b, CAST(doc_id % length(b) AS INT) + 2)"))
+          .otherwise(
+            expr("substring(b, 1, CAST(doc_id % length(b) AS INT)) || 'x' || " +
+              "substring(b, CAST(doc_id % length(b) AS INT) + 2)"))
+          .as("key"))
+        .distinct()
+      val variants = keyed.select(col("key"),
+        explode(expr("transform(sequence(0, length(key)), i -> " +
+          "IF(i = 0, key, concat(substring(key, 1, i-1), substring(key, i+1))))"))
+          .as("v"))
+        .distinct()
+      variants.as("x").join(variants.as("y"),
+          col("x.v") === col("y.v") && col("x.key") < col("y.key"))
+        .select(col("x.key").as("tok_a"), col("y.key").as("tok_b"))
+        .distinct()
+        .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+        .filter(col("dist") <= 1)
+    }),
     "q292_greedy_cover" -> ((s, dir) => {
       // greedy max-coverage corpus selection (the classic (1−1/e)
       // facility-location greedy): pick K=5 documents maximizing NEW
@@ -2171,6 +2211,25 @@ object TextQueries {
         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
         |      ELSE text END AS text
         |  FROM documents WHERE doc_id % 13 <> 5""".stripMargin),
+    // the independent formulation: brute quadratic levenshtein over
+    // the bounded key vocabulary — the deletion-neighborhood trick
+    // must surface exactly these pairs
+    "q293_symspell_join" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+')[1] AS b
+        |  FROM documents),
+        |k AS (SELECT DISTINCT CASE
+        |    WHEN length(b) < 4 OR doc_id % 3 = 0 THEN b
+        |    WHEN doc_id % 3 = 1 THEN
+        |      substring(b, 1, CAST(doc_id % length(b) AS INT))
+        |        || substring(b, CAST(doc_id % length(b) AS INT) + 2)
+        |    ELSE substring(b, 1, CAST(doc_id % length(b) AS INT)) || 'x'
+        |        || substring(b, CAST(doc_id % length(b) AS INT) + 2)
+        |  END AS key FROM b)
+        |SELECT a.key AS tok_a, c.key AS tok_b,
+        |  CAST(levenshtein(a.key, c.key) AS BIGINT) AS dist
+        |FROM k a JOIN k c
+        |  ON a.key < c.key AND levenshtein(a.key, c.key) <= 1""".stripMargin,
     // the greedy rounds unroll as chained MATERIALIZED CTEs (each
     // argmax and covered set is materialized before the next round
     // reads it — the q191/q199 convention for sequential oracles)
