@@ -277,6 +277,44 @@ object SimilarityQueries {
         .select(col("la"), col("lb"), col("na"), col("nb"),
           expr("num div den").cast("long").as("dist2q"))
     }),
+    "q294_multiprobe_recall" -> ((s, dir) => {
+      // multi-probe LSH (Lv et al., VLDB'07 — public algorithm): each
+      // QUERY additionally probes the 6 buckets at Hamming distance 1
+      // from its own sign bucket — recall rises without re-bucketing
+      // the corpus or widening buckets corpus-wide (probe cost scales
+      // with the QUERY set, the side that is small by construction;
+      // the corpus-side equi-join shape is unchanged). Ground truth =
+      // q19's exact machinery on the same %50 query sample; output
+      // grades single-probe vs multi-probe recall@3 per query — the
+      // eval that decides how many probes the index needs. A neighbor
+      // can match at most one probe (its bucket is unique), so no
+      // dedup is needed before ranking.
+      val exact = topK(cosinePairs(s, dir), 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val e = embAsDouble(s, dir).withColumn("bucket", signBucket(col("v")))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      val probes = q.select(col("query_id"), col("qv"),
+        explode(array(col("bucket") +: (0 until 6).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+      def annOf(probeSide: DataFrame): DataFrame =
+        topK(e.join(broadcast(probeSide), "bucket")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cos(col("v"), col("qv")).as("cos")), 3)
+          .select(col("query_id"), col("neighbor_id"))
+      def hitsOf(ann: DataFrame, name: String): DataFrame =
+        ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hitsOf(annOf(q), "hit_single"), Seq("query_id"), "left")
+        .join(hitsOf(annOf(probes), "hit_multi"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("hit_single"), lit(0L)).as("hit_single"),
+          coalesce(col("hit_multi"), lit(0L)).as("hit_multi"),
+          expr("coalesce(hit_single, 0) * 1000000 div n_exact").as("recall_single_ppm"),
+          expr("coalesce(hit_multi, 0) * 1000000 div n_exact").as("recall_multi_ppm"))
+    }),
     "q248_ann_recall" -> ((s, dir) => {
       // recall@k evaluation of the bucketed ANN (q20) against the
       // exact top-k ground truth (q19's machinery) — the metric that
@@ -553,6 +591,53 @@ object SimilarityQueries {
         |FROM pairnum""".stripMargin,
     // the exact and banded top-3 legs re-derived independently, then
     // intersected — recall must agree to the last ppm digit
+    "q294_multiprobe_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN (embedding::DOUBLE[])[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |       for i in range(0, 6)]), (x,y) -> x+y) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id % 50 = 0),
+         |pr AS (
+         |  SELECT query_id, qv,
+         |    CASE WHEN j = 0 THEN bucket ELSE xor(bucket, 1::BIGINT << (j - 1)) END AS bucket
+         |  FROM q, range(0, 7) t(j)),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        $dotSql / (${normSql("a", "v")} * ${normSql("q", "qv")}) DESC,
+         |        a.vec_id ASC) AS rank
+         |    FROM e a, q WHERE a.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |an1 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        $dotSql / (${normSql("a", "v")} * ${normSql("q", "qv")}) DESC,
+         |        a.vec_id ASC) AS rank
+         |    FROM e a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |anm AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        ${dotSql2("a.v", "q.qv")} / (${normSql("a", "v")} * ${normSql("q", "qv")}) DESC,
+         |        a.vec_id ASC) AS rank
+         |    FROM e a JOIN pr q ON a.bucket = q.bucket WHERE a.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |h1 AS (SELECT an1.query_id, COUNT(*) AS hit_single
+         |  FROM an1 JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+         |hm AS (SELECT anm.query_id, COUNT(*) AS hit_multi
+         |  FROM anm JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+         |g AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+         |SELECT g.query_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(hit_single, 0) AS BIGINT) AS hit_single,
+         |  CAST(COALESCE(hit_multi, 0) AS BIGINT) AS hit_multi,
+         |  CAST(COALESCE(hit_single, 0) * 1000000 // n_exact AS BIGINT) AS recall_single_ppm,
+         |  CAST(COALESCE(hit_multi, 0) * 1000000 // n_exact AS BIGINT) AS recall_multi_ppm
+         |FROM g LEFT JOIN h1 USING (query_id) LEFT JOIN hm USING (query_id)""".stripMargin,
     "q248_ann_recall" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,

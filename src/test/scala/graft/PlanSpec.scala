@@ -729,7 +729,8 @@ class PlanSpec extends SparkTestBase {
         "q284_fingerprint_pairs", "q285_tile_lang_diversity",
         "q286_watershed", "q287_entity_conflation", "q288_gradient_aspect",
         "q289_incremental_conflation", "q290_comention_jaccard",
-        "q291_hyperball", "q292_greedy_cover", "q293_symspell_join")) {
+        "q291_hyperball", "q292_greedy_cover", "q293_symspell_join",
+        "q294_multiprobe_recall")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sfSmoke))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
