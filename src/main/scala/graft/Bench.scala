@@ -120,7 +120,8 @@ object Bench {
     "q284_fingerprint_pairs", "q285_tile_lang_diversity",
     "q286_watershed", "q287_entity_conflation", "q288_gradient_aspect",
     "q289_incremental_conflation", "q290_comention_jaccard",
-    "q292_greedy_cover", "q293_symspell_join", "q294_multiprobe_recall")
+    "q292_greedy_cover", "q293_symspell_join", "q294_multiprobe_recall",
+    "q295_lis_trend")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

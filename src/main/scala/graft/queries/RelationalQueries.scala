@@ -76,6 +76,36 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_lis_trend" -> ((s, dir) => {
+      // longest STRICTLY-increasing subsequence per user's
+      // chronological value sequence — trend persistence (how long a
+      // monotone run survives reordering noise), the sequence-DP
+      // primitive next to the trajectory DPs (q199/q204/q271) but on
+      // the VALUE axis. The classic O(L²) DP folds entirely inside
+      // ONE aggregate() higher-order function over the collected
+      // per-user sequence (bounded by the per-user event count — the
+      // q213/q254 bounded-collect convention): the accumulator
+      // carries (value, best-length-ending-here) pairs, seeded with a
+      // −∞ sentinel of length 0 so filter(acc) is never empty and no
+      // coalesce is needed. One user-keyed exchange, no window, no
+      // join; users sampled %10=0 to bound the oracle's recursive DP.
+      Tables.events(s, dir)
+        .filter(col("user_id") % 10 === 0)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))).as("seq"))
+        .select(col("user_id"),
+          size(col("seq")).cast("long").as("n_events"),
+          expr("""aggregate(
+              transform(seq, e -> e.value),
+              array(named_struct('v', cast('-Infinity' as double),
+                                 'l', cast(0 as bigint))),
+              (acc, x) -> array_append(acc, named_struct('v', x,
+                'l', 1 + array_max(transform(filter(acc, a -> a.v < x),
+                                             a -> a.l)))),
+              acc -> array_max(transform(acc, a -> a.l)))""")
+            .as("lis_len"))
+    }),
     // A1/A5: wide aggregation with map-side partial agg; exact integer units.
     "q01_pricing_agg" -> ((s, dir) => {
       lineitem(s, dir)
@@ -1146,6 +1176,27 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the independent formulation: the textbook recursive LIS DP over
+    // (user, position, length) states — the in-aggregate fold must
+    // reproduce its maxima
+    "q295_lis_trend" ->
+      """WITH RECURSIVE pos AS (
+        |  SELECT user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+        |    value AS v
+        |  FROM events WHERE user_id % 10 = 0),
+        |r AS (
+        |  SELECT user_id, i, v, 1 AS len FROM pos
+        |  UNION
+        |  SELECT p.user_id, p.i, p.v, r.len + 1
+        |  FROM r JOIN pos p ON p.user_id = r.user_id AND p.i > r.i
+        |    AND p.v > r.v),
+        |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM pos GROUP BY 1)
+        |SELECT n.user_id, n.n_events,
+        |  CAST((SELECT MAX(len) FROM r WHERE r.user_id = n.user_id) AS BIGINT)
+        |    AS lis_len
+        |FROM n""".stripMargin,
     "q240_shard_rebalance" -> {
       val h = s"(doc_id % ${ShardRing.M} * 2654435761 + 12345) % ${ShardRing.M}"
       s"""WITH o AS (SELECT

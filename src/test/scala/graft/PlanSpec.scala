@@ -735,6 +735,15 @@ class PlanSpec extends SparkTestBase {
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
       Bench.clearState(spark)
     }
+    // the LIS fold is ONE user-keyed aggregate — join-free AND
+    // window-free (the whole DP lives in the aggregate() lambda)
+    {
+      val p = SparkEntry.queries("q295_lis_trend")(spark, sfSmoke)
+      val plan = formatted(p)
+      assert(!plan.contains("Window") && !plan.contains("Join"),
+        "q295 must stay join- and window-free")
+      Bench.clearState(spark)
+    }
     // the conflation family, the watershed, and the gradient are
     // equi-join + aggregate shapes — window-free (the oracle's rank
     // window has no Spark counterpart; winners are struct-min
