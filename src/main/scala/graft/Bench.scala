@@ -385,11 +385,27 @@ object Bench {
     // below is normalized by it so a degraded-bandwidth phase (r3: MT
     // probe 3.31s vs 0.11s nominal, ~30x) can never lock in single
     // cold reps the way BENCH_r03's flat 30s rule did.
-    val probeBefore = math.min(hostProbeMt(), hostProbeMt())
     val probeNominal = 0.11 // good-phase MT probe on this host class
+    // r4 remediation #1: a degraded START phase inflated the first ~30
+    // queries 2-5x (BENCH_r04 host_probe_mt_before=0.541 vs 0.115
+    // after). Hold the suite until the bandwidth probe calms down —
+    // bounded by SPARK_GRAFT_PROBE_WAIT seconds so a permanently busy
+    // host can't stall the driver.
+    val probeWaitBudget =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_WAIT", "300").toDouble
+    var probeBefore = math.min(hostProbeMt(), hostProbeMt())
+    val waitT0 = System.nanoTime()
+    var waited = 0.0
+    while (probeBefore > 2 * probeNominal && waited < probeWaitBudget) {
+      System.err.println(
+        f"[bench] host degraded (mt probe $probeBefore%.3f s); waiting...")
+      Thread.sleep(15000)
+      probeBefore = math.min(hostProbeMt(), hostProbeMt())
+      waited = (System.nanoTime() - waitT0) / 1e9
+    }
     val repCutoffSec = 30.0 * math.max(1.0, probeBefore / probeNominal)
     System.err.println(
-      f"[bench] host_probe_mt before=$probeBefore%.3f s, repeat cutoff=$repCutoffSec%.1f s")
+      f"[bench] host_probe_mt before=$probeBefore%.3f s (waited $waited%.0f s), repeat cutoff=$repCutoffSec%.1f s")
 
     // The OsmChange merge family rebuilds full layers in-query (oracle
     // scaffolding) — exactly the queries a degraded phase distorts
@@ -403,16 +419,40 @@ object Bench {
     // phase; the min is the stable, comparable statistic. Only
     // pathological queries beyond the host-normalized cutoff skip the
     // repeats.
-    val results = headline2.map { name =>
-      def once = {
-        clearState(spark)
-        time(SparkEntry.queries(name)(spark, sfDir).count())._1
-      }
-      val first = once
-      val sec =
-        if (first > repCutoffSec && !alwaysRepeat(name)) first
-        else (Seq(first) ++ (1 to 2).map(_ => once)).min
-      name -> sec
+    def runOnce(name: String): Double = {
+      clearState(spark)
+      time(SparkEntry.queries(name)(spark, sfDir).count())._1
+    }
+    def bestOf(name: String): Double = {
+      val first = runOnce(name)
+      if (first > repCutoffSec && !alwaysRepeat(name)) first
+      else (Seq(first) ++ (1 to 2).map(_ => runOnce(name))).min
+    }
+    // r4 remediation #2: tag every query with the rolling bandwidth
+    // probe active during its window (re-probed every `probeEvery`
+    // queries — ~0.1 s each, negligible vs the suite). Queries timed
+    // under a degraded window get re-run after the suite once the
+    // probe recovers, and the min is recorded.
+    val probeEvery = 15
+    var rollingProbe = probeBefore
+    val degradedAt = scala.collection.mutable.Set[String]()
+    val results0 = headline2.zipWithIndex.map { case (name, i) =>
+      if (i % probeEvery == 0 && i > 0) rollingProbe = hostProbeMt()
+      if (rollingProbe > 2 * probeNominal) degradedAt += name
+      name -> bestOf(name)
+    }
+    val probeRecovery = math.min(hostProbeMt(), hostProbeMt())
+    val remediated =
+      if (degradedAt.nonEmpty && probeRecovery <= 2 * probeNominal) {
+        System.err.println(
+          s"[bench] re-running ${degradedAt.size} degraded-window queries " +
+            f"(recovery probe $probeRecovery%.3f s)")
+        degradedAt.size
+      } else 0
+    val results = results0.map { case (name, sec) =>
+      if (remediated > 0 && degradedAt(name))
+        name -> math.min(sec, bestOf(name))
+      else name -> sec
     }
     val docs = Tables.documents(spark, sfDir).count() * E2eFactor
     // best-of-5: JIT/GC variance dominates single runs at this scale
@@ -463,15 +503,25 @@ object Bench {
       math.max(probeBefore, probeAfter) / math.min(probeBefore, probeAfter) > 2.0 ||
         math.max(probeBefore, probeAfter) > 4 * probeNominal
     val probeMt = math.min(probeBefore, probeAfter)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec,"host_probe_sec":$probe,"host_probe_mt_sec":$probeMt,"host_probe_mt_before":$probeBefore,"host_probe_mt_after":$probeAfter,"host_degraded":$degraded}"""
-    // the bare line also lands in BENCH/last.json for post-hoc audits
+    // The final stdout line is SUMMARY-ONLY: the driver keeps just a
+    // 2,000-char tail of stdout, and r2-r4's line embedded a ~7 KB
+    // per-query map that pushed the JSON front out of the window
+    // (BENCH_r04 `parsed: null`). A compact headline summary — a few
+    // timed-set aggregates plus the e2e throughputs and host-phase
+    // flags — fits with wide margin; the full per-query map lands in
+    // BENCH/last.json for audits.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"queries":{"e2e_pipeline":$e2eSec,"e2e_join_r2shape":$e2eJoinSec},"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec,"host_probe_sec":$probe,"host_probe_mt_sec":$probeMt,"host_probe_mt_before":$probeBefore,"host_probe_mt_after":$probeAfter,"host_wait_sec":$waited,"remediated_queries":$remediated,"host_degraded":$degraded}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs":$docs,"e2e_docs_per_sec":$docsPerSec,"e2e_join_docs_per_sec":$joinDocsPerSec,"host_probe_sec":$probe,"host_probe_mt_sec":$probeMt,"host_probe_mt_before":$probeBefore,"host_probe_mt_after":$probeAfter,"host_wait_sec":$waited,"remediated_queries":$remediated,"host_degraded":$degraded}"""
+    // the full per-query line lands in BENCH/last.json for post-hoc audits
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last.json"), full + "\n")
     spark.stop()
     // print LAST, after spark.stop(), so the JSON line is the final
     // stdout line (build.sbt: StdoutOutput + showSuccess := false keep
     // sbt from prefixing it or appending "[success] ..." after it)
-    println(line)
+    println(summary)
     System.out.flush()
   }
 }
