@@ -121,7 +121,7 @@ object Bench {
     "q286_watershed", "q287_entity_conflation", "q288_gradient_aspect",
     "q289_incremental_conflation", "q290_comention_jaccard",
     "q292_greedy_cover", "q293_symspell_join", "q294_multiprobe_recall",
-    "q295_lis_trend")
+    "q295_lis_trend", "q296_warc_roundtrip", "q297_warc_errors")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e

@@ -32,6 +32,8 @@ object SparkEntry {
         _root_.graft.queries.TableQueries.oracles),
       (_root_.graft.queries.GraphQueries.queries,
         _root_.graft.queries.GraphQueries.oracles),
+      (_root_.graft.queries.WarcQueries.queries,
+        _root_.graft.queries.WarcQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
