@@ -121,7 +121,14 @@ object Bench {
     "q286_watershed", "q287_entity_conflation", "q288_gradient_aspect",
     "q289_incremental_conflation", "q290_comention_jaccard",
     "q292_greedy_cover", "q293_symspell_join", "q294_multiprobe_recall",
-    "q295_lis_trend", "q296_warc_roundtrip", "q297_warc_errors")
+    "q295_lis_trend", "q296_warc_roundtrip", "q297_warc_errors",
+    "q124b_stored_clusters", "q52b_stored_merge", "q70b_stored_triples")
+
+  /** Stored-state bench twins (VERDICT r4 item 4): their first call
+    * writes the StoredState parquet — run once UNTIMED in warm-up so
+    * timed reps measure maintenance over the stored tables only. */
+  val storedTwins: Seq[String] = Seq(
+    "q124b_stored_clusters", "q52b_stored_merge", "q70b_stored_triples")
 
   /** Bench-input scale-up factor: documents replicate ×F with distinct
     * ids (FIXTURES.md: "scaled up by the bench harness") so the e2e
@@ -378,6 +385,10 @@ object Bench {
     // bill of the suite and the >30s rule must never record it cold.
     SparkEntry.queries("q01_pricing_agg")(spark, sfDir).count()
     SparkEntry.queries("q31b_knn_rings")(spark, sfDir).count()
+    // one untimed pass builds the StoredState parquet for the twins
+    storedTwins.filter(headline2.contains).foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir).count()
+    }
     clearState(spark)
     if (!skipE2e) { e2ePipeline(spark, sfDir, storeRoot); clearState(spark) }
 

@@ -365,35 +365,27 @@ object DedupQueries {
       // alternating-star run, and the pair/band state) — production
       // reads both from tables and pays only the touched-component
       // star (cf. the q52/q70 oracle-scaffolding adjudication).
-      val d = incrementalPairDelta(s, dir)
       val basePairs = lshPairs(s, dir).cache()
       // stored cluster table stand-in
       val labels0 = graft.operators.ConnectedComponents.alternatingStar(
         basePairs.select(col("id_a").as("u"), col("id_b").as("v")))._1.cache()
-      val removed = basePairs
-        .join(d.keep, Seq("id_a", "id_b"), "left_anti")
-      val added = d.added.cache()
-      val touched = d.affected
-        .union(removed.select(col("id_a").as("doc_id")))
-        .union(removed.select(col("id_b").as("doc_id")))
-        .union(added.select(col("id_a").as("doc_id")))
-        .union(added.select(col("id_b").as("doc_id")))
-        .distinct()
-      val affectedClusters = labels0.join(touched, Seq("doc_id"), "left_semi")
-        .select(col("cluster_id")).distinct()
-      // members ∪ touched: a touched doc with no stored pairs (first
-      // near-dup appears in this batch) is absent from labels0
-      val members = labels0.join(affectedClusters, Seq("cluster_id"), "left_semi")
-        .select(col("doc_id")).union(touched).distinct()
-      val pairs1 = d.keep.unionByName(added)
-      val induced = pairs1
-        .join(members.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
-        .join(members.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
-      val recomputed = graft.operators.ConnectedComponents.alternatingStar(
-        induced.select(col("id_a").as("u"), col("id_b").as("v")))._1
-      labels0.join(affectedClusters, Seq("cluster_id"), "left_anti")
-        .select(col("doc_id"), col("cluster_id"))
-        .unionByName(recomputed)
+      incrementalClusters(incrementalPairDelta(s, dir), basePairs, labels0)
+    }),
+    "q124b_stored_clusters" -> ((s, dir) => {
+      // q124's PRODUCTION twin (VERDICT r4 item 4): the stored state —
+      // band buckets, shingle sets, verified pairs, cluster table — is
+      // read from parquet ([[graft.tables.StoredState]], built once
+      // per sfDir) instead of rebuilt in-query, so the bench number
+      // measures MAINTENANCE (touched-component recompute), not
+      // scaffolding. Output contract and oracle are exactly q124's.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bands = graft.tables.StoredState.table(s, dir, "lsh_bands")(bandsOf(docs))
+      val sh = graft.tables.StoredState.table(s, dir, "shingle_sets")(shingleSetsOf(docs))
+      val pairs = graft.tables.StoredState.table(s, dir, "neardup_pairs")(lshPairs(s, dir))
+      val labels = graft.tables.StoredState.table(s, dir, "neardup_clusters")(
+        graft.operators.ConnectedComponents.alternatingStar(
+          pairs.select(col("id_a").as("u"), col("id_b").as("v")))._1)
+      incrementalClusters(pairDeltaFrom(docs, bands, sh, pairs), pairs, labels)
     }),
     "q127_editdist_verify" -> ((s, dir) => {
       // the same LSH band-bucket candidates verified by EDIT DISTANCE
@@ -730,10 +722,51 @@ object DedupQueries {
   private def incrementalPairDelta(s: SparkSession, dir: String): PairDelta = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     // stored state stand-ins (at scale: the bands/shingles/pairs
-    // tables); caches scoped to this evaluation
-    val baseBands = bandsOf(docs).cache()
-    val baseSh = shingleSetsOf(docs).cache()
-    val basePairs = lshPairs(s, dir)
+    // tables); caches scoped to this evaluation. The `_stored` bench
+    // twins route through pairDeltaFrom with StoredState parquet
+    // instead — same maintenance math, production read path.
+    pairDeltaFrom(docs, bandsOf(docs).cache(), shingleSetsOf(docs).cache(),
+      lshPairs(s, dir))
+  }
+
+  /** q124's maintenance math: re-solve exactly the touched components
+    * on the post-change pair set (closed-subgraph argument in the q124
+    * entry's comment); untouched clusters pass through byte-identical.
+    * Shared by q124 (rebuilt state) and q124b (StoredState parquet). */
+  private def incrementalClusters(d: PairDelta, basePairs: DataFrame,
+      labels0: DataFrame): DataFrame = {
+    val removed = basePairs
+      .join(d.keep, Seq("id_a", "id_b"), "left_anti")
+    val added = d.added.cache()
+    val touched = d.affected
+      .union(removed.select(col("id_a").as("doc_id")))
+      .union(removed.select(col("id_b").as("doc_id")))
+      .union(added.select(col("id_a").as("doc_id")))
+      .union(added.select(col("id_b").as("doc_id")))
+      .distinct()
+    val affectedClusters = labels0.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    // members ∪ touched: a touched doc with no stored pairs (first
+    // near-dup appears in this batch) is absent from labels0
+    val members = labels0.join(affectedClusters, Seq("cluster_id"), "left_semi")
+      .select(col("doc_id")).union(touched).distinct()
+    val pairs1 = d.keep.unionByName(added)
+    val induced = pairs1
+      .join(members.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(members.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+    val recomputed = graft.operators.ConnectedComponents.alternatingStar(
+      induced.select(col("id_a").as("u"), col("id_b").as("v")))._1
+    labels0.join(affectedClusters, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(recomputed)
+  }
+
+  /** The maintenance math of the pair-set IVM, independent of where
+    * the stored state comes from (rebuilt in-query for the oracle
+    * queries; parquet via [[graft.tables.StoredState]] for the
+    * `_stored` bench twins). */
+  private def pairDeltaFrom(docs: DataFrame, baseBands: DataFrame,
+      baseSh: DataFrame, basePairs: DataFrame): PairDelta = {
     val updated = docs.filter(col("doc_id") % 7 === 3)
       .select(col("doc_id"),
         concat(col("text"), lit(" merge stream merge")).as("text"))
@@ -984,6 +1017,14 @@ object DedupQueries {
     // propagation plan's clustering — one truth, two algorithms
     "q119_cc_alternating_star" -> ccOracleFrom(lshCtes),
     "q124_incremental_clusters" -> ccOracleFrom(
+      s"""final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 5),
+         |${lshCtesFrom("final")}""".stripMargin),
+    // the stored-state twin must emit the identical clustering
+    "q124b_stored_clusters" -> ccOracleFrom(
       s"""final AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge stream merge'

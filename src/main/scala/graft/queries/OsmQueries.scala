@@ -17,6 +17,17 @@ object OsmQueries {
   private def winners(s: SparkSession, dir: String): DataFrame =
     ChangePipeline.dedupLatest(SynthUniverse.changes(s, dir))
 
+  /** q52's maintenance math over a given base way layer (rebuilt
+    * in-query for the oracle query; StoredState parquet for q52b). */
+  private def waysAfterMerge(s: SparkSession, dir: String, base: DataFrame): DataFrame = {
+    val w = winners(s, dir).cache() // shared by merge + stale + applyWayOps
+    val st = ChangePipeline.staleWays(w, SynthUniverse.wayMembers(s, dir))
+    val wm = SynthUniverse.wayMembers(s, dir)
+    val nodes = SynthUniverse.nodes(s, dir)
+    val merged = ChangePipeline.applyNodeOps(nodes, w)
+    ChangePipeline.applyWayOps(base, w, wm, merged, st)
+  }
+
   private def stale(s: SparkSession, dir: String): DataFrame =
     ChangePipeline.staleWays(winners(s, dir), SynthUniverse.wayMembers(s, dir))
 
@@ -99,15 +110,22 @@ object OsmQueries {
       // Way-layer MERGE (OsmChangeHandler.cpp:442-575 parity): stale and
       // changed ways rebuild against the POST-merge node layer; deleted
       // ways drop; everything else carries forward.
-      val w = winners(s, dir).cache() // shared by merge + stale + applyWayOps
-      val st = ChangePipeline.staleWays(w, SynthUniverse.wayMembers(s, dir))
       val wm = SynthUniverse.wayMembers(s, dir)
-      val nodes = SynthUniverse.nodes(s, dir)
-      val merged = ChangePipeline.applyNodeOps(nodes, w)
-      val base = ChangePipeline.reconstructWays(
-        wm.select(col("way_id")).distinct(), wm, nodes)
-      ChangePipeline.applyWayOps(base, w, wm, merged, st)
+      waysAfterMerge(s, dir, ChangePipeline.reconstructWays(
+        wm.select(col("way_id")).distinct(), wm, SynthUniverse.nodes(s, dir)))
     }),
+    "q52b_stored_merge" -> ((s, dir) =>
+      // q52's PRODUCTION twin (VERDICT r4 item 4): the base way layer —
+      // the table Replicator maintains live — is read from parquet
+      // ([[graft.tables.StoredState]], built once per sfDir) instead of
+      // reconstructed in-query, so the bench number measures the MERGE
+      // maintenance, not the stored-layer rebuild. Same output, same
+      // oracle as q52.
+      waysAfterMerge(s, dir, graft.tables.StoredState.table(s, dir, "base_ways") {
+        val wm = SynthUniverse.wayMembers(s, dir)
+        ChangePipeline.reconstructWays(
+          wm.select(col("way_id")).distinct(), wm, SynthUniverse.nodes(s, dir))
+      })),
     "q53_rels_after_merge" -> ((s, dir) => {
       val w = winners(s, dir).cache() // shared by stale detection + applyRelOps
       val rm = SynthUniverse.relMembers(s, dir)
@@ -118,14 +136,41 @@ object OsmQueries {
       ChangePipeline.applyRelOps(base, w, rm, sr)
     }),
     "q70_triples_after_merge" -> ((s, dir) => {
-      // The FULL post-merge triple store (J10 closure): every surviving
-      // object's complete osm2rdf family — link/geometry/member triples
-      // PLUS rdf:type / osmmeta:timestamp / osmkey tags / osm2rdf:facts
-      // (/root/reference/src/osm/OsmDataFetcher.cpp:333-395,
-      // src/sparql/QueryWriter.cpp:242-255) — derived from the merged
-      // meta-carrying layers exactly as Replicator.applyOps maintains
-      // them: changed objects take the change file's ts, everything
-      // else keeps the stored layer ts; tag state stays closed-form.
+      val wm = SynthUniverse.wayMembers(s, dir)
+      triplesAfterMerge(s, dir,
+        ChangePipeline.reconstructWays(
+          wm.select(col("way_id")).distinct(), wm, SynthUniverse.nodes(s, dir)),
+        ChangePipeline.serializeRelMembers(
+          SynthUniverse.relMembers(s, dir).withColumnRenamed("member_kind", "mtype")))
+    }),
+    "q70b_stored_triples" -> ((s, dir) =>
+      // q70's PRODUCTION twin (VERDICT r4 item 4): base way + relation
+      // layers come from StoredState parquet — the bench number prices
+      // the post-merge triple derivation, not the layer rebuild.
+      triplesAfterMerge(s, dir,
+        graft.tables.StoredState.table(s, dir, "base_ways") {
+          val wm = SynthUniverse.wayMembers(s, dir)
+          ChangePipeline.reconstructWays(
+            wm.select(col("way_id")).distinct(), wm, SynthUniverse.nodes(s, dir))
+        },
+        graft.tables.StoredState.table(s, dir, "base_rels") {
+          ChangePipeline.serializeRelMembers(
+            SynthUniverse.relMembers(s, dir).withColumnRenamed("member_kind", "mtype"))
+        })),
+  )
+
+  /** The FULL post-merge triple store (J10 closure): every surviving
+    * object's complete osm2rdf family — link/geometry/member triples
+    * PLUS rdf:type / osmmeta:timestamp / osmkey tags / osm2rdf:facts
+    * (/root/reference/src/osm/OsmDataFetcher.cpp:333-395,
+    * src/sparql/QueryWriter.cpp:242-255) — derived from the merged
+    * meta-carrying layers exactly as Replicator.applyOps maintains
+    * them: changed objects take the change file's ts, everything
+    * else keeps the stored layer ts; tag state stays closed-form.
+    * `baseW` / `baseRels` are the stored-layer stand-ins (rebuilt
+    * in-query for q70's oracle; StoredState parquet for q70b). */
+  private def triplesAfterMerge(s: SparkSession, dir: String,
+      baseW: DataFrame, baseRels: DataFrame): DataFrame = {
       val w = ChangePipeline.dedupLatest(SynthUniverse.changesFull(s, dir)).cache()
       val nodes0 = SynthUniverse.nodes(s, dir)
       val wm = SynthUniverse.wayMembers(s, dir)
@@ -152,8 +197,6 @@ object OsmQueries {
         .withColumn("tags", SynthUniverse.nodeTagMap(col("node_id")))
       // merged way layer (q52 shape) + meta
       val mergedCoords = ChangePipeline.applyNodeOps(nodes0, w)
-      val baseW = ChangePipeline.reconstructWays(
-        wm.select(col("way_id")).distinct(), wm, nodes0)
       val wTs = w.filter(col("kind") === "way" && col("action").isin("create", "modify"))
         .select(col("id").as("way_id"), col("ts").as("w_ts"))
       val mergedWays = ChangePipeline.applyWayOps(baseW, w, wm, mergedCoords, st)
@@ -168,8 +211,7 @@ object OsmQueries {
         .select(col("id").as("rel_id"))
       val rTs = w.filter(col("kind") === "relation" && col("action").isin("create", "modify"))
         .select(col("id").as("rel_id"), col("ts").as("w_ts"))
-      val mergedRels = ChangePipeline.serializeRelMembers(
-          rm.withColumnRenamed("member_kind", "mtype"))
+      val mergedRels = baseRels
         .join(relDels, Seq("rel_id"), "left_anti")
         .join(rTs, Seq("rel_id"), "left")
         .withColumn("ts", coalesce(col("w_ts"), SynthUniverse.synthTs(col("rel_id"))))
@@ -182,8 +224,7 @@ object OsmQueries {
         .unionByName(TripleDerive.ownedWayTriplesFull(mergedWays))
         .unionByName(TripleDerive.ownedRelTriplesFull(mergedRels))
         .select(col("s"), col("p"), col("o"))
-    }),
-  )
+  }
 
   private val winnersCte: String = SynthSql.winnersCte
 
@@ -202,7 +243,7 @@ object OsmQueries {
       |    ON rm.member_id = pw.id
       |  WHERE rm.rel_id NOT IN (SELECT id FROM winners WHERE kind='relation'))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "q23_rel_reconstruct" ->
       s"""WITH ${SynthSql.changesCte}, $winnersCte, ${SynthSql.wayMembersCte},
          |  ${SynthSql.relMembersCte}, $staleCte, $staleRelsCte
@@ -478,4 +519,10 @@ object OsmQueries {
          |  CASE WHEN rel_id % 4 = 3 THEN 'multipolygon' ELSE 'route' END FROM merged_rels_meta
          |UNION ALL SELECT 'osmrel:' || rel_id, 'osm2rdf:facts', '1' FROM merged_rels_meta""".stripMargin,
   )
+
+  /** The stored-state bench twins must emit byte-identical results to
+    * their rebuild-in-query originals — one truth, two read paths. */
+  val oracles: Map[String, String] = oracles0 ++ Map(
+    "q52b_stored_merge" -> oracles0("q52_ways_after_merge"),
+    "q70b_stored_triples" -> oracles0("q70_triples_after_merge"))
 }
