@@ -1,6 +1,6 @@
 package graft.rdf
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.udf
 import org.locationtech.jts.algorithm.MinimumDiameter
 import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
@@ -74,14 +74,17 @@ object GeomDerive {
       .mkString("POLYGON((", ",", "))")
   }
 
-  /** Convex hull in boost::geometry's emission convention (way.ttl:53):
-    * closed ring, CLOCKWISE (y-up), starting at the vertex with minimum
-    * x (then minimum y). JTS computes the hull; this normalizes the
-    * ring's start and orientation. */
-  def hullWkt(xs: Seq[Double], ys: Seq[Double]): String = {
+  /** Open hull ring in boost::geometry's emission convention
+    * (way.ttl:53): CLOCKWISE (y-up), starting at the vertex with
+    * minimum x (then minimum y). JTS computes the hull; this
+    * normalizes the ring's start and orientation. Shared by
+    * [[hullWkt]] and the parity OBB's edge-0 alignment. */
+  private def boostHullRing(xs: Seq[Double], ys: Seq[Double]): Array[Coordinate] = {
     val coords = xs.zip(ys).map { case (x, y) => new Coordinate(x, y) }.toArray
     val hull = gf.createMultiPointFromCoords(coords).convexHull()
-    val ring0 = hull.getCoordinates.dropRight(1) // drop closing dup
+    val cs = hull.getCoordinates
+    // Polygon closes the ring (drop dup); Point/LineString don't
+    val ring0 = if (cs.length > 1 && cs.head == cs.last) cs.dropRight(1) else cs
     // signed area > 0 => CCW in y-up; boost emits CW
     val area2 = ring0.indices.map { i =>
       val a = ring0(i); val b = ring0((i + 1) % ring0.length)
@@ -89,7 +92,12 @@ object GeomDerive {
     }.sum
     val cw = if (area2 > 0) ring0.reverse else ring0
     val start = cw.indices.minBy(i => (cw(i).x, cw(i).y))
-    val rot = cw.drop(start) ++ cw.take(start)
+    cw.drop(start) ++ cw.take(start)
+  }
+
+  /** Convex hull WKT, boost convention (way.ttl:53). */
+  def hullWkt(xs: Seq[Double], ys: Seq[Double]): String = {
+    val rot = boostHullRing(xs, ys)
     (rot :+ rot.head).map(c => pt(c.x, c.y)).mkString("POLYGON((", ",", "))")
   }
 
@@ -109,4 +117,61 @@ object GeomDerive {
     new MinimumDiameter(gf.createLineString(coords)).getMinimumRectangle
       .getCoordinates.dropRight(1).map(c => (c.x, c.y))
   }
+
+  /** Reference-parity OBB (VERDICT r4 item 5, flag
+    * `spark.graft.obbParity`): reproduces the reference's vendored
+    * spatialjoin heuristic byte-for-byte on the osm2rdf golden
+    * fixtures (way.ttl:55, node.ttl:37). Reverse-engineered from the
+    * goldens: the box is ALIGNED WITH THE FIRST EDGE of the boost-
+    * convention hull ring (CW, min-x start) — NOT the minimum-area
+    * rectangle (the fixture's box is ~2.6x the JTS minimum) — with
+    * corners emitted UR, LR, LL, UL in the rotated frame. */
+  def obbParityCorners(xs: Seq[Double], ys: Seq[Double]): Array[(Double, Double)] = {
+    val ring = boostHullRing(xs, ys)
+    if (ring.length < 2) return Array.fill(4)((ring(0).x, ring(0).y))
+    val ang = math.atan2(ring(1).y - ring(0).y, ring(1).x - ring(0).x)
+    val (ca, sa) = (math.cos(-ang), math.sin(-ang))
+    val rot = xs.zip(ys).map { case (x, y) => (x * ca - y * sa, x * sa + y * ca) }
+    val minx = rot.map(_._1).min; val maxx = rot.map(_._1).max
+    val miny = rot.map(_._2).min; val maxy = rot.map(_._2).max
+    val corners = Array((maxx, maxy), (maxx, miny), (minx, miny), (minx, maxy))
+    val (cb, sb) = (math.cos(ang), math.sin(ang))
+    corners.map { case (x, y) => (x * cb - y * sb, x * sb + y * cb) }
+  }
+
+  /** OBB WKT: parity=true → the heuristic-parity ring (byte-identical
+    * to the reference goldens); parity=false (default) → the JTS
+    * minimum rectangle (tighter; the engine's documented divergence). */
+  def obbWkt(xs: Seq[Double], ys: Seq[Double], parity: Boolean): String = {
+    val distinct = xs.zip(ys).distinct
+    val cs =
+      if (distinct.length <= 1)
+        Array.fill(4)(distinct.head) // degenerate: point 5-fold (node.ttl:37)
+      else if (parity) obbParityCorners(xs, ys)
+      else obbCorners(xs, ys)
+    val ring = if (cs.length < 4) Array.fill(4)(cs.head) else cs
+    (ring :+ ring.head).map { case (x, y) => pt(x, y) }
+      .mkString("POLYGON((", ",", "))")
+  }
+
+  /** Way-side geometry-derivation triple family (the engine-surface
+    * consumer of the parity flag): hull / envelope / obb WKT per way,
+    * `parity` from `spark.graft.obbParity`. UDF is fine here — this is
+    * the goldens-facing emission boundary, not a join hot path. */
+  def wayGeomTriples(ways: DataFrame, parity: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, explode, lit}
+    val f = udf((xs: Seq[Double], ys: Seq[Double]) =>
+      if (xs == null || xs.isEmpty) null
+      else Map(
+        "convex_hull" -> hullWkt(xs, ys),
+        "envelope" -> envelopeWkt(xs, ys),
+        "obb" -> obbWkt(xs, ys, parity)))
+    ways.select(concat(lit("osmway:"), col("way_id")).as("s"),
+        explode(f(col("xs"), col("ys"))).as(Seq("fam", "o")))
+      .select(col("s"), concat(lit("osm2rdfgeom:"), col("fam")).as("p"), col("o"))
+  }
+
+  /** Session flag for the parity OBB mode. */
+  def obbParity(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.get("spark.graft.obbParity", "false").toBoolean
 }

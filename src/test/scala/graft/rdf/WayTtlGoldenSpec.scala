@@ -66,4 +66,37 @@ class WayTtlGoldenSpec extends AnyFunSuite {
         new org.locationtech.jts.geom.Coordinate(x, y))), s"($x,$y) outside OBB")
     }
   }
+
+  test("parity-mode OBB is byte-identical to way.ttl:55") {
+    assert(GeomDerive.obbWkt(xs, ys, parity = true) ===
+      "POLYGON((1.5409501 42.5105785,1.5427682 42.5090613," +
+        "1.5404487 42.5062818,1.5386306 42.5077990,1.5409501 42.5105785))")
+  }
+
+  test("parity-mode OBB of a degenerate point is node.ttl:37's 5-fold point") {
+    val p = "13.5690032 42.7957187"
+    val want = "POLYGON((" + Seq.fill(5)(p).mkString(",") + "))"
+    assert(GeomDerive.obbWkt(Seq(13.5690032), Seq(42.7957187), parity = true) === want)
+    assert(GeomDerive.obbWkt(Seq(13.5690032), Seq(42.7957187), parity = false) === want)
+  }
+
+  test("wayGeomTriples honors spark.graft.obbParity in BOTH modes") {
+    val spark = graft.SparkTestBase.session
+    import org.apache.spark.sql.functions.typedLit
+    val ways = spark.range(1).selectExpr("6177369L AS way_id")
+      .withColumn("xs", typedLit(xs)).withColumn("ys", typedLit(ys))
+    def obbOf(parity: Boolean): String =
+      GeomDerive.wayGeomTriples(ways, parity)
+        .filter("p = 'osm2rdfgeom:obb'").collect()(0).getString(2)
+    assert(obbOf(parity = true) ===
+      "POLYGON((1.5409501 42.5105785,1.5427682 42.5090613," +
+        "1.5404487 42.5062818,1.5386306 42.5077990,1.5409501 42.5105785))")
+    // default mode emits the (tighter) JTS minimum rectangle
+    assert(obbOf(parity = false) === GeomDerive.obbWkt(xs, ys, parity = false))
+    // hull + envelope stay byte-identical to way.ttl in either mode
+    val fams = GeomDerive.wayGeomTriples(ways, parity = true)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(fams("osm2rdfgeom:convex_hull") === GeomDerive.hullWkt(xs, ys))
+    assert(fams("osm2rdfgeom:envelope") === GeomDerive.envelopeWkt(xs, ys))
+  }
 }
