@@ -129,6 +129,40 @@ object SimilarityQueries {
         cos(col("v"), col("qv")).as("cos"))
   }
 
+  /** q298's index build — int8 per-dim affine quantization + IVF cell
+    * assignment — exposed (package-level) so the recall-ceiling spec
+    * can grade the probe against the structural single-probe bound.
+    * Output: (vec_id, q8: Array[long int8], cid). */
+  private[graft] def int8Index(s: SparkSession, dir: String): DataFrame = {
+    val e6 = Tables.embeddings(s, dir).select(col("vec_id"),
+      posexplode(transform(col("embedding"),
+        x => round((x + lit(1.0)) * 1000000).cast("long"))).as(Seq("d", "x")))
+    val rng = e6.groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val q8 = e6.join(broadcast(rng), "d")
+      .select(col("vec_id"), col("d"),
+        (expr("((x - mn) * 254) div (mx - mn + 1)") - 127).as("qx"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("d"), col("qx")))).as("ps"))
+      .select(col("vec_id"), transform(col("ps"), p => p.getField("qx")).as("q8"))
+    val cents = q8.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("ccid"), col("q8").as("cq"))
+      .agg(sort_array(collect_list(struct(col("ccid"), col("cq")))).as("cs"))
+    def l2(cv: Column): Column = aggregate(
+      zip_with(col("q8"), cv, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val best = aggregate(
+      transform(col("cs"), c =>
+        struct(l2(c.getField("cq")).as("dd"), c.getField("ccid").as("ccid"))),
+      struct(lit(Long.MaxValue).as("dd"), lit(Long.MaxValue).as("ccid")),
+      (acc, x) => when(x.getField("dd") < acc.getField("dd") ||
+          (x.getField("dd") === acc.getField("dd") &&
+            x.getField("ccid") < acc.getField("ccid")), x)
+        .otherwise(acc))
+    q8.crossJoin(broadcast(cents))
+      .withColumn("cid", best.getField("ccid")).drop("cs")
+  }
+
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
@@ -335,6 +369,51 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cos(col("v"), col("qv")).as("cos"))
       val ann = topK(annPairs, 3).select(col("query_id"), col("neighbor_id"))
+      val hits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("coalesce(n_hit, 0) * 1000000 div n_exact").as("recall_ppm"))
+    }),
+    "q298_quantized_ann" -> ((s, dir) => {
+      // Quantized ANN probe (VERDICT r4 item 6): int8 PER-DIM AFFINE
+      // quantization of the embedding column + the q21 IVF probe run
+      // ON THE QUANTIZED vectors + exact re-rank of the top-10
+      // candidates, graded by the q248 recall harness against q19's
+      // exact top-3. At 10^12 rows the embedding column dominates
+      // storage — the probe ships 64 int8 bytes/vector instead of 512
+      // double bytes, and the full-precision column is touched only
+      // for the ≤10 re-rank candidates per query. Integer-exact end
+      // to end: e6 grid → (x-mn)*254 div (mx-mn+1) - 127 ∈ [-127,127],
+      // cell assignment = integer squared-L2 argmin over the 16
+      // quantized centroids, candidate score = integer int8 dot;
+      // doubles appear only in the re-rank ORDER BY (ids-only output).
+      import org.apache.spark.sql.expressions.Window
+      val assigned = int8Index(s, dir)
+      val qs = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("q8").as("qq"), col("cid"))
+      val dot8 = aggregate(zip_with(col("q8"), col("qq"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val cand = assigned.join(broadcast(qs), "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), dot8.as("score8"))
+      val w8 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score8").desc, col("neighbor_id").asc)
+      val top10 = cand.withColumn("r8", row_number().over(w8))
+        .filter(col("r8") <= 10).select(col("query_id"), col("neighbor_id"))
+      val ed = embAsDouble(s, dir)
+      val rer = top10
+        .join(ed.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+        .join(broadcast(ed.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))), "query_id")
+        .select(col("query_id"), col("neighbor_id"), cos(col("nv"), col("qv")).as("cos"))
+      val wEx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val ann = rer.withColumn("rank", row_number().over(wEx))
+        .filter(col("rank") <= 3).select(col("query_id"), col("neighbor_id"))
+      val exact = topK(cosinePairs(s, dir), 3).select(col("query_id"), col("neighbor_id"))
       val hits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
       exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
@@ -661,6 +740,59 @@ object SimilarityQueries {
          |        $dotSql / (${normSql("a", "v")} * ${normSql("q", "qv")}) DESC,
          |        a.vec_id ASC) AS rank
          |    FROM e a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |h AS (SELECT an.query_id, COUNT(*) AS n_hit
+         |  FROM an JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+         |g AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+         |SELECT g.query_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(n_hit, 0) * 1000000 // n_exact AS BIGINT) AS recall_ppm
+         |FROM g LEFT JOIN h USING (query_id)""".stripMargin,
+    // quantization, cell assignment and int8 scoring re-derived fully
+    // in SQL; the exact leg is q248's; output must agree to the ppm
+    "q298_quantized_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e6 AS (SELECT vec_id, i AS d,
+         |  CAST(ROUND((embedding[CAST(i + 1 AS INT)]::DOUBLE + 1.0) * 1000000, 0)
+         |    AS BIGINT) AS x
+         |  FROM embeddings, range(0, 64) t(i)),
+         |rng AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM e6 GROUP BY 1),
+         |q8 AS (SELECT vec_id, d, ((x - mn) * 254) // (mx - mn + 1) - 127 AS qx
+         |  FROM e6 JOIN rng USING (d)),
+         |dist AS (
+         |  SELECT a.vec_id, c.vec_id AS cid,
+         |    SUM((a.qx - c.qx) * (a.qx - c.qx)) AS dd
+         |  FROM q8 a JOIN q8 c ON a.d = c.d AND c.vec_id < 16
+         |  GROUP BY 1, 2),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dd ASC, cid ASC) AS rn FROM dist) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, cid FROM asg WHERE vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, SUM(av.qx * qv.qx) AS score8
+         |  FROM asg a JOIN qs q ON a.cid = q.cid AND a.vec_id <> q.query_id
+         |  JOIN q8 av ON av.vec_id = a.vec_id
+         |  JOIN q8 qv ON qv.vec_id = q.query_id AND qv.d = av.d
+         |  GROUP BY 1, 2),
+         |top10 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score8 DESC, neighbor_id ASC) AS rn FROM sc) WHERE rn <= 10),
+         |rr AS (
+         |  SELECT t.query_id, t.neighbor_id,
+         |    ${dotSql2("a.v", "q.qv")} / (${normSql("a", "v")} * ${normSql("q", "qv")}) AS cos
+         |  FROM top10 t JOIN e a ON a.vec_id = t.neighbor_id
+         |  JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = t.query_id),
+         |an AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM rr) WHERE rn <= 3),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        $dotSql / (${normSql("a", "v")} * ${normSql("q", "qv")}) DESC,
+         |        a.vec_id ASC) AS rank
+         |    FROM e a, q WHERE a.vec_id <> q.query_id)
          |  WHERE rank <= 3),
          |h AS (SELECT an.query_id, COUNT(*) AS n_hit
          |  FROM an JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
