@@ -185,6 +185,44 @@ object Bench {
     Seq(nodes, baseWays, baseRels).foreach(_.unpersist())
   }
 
+  /** Optional e2e ring densification (VERDICT r4 item 7): interpolate
+    * K collinear points into every ring edge so the e2e join carries
+    * realistic polygon payloads (5-point synthetic rectangles become
+    * 5+4K-point rings, e.g. K=127 → 513 points — the RingBench regime
+    * where the broadcast ring dictionary wins) WITHOUT changing the
+    * join output: collinear edge splits preserve crossing parity, so
+    * hits are bit-identical to the undensified run (asserted by
+    * RingDensifySpec). */
+  val E2eRingDensify: Int =
+    sys.env.getOrElse("SPARK_GRAFT_RING_DENSIFY", "0").toInt
+
+  private[graft] val densifyUdf = udf((vs: Seq[Double], k: Int) =>
+    if (vs == null || vs.length < 2 || k <= 0) vs
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[Double](
+        vs.length + (vs.length - 1) * k)
+      var i = 0
+      while (i < vs.length - 1) {
+        val a = vs(i); val b = vs(i + 1)
+        out += a
+        var j = 1
+        while (j <= k) { out += a + (b - a) * j / (k + 1); j += 1 }
+        i += 1
+      }
+      out += vs.last
+      out.toSeq
+    })
+
+  /** The e2e polygon layer, densified iff SPARK_GRAFT_RING_DENSIFY>0. */
+  def e2ePolys(s: SparkSession, dir: String): DataFrame = {
+    val p = SpatialJoin.polygons(
+      SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+    if (E2eRingDensify <= 0) p
+    else p.select(col("way_id"),
+      densifyUdf(col("xs"), lit(E2eRingDensify)).as("xs"),
+      densifyUdf(col("ys"), lit(E2eRingDensify)).as("ys"))
+  }
+
   /** The ×F-replicated geo-entity stream (shared by the e2e faces). */
   private def replicatedPoints(s: SparkSession, dir: String): DataFrame =
     // repartition the SMALL base set, then multiply inside each task:
@@ -244,8 +282,7 @@ object Bench {
     * materialized row count + applied op count. */
   def e2ePipeline(s: SparkSession, dir: String, storeRoot: String): Long = {
     val pts = replicatedPoints(s, dir)
-    val polys = SpatialJoin.polygons(
-      SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+    val polys = e2ePolys(s, dir)
     val (salt, hot) = e2eSaltParams(s, dir)
     val pip = SpatialJoin.pipJoin(pts, polys, res = PipRes,
       mode = "partitioned", salt = salt, hotThreshold = hot,
@@ -264,8 +301,7 @@ object Bench {
     * [[e2ePipeline]] prices the full 3-layer + triple-store contract. */
   def e2eJoinR2(s: SparkSession, dir: String): Long = {
     val pts = replicatedPoints(s, dir)
-    val polys = SpatialJoin.polygons(
-      SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+    val polys = e2ePolys(s, dir)
     val (salt, hot) = e2eSaltParams(s, dir)
     val pip = SpatialJoin.pipJoin(pts, polys, res = PipRes,
       mode = "partitioned", salt = salt, hotThreshold = hot,
@@ -283,8 +319,7 @@ object Bench {
     * point is comparing their 8-core vs 32-core ratios). */
   def e2eProfile(s: SparkSession, dir: String, storeRoot: String): Unit = {
     val pts = replicatedPoints(s, dir)
-    val polys = SpatialJoin.polygons(
-      SynthUniverse.wayMembers(s, dir), SynthUniverse.nodes(s, dir))
+    val polys = e2ePolys(s, dir)
     val (salt, hot) = e2eSaltParams(s, dir)
     val pip = SpatialJoin.pipJoin(pts, polys, res = PipRes,
       mode = "partitioned", salt = salt, hotThreshold = hot,
