@@ -26,7 +26,7 @@ class RelationalQueriesSpec extends SparkTestBase {
       queries.SpatialQueries.queries, queries.OsmQueries.queries,
       queries.FunctionQueries.queries, queries.GeomTripleQueries.queries,
       queries.TripleSinkQueries.queries, queries.TableQueries.queries,
-      queries.GraphQueries.queries)
+      queries.GraphQueries.queries, queries.WarcQueries.queries)
     assert(moduleMaps.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules")
     assert(SparkEntry.queries.size === SparkEntry.oracleSql.size)
