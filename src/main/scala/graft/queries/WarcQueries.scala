@@ -23,7 +23,10 @@ import graft.text.TextExtractor
   */
 object WarcQueries {
 
-  private def roundTrip(s: SparkSession, dir: String,
+  /** Pages encoded to gzip member-per-record containers (one per
+    * partition, in-plan) and parsed back through the production
+    * [[WarcReader.parseContainer]] path; clean rows only. */
+  private def parsedPages(s: SparkSession, dir: String,
       corruptEvery: Option[Int]): DataFrame = {
     import s.implicits._
     val pages = PagesSynth.pages(s, dir)
@@ -48,11 +51,15 @@ object WarcQueries {
         WarcReader.parseContainer("mem", bos.toByteArray)
       }
     parsed.toDF().where(col("error").isNull)
+  }
+
+  private def roundTrip(s: SparkSession, dir: String,
+      corruptEvery: Option[Int]): DataFrame =
+    parsedPages(s, dir, corruptEvery)
       .select(col("url"),
         unix_timestamp(col("warc_ts")).as("epoch"),
         length(col("html")).cast("long").as("n_bytes"),
         TextExtractor.extractCol(decode(col("html"), "UTF-8")).as("text"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_warc_roundtrip" -> ((s, dir) => roundTrip(s, dir, None)),
@@ -62,6 +69,25 @@ object WarcQueries {
       // per-byte parity is q296's job, this one proves WHICH rows
       // survive a corrupt neighbor.
       roundTrip(s, dir, Some(10)).select(col("url"), col("epoch"))),
+    "q299_warc_pipeline" -> ((s, dir) => {
+      // the COMPLETE north-rule ingest→join journey through the real
+      // container format: WARC members → parse → HTML→text extraction
+      // → gazetteer geo-entity extraction → cell-prefiltered PIP join
+      // → per-polygon doc counts. Every stage is the production
+      // operator (WarcReader, TextExtractor, pointsOf, pipJoin); the
+      // oracle re-derives the whole chain from `documents` in SQL.
+      val docs = parsedPages(s, dir, None).select(
+        regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        TextExtractor.extractCol(decode(col("html"), "UTF-8")).as("text"))
+      val pts = graft.synth.SynthUniverse.pointsOf(docs)
+      val polys = graft.spatial.SpatialJoin.polygons(
+        graft.synth.SynthUniverse.wayMembers(s, dir),
+        graft.synth.SynthUniverse.nodes(s, dir))
+      graft.spatial.SpatialJoin.pipJoin(pts, polys, SpatialQueries.PipRes)
+        .groupBy(col("way_id"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_hits"))
+    }),
   )
 
   private val pagesCte: String =
@@ -83,5 +109,19 @@ object WarcQueries {
       s"""WITH $pagesCte
          |SELECT url, CAST(epoch AS BIGINT) AS epoch
          |FROM pages WHERE doc_id % 10 <> 0""".stripMargin,
+    // the gazetteer/hash-placement CTE is SynthSql.pointsCte retargeted
+    // at the WARC-extracted text instead of documents.text
+    "q299_warc_pipeline" ->
+      s"""WITH $pagesCte,
+         |docs2 AS (SELECT doc_id,
+         |  ${graft.text.TextExtractor.extractSql("html")} AS text FROM pages),
+         |${graft.synth.SynthSql.pointsCte.replace("FROM documents", "FROM docs2")},
+         |${graft.synth.SynthSql.waysCte}
+         |SELECT way_id,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  COUNT(*) AS n_hits
+         |FROM points JOIN ways
+         |  ON lon BETWEEN x0 AND x0 + w AND lat BETWEEN y0 AND y0 + h
+         |GROUP BY 1""".stripMargin,
   )
 }
