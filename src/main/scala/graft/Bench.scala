@@ -122,7 +122,7 @@ object Bench {
     "q289_incremental_conflation", "q290_comention_jaccard",
     "q292_greedy_cover", "q293_symspell_join", "q294_multiprobe_recall",
     "q295_lis_trend", "q296_warc_roundtrip", "q297_warc_errors",
-    "q298_quantized_ann",
+    "q298_quantized_ann", "q299_warc_pipeline",
     "q124b_stored_clusters", "q52b_stored_merge", "q70b_stored_triples")
 
   /** Stored-state bench twins (VERDICT r4 item 4): their first call
