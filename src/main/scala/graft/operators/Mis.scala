@@ -28,10 +28,78 @@ object Mis {
     pmod(c * 2654435761L, lit(1000003L))
 
   /** MIS vertices of the undirected simple graph `edges` (u, v; each
-    * edge once). Returns (node). */
-  def of(edges: DataFrame, maxRounds: Int): DataFrame = {
+    * edge once). Returns (node).
+    *
+    * r6: edge sets at or below the bounded driver cap (the
+    * [[ConnectedComponents.DefaultDriverEdgeCap]] convention —
+    * `spark.graft.ccDriverEdgeCap`, 0 disables) simulate the IDENTICAL
+    * fixed-priority Luby rounds on the driver — same winners, same
+    * round accounting, same fail-loud bound — skipping the ~6
+    * Spark jobs per round that dominate small inputs; bigger graphs
+    * take the unchanged distributed path. */
+  def of(edges: DataFrame, maxRounds: Int,
+      driverEdgeCap: Long = -1L): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("u"), col("v")).cache()
+    val cap =
+      if (driverEdgeCap >= 0L) driverEdgeCap
+      else spark.conf.getOption("spark.graft.ccDriverEdgeCap")
+        .map(_.toLong).getOrElse(ConnectedComponents.DefaultDriverEdgeCap)
+    val bothLong = e.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (cap > 0 && bothLong && e.count() <= cap) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist()
+      def priL(x: Long): Long = {
+        val m = (x * 2654435761L) % 1000003L
+        if (m < 0) m + 1000003L else m
+      }
+      var active = es.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      val mis = scala.collection.mutable.Set[Long]()
+      var rounds = 0
+      while (active.nonEmpty) {
+        if (rounds >= maxRounds)
+          throw new IllegalStateException(
+            s"MIS did not converge in $maxRounds rounds (still ${active.size} active)")
+        // min (priority, id) over ACTIVE neighbors, per active vertex
+        val nbrMin = new scala.collection.mutable.LongMap[(Long, Long)]()
+        def upd(x: Long, o: Long): Unit = {
+          val cand = (priL(o), o)
+          val cur = nbrMin.getOrElse(x, null)
+          if (cur == null || cand._1 < cur._1 ||
+            (cand._1 == cur._1 && cand._2 < cur._2)) nbrMin(x) = cand
+        }
+        es.foreach { case (u, v) =>
+          if (active(u) && active(v)) { upd(u, v); upd(v, u) }
+        }
+        val winners = active.filter { x =>
+          nbrMin.get(x) match {
+            case None => true
+            case Some((p, i)) =>
+              val px = priL(x)
+              px < p || (px == p && x < i)
+          }
+        }
+        val killed = scala.collection.mutable.Set[Long]()
+        es.foreach { case (u, v) =>
+          if (active(u) && active(v)) {
+            if (winners(u)) killed += v
+            if (winners(v)) killed += u
+          }
+        }
+        mis ++= winners
+        active = active -- winners -- killed
+        rounds += 1
+      }
+      val rows = mis.toArray.map(org.apache.spark.sql.Row(_))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            1 + rows.length / 10000))), schema)
+    }
     var active = e.select(col("u").as("x")).unionByName(e.select(col("v").as("x")))
       .distinct().localCheckpoint()
     var mis = spark.createDataFrame(

@@ -143,21 +143,117 @@ object OsmQueries {
         ChangePipeline.serializeRelMembers(
           SynthUniverse.relMembers(s, dir).withColumnRenamed("member_kind", "mtype")))
     }),
-    "q70b_stored_triples" -> ((s, dir) =>
-      // q70's PRODUCTION twin (VERDICT r4 item 4): base way + relation
-      // layers come from StoredState parquet — the bench number prices
-      // the post-merge triple derivation, not the layer rebuild.
-      triplesAfterMerge(s, dir,
-        graft.tables.StoredState.table(s, dir, "base_ways") {
-          val wm = SynthUniverse.wayMembers(s, dir)
-          ChangePipeline.reconstructWays(
-            wm.select(col("way_id")).distinct(), wm, SynthUniverse.nodes(s, dir))
-        },
-        graft.tables.StoredState.table(s, dir, "base_rels") {
-          ChangePipeline.serializeRelMembers(
-            SynthUniverse.relMembers(s, dir).withColumnRenamed("member_kind", "mtype"))
-        })),
+    "q70b_stored_triples" -> ((s, dir) => storedTriplesDelta(s, dir)),
   )
+
+  /** q70's PRODUCTION twin, r6 shape (VERDICT r5 item 1): the stored
+    * state is the MAINTAINED owner-keyed triple table itself
+    * (StoredState parquet — at scale: the bucketed table
+    * [[graft.osm.Replicator]] keeps live via SnapshotTable MERGEs),
+    * and the query prices exactly what a live loop pays per batch:
+    * derive the touched owners' delete-set, anti-join their whole
+    * families out of the stored table (one broadcast anti-join — the
+    * resolved-read shape of a mergeIntoDelta commit), and re-derive
+    * ONLY the upserted objects' families against the merged node
+    * coordinates — O(batch) maintenance + one O(table) resolved scan,
+    * never a full-corpus re-derivation (the r5 twin still re-derived
+    * every family and measured SLOWER than q70 — VERDICT "What's
+    * wrong" #1). Output contract and oracle are exactly q70's; the
+    * owner-keyed anti-join is sound because every triple of an
+    * object's family (geometry and member-key subjects included)
+    * carries the owner's subj_key — the same per-object atomic-swap
+    * argument as Replicator's bucket MERGE. */
+  private def storedTriplesDelta(s: SparkSession, dir: String): DataFrame = {
+    // numeric owner key (okind 0/1/2, oid) instead of the subj_key
+    // string: the resolved-read anti-join hashes two fixed-width
+    // integers per stored row, not a 10-16 byte string (guide §2.3
+    // narrower types — measured ~1s off the 7.3M-row anti-join)
+    def keyed(df: DataFrame, kind: Int, pfx: Int): DataFrame =
+      df.select(lit(kind).as("okind"),
+        substring(col("subj_key"), pfx, 100).cast("long").as("oid"),
+        col("s"), col("p"), col("o"))
+    val stored = graft.tables.StoredState.table(s, dir, "base_triples_keyed") {
+      // the steady-state store: full families of the three base layers
+      // (same derivation Bench.buildStore commits to the snapshot store)
+      val wm0 = SynthUniverse.wayMembers(s, dir)
+      val baseW = ChangePipeline.reconstructWays(
+          wm0.select(col("way_id")).distinct(), wm0, SynthUniverse.nodes(s, dir))
+        .withColumn("ts", SynthUniverse.synthTs(col("way_id")))
+        .withColumn("tags", SynthUniverse.wayTagMap(col("way_id")))
+      val baseR = ChangePipeline.serializeRelMembers(
+          SynthUniverse.relMembers(s, dir).withColumnRenamed("member_kind", "mtype"))
+        .withColumn("ts", SynthUniverse.synthTs(col("rel_id")))
+        .withColumn("tags", SynthUniverse.relTagMap(col("rel_id")))
+      keyed(TripleDerive.ownedNodeTriplesFull(SynthUniverse.nodesMeta(s, dir)), 0, 6)
+        .unionByName(keyed(TripleDerive.ownedWayTriplesFull(baseW), 1, 5))
+        .unionByName(keyed(TripleDerive.ownedRelTriplesFull(baseR), 2, 5))
+    }
+    val w = ChangePipeline.dedupLatest(SynthUniverse.changesFull(s, dir)).cache()
+    val wm = SynthUniverse.wayMembers(s, dir)
+    val st = ChangePipeline.staleWays(w, wm)
+    // touched owners = delete-then-reinsert set per kind (J11 semantics:
+    // node create/modify/delete; way delete ∪ upserted = changed ∪
+    // stale; relation delete ∪ changed — relation member lists are
+    // formula-stable, so only ts-carrying changes touch a rel family)
+    // batch-sized frames referenced 2-3 times below — cached so the
+    // winners/stale chains run once (guide §1.2)
+    val nodeUps = w.filter(col("kind") === "node" &&
+        col("action").isin("create", "modify"))
+      .select(col("id").as("node_id"), col("lon"), col("lat"), col("ts"))
+      .cache()
+    val nodeDel = w.filter(col("kind") === "node" && col("action") === "delete")
+      .select(col("id"))
+    val wayUpsertIds = w.filter(col("kind") === "way" &&
+        col("action").isin("create", "modify"))
+      .select(col("id").as("way_id"))
+      .union(st.select(col("way_id"))).distinct().cache()
+    val wayDel = w.filter(col("kind") === "way" && col("action") === "delete")
+      .select(col("id").as("way_id"))
+    val relDel = w.filter(col("kind") === "relation" && col("action") === "delete")
+      .select(col("id").as("rel_id"))
+    val relCh = w.filter(col("kind") === "relation" &&
+        col("action").isin("create", "modify"))
+      .select(col("id").as("rel_id"), col("ts").as("w_ts"))
+      .cache()
+    val touched =
+      nodeUps.select(lit(0).as("okind"), col("node_id").as("oid"))
+        .union(nodeDel.select(lit(0), col("id")))
+        .union(wayUpsertIds.select(lit(1), col("way_id")))
+        .union(wayDel.select(lit(1), col("way_id")))
+        .union(relDel.select(lit(2), col("rel_id")))
+        .union(relCh.select(lit(2), col("rel_id")))
+        .distinct()
+    val kept = stored.join(broadcast(touched), Seq("okind", "oid"), "left_anti")
+    // re-derived families of the upserted objects only (O(batch))
+    val newNodes = nodeUps
+      .withColumn("tags", SynthUniverse.nodeTagMap(col("node_id")))
+    // (restricting the merged node layer to member nodes of upserted
+    // ways was tried and REVERTED: the extra wm pass + distinct cost
+    // more than the saved applyNodeOps breadth — measured +0.5 s)
+    val mergedCoords = ChangePipeline.applyNodeOps(SynthUniverse.nodes(s, dir), w)
+    val newWays = ChangePipeline.reconstructWays(wayUpsertIds, wm, mergedCoords)
+      .join(w.filter(col("kind") === "way" &&
+          col("action").isin("create", "modify"))
+        .select(col("id").as("way_id"), col("ts").as("w_ts")),
+        Seq("way_id"), "left")
+      .withColumn("ts", coalesce(col("w_ts"), SynthUniverse.synthTs(col("way_id"))))
+      .drop("w_ts")
+      .withColumn("tags", SynthUniverse.wayTagMap(col("way_id")))
+    val newRels = ChangePipeline.serializeRelMembers(
+        SynthUniverse.relMembers(s, dir).withColumnRenamed("member_kind", "mtype")
+          .join(relCh.select(col("rel_id")), Seq("rel_id"), "left_semi"))
+      .join(relCh, Seq("rel_id"), "left")
+      .withColumn("ts", coalesce(col("w_ts"), SynthUniverse.synthTs(col("rel_id"))))
+      .drop("w_ts")
+      .withColumn("tags", SynthUniverse.relTagMap(col("rel_id")))
+    kept.select(col("s"), col("p"), col("o"))
+      .unionByName(TripleDerive.ownedNodeTriplesFull(newNodes)
+        .select(col("s"), col("p"), col("o")))
+      .unionByName(TripleDerive.ownedWayTriplesFull(newWays)
+        .select(col("s"), col("p"), col("o")))
+      .unionByName(TripleDerive.ownedRelTriplesFull(newRels)
+        .select(col("s"), col("p"), col("o")))
+  }
 
   /** The FULL post-merge triple store (J10 closure): every surviving
     * object's complete osm2rdf family — link/geometry/member triples

@@ -1638,6 +1638,12 @@ object SpatialQueries {
           floor((col("y0") + 90.0) / 180.0 * n9).cast("long"),
           floor((col("y0") + col("h") + 90.0) / 180.0 * n9).cast("long"))))
         .select(col("way_id"), col("ix"), col("iy"))
+        // r6: every round reads cur twice (parent count + keep) and
+        // the final union re-evaluates every round's keep — cache each
+        // level so the res-9 cover explode runs once, not ~8 times
+        // (guide §1.2); levels shrink 4x per round, so the cached
+        // total is < 2x the base cover
+        .cache()
       var out: DataFrame = null
       for (r <- CompactBase until 6 by -1) {
         val parents = cur
@@ -1653,6 +1659,7 @@ object SpatialQueries {
           .select(col("way_id"), packed(r).as("cell"))
         out = if (out == null) keep else out.unionByName(keep)
         cur = full.select(col("way_id"), col("px").as("ix"), col("py").as("iy"))
+          .cache()
       }
       out.unionByName(cur.select(col("way_id"), packed(6).as("cell")))
         .select(col("way_id"), col("cell"),
@@ -1674,6 +1681,9 @@ object SpatialQueries {
         .select(col("user_id"),
           GeoFunctions.cellAt(col("lon"), col("lat"), TileRes).as("tile"))
         .distinct()
+        // r6: the distinct footprint feeds both self-join sides and the
+        // per-user sizes — cache so the events scan + distinct runs once
+        .cache()
       val sizes = t.groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
       val pairs = t.as("a").join(t.as("b"),
           col("a.tile") === col("b.tile") && col("a.user_id") < col("b.user_id"))
@@ -2312,14 +2322,19 @@ object SpatialQueries {
       val build = pts.select(col("id").as("idb"),
         expr("x div 100").as("cx"), expr("y div 100").as("cy"),
         col("x").as("bx"), col("y").as("by"))
+      // r6: the eps-graph feeds core detection, core-core edges AND
+      // border attachment — cache it so the 3x3 cell join + d² refine
+      // runs once, not three times (guide §1.2)
       val cand = probe.join(build, Seq("cx", "cy"))
         .filter(col("ida") =!= col("idb"))
         .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")) <= lit(10000L))
         .select(col("ida"), col("idb"))
+        .cache()
       val cores = cand.groupBy(col("ida").as("id"))
         .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 3)
         .select(col("id"))
+        .cache()
       val coreEdges = cand.filter(col("ida") < col("idb"))
         .join(cores.withColumnRenamed("id", "ida"), Seq("ida"), "left_semi")
         .join(cores.withColumnRenamed("id", "idb"), Seq("idb"), "left_semi")

@@ -219,8 +219,10 @@ object TextQueries {
           col("x.v") === col("y.v") && col("x.key") < col("y.key"))
         .select(col("x.key").as("tok_a"), col("y.key").as("tok_b"))
         .distinct()
-        .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
-        .filter(col("dist") <= 1)
+        // thresholded (banded-DP) levenshtein: the -1 sentinel rows are
+        // the rows the <= 1 filter dropped anyway (r6 optimization)
+        .withColumn("dist", levenshtein(col("tok_a"), col("tok_b"), 1).cast("long"))
+        .filter(col("dist") >= 0L && col("dist") <= 1)
     }),
     "q292_greedy_cover" -> ((s, dir) => {
       // greedy max-coverage corpus selection (the classic (1−1/e)
@@ -1984,6 +1986,10 @@ object TextQueries {
           concat_ws(" ", element_at(col("ts"), col("i")),
             element_at(col("ts"), col("i") + 1)).as("g"))
         .distinct()
+      // (r6 note: caching cand/sim/cb here was tried and REGRESSED
+      // 5.6→6.7 s — this is a single-action plan where ReusedExchange
+      // already dedupes the repeated subtrees, and cache
+      // materialization only breaks whole-stage pipelining)
       val cb = bigramsOf(docs, "doc_id")
       val qb = bigramsOf(bench, "query_id")
       val dfreq = cb.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -2126,12 +2132,20 @@ object TextQueries {
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       var out: DataFrame = null
       for (r <- 1 to 3) {
+        // (withNext deliberately uncached: materializing the corpus
+        // token stream costs more than the window recompute it saves —
+        // measured; the one-row `top` checkpoint below is the win)
         val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+        // localCheckpoint the ONE-ROW winner: it anchors the merge join,
+        // the round row AND the final action — without truncation the
+        // last action would re-run the whole pair count after the
+        // round's cache is gone (r6)
         val top = withNext.filter(col("nxt").isNotNull)
           .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("pair_count"))
           .orderBy(col("pair_count").desc, col("tok").asc, col("nxt").asc)
           .limit(1)
           .select(col("tok").as("ta"), col("nxt").as("tb"), col("pair_count"))
+          .localCheckpoint()
         val m = withNext.join(broadcast(top.select(col("ta"), col("tb"))),
             col("tok") === col("ta") && col("nxt") === col("tb"))
           .select(col("doc_id"), col("pos"))

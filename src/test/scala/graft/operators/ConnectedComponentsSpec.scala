@@ -13,7 +13,9 @@ class ConnectedComponentsSpec extends SparkTestBase {
     // chain 0-1-2-...-1023: diameter 1023. Label propagation needs
     // ~1023 rounds; alternating star must land well under 2*log2(n)+4.
     val edges = (0L until 1023L).map(i => (i, i + 1)).toDF("u", "v")
-    val (labels, rounds) = ConnectedComponents.alternatingStar(edges)
+    // driverEdgeCap = 0 forces the distributed star rounds — this test
+    // exists to prove the O(log n) round bound, not the fast path
+    val (labels, rounds) = ConnectedComponents.alternatingStar(edges, driverEdgeCap = 0L)
     assert(rounds <= 24, s"took $rounds rounds on a 1024-chain")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 1024)
@@ -34,6 +36,24 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert((100L to 103L).forall(got(_) == 100L))
     assert(got(200L) == 200L && got(201L) == 200L)
     assert(got.size == 21 + 4 + 2)
+  }
+
+  test("driver union-find fast path equals the distributed star on random graphs") {
+    // the r6 fast path (edge sets <= cap collect to a driver
+    // union-find) must be label-identical to the distributed rounds on
+    // arbitrary topologies, including chains, hubs and cycles
+    for (seed <- Seq(3L, 17L, 91L)) {
+      val edges = (1L to 500L)
+        .map(i => ((i * 7919 * seed) % 400, (i * 104729 + seed) % 400))
+        .filter { case (a, b) => a != b }
+        .toDF("u", "v")
+      val (fast, fr) = ConnectedComponents.alternatingStar(edges)
+      val (dist, _) = ConnectedComponents.alternatingStar(edges, driverEdgeCap = 0L)
+      assert(fr == 0, "expected the driver fast path under the default cap")
+      val a = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"fast path diverged from distributed star for seed $seed")
+    }
   }
 
   test("agrees with label propagation on a random graph") {

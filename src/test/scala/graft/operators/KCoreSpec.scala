@@ -36,9 +36,15 @@ class KCoreSpec extends SparkTestBase {
         (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong)
       }.filter(p => p._1 != p._2)
       val want = bruteCore(pairs, k)
+      // default = r6 driver fast path; driverEdgeCap = 0 forces the
+      // distributed peel — both must match the brute-force reference
       val got = KCore.membership(edgeDf(pairs), k, maxRounds = 40)
         .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
-      assert(got == want, s"trial $trial k=$k")
+      assert(got == want, s"trial $trial k=$k (fast path)")
+      val gotDist = KCore.membership(edgeDf(pairs), k, maxRounds = 40,
+          driverEdgeCap = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(gotDist == want, s"trial $trial k=$k (distributed)")
     }
   }
 
@@ -53,10 +59,16 @@ class KCoreSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == Set(11L, 12L, 13L, 14L))
     assert(out.values.forall(_ == 3L))
-    // and the bound is real: too few rounds fails loud, never silently
+    // and the bound is real on BOTH paths: too few rounds fails loud,
+    // never silently (the fast path simulates the identical rounds)
     val ex = intercept[IllegalStateException] {
       KCore.membership(edgeDf(path ++ clique), k = 2, maxRounds = 3)
     }
     assert(ex.getMessage.contains("did not converge"))
+    val exDist = intercept[IllegalStateException] {
+      KCore.membership(edgeDf(path ++ clique), k = 2, maxRounds = 3,
+        driverEdgeCap = 0L)
+    }
+    assert(exDist.getMessage.contains("did not converge"))
   }
 }

@@ -35,9 +35,14 @@ class MisSpec extends SparkTestBase {
       }.filter(p => p._1 != p._2)
       val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      // default = r6 driver fast path; driverEdgeCap = 0 forces the
+      // distributed rounds — both must equal the greedy reference
       val got = Mis.of(edgeDf(pairs), maxRounds = 40)
         .collect().map(_.getLong(0)).toSet
-      assert(got == greedyMis(pairs), s"trial $trial")
+      assert(got == greedyMis(pairs), s"trial $trial (fast path)")
+      val gotDist = Mis.of(edgeDf(pairs), maxRounds = 40, driverEdgeCap = 0L)
+        .collect().map(_.getLong(0)).toSet
+      assert(gotDist == got, s"trial $trial (distributed)")
       assert(got.forall(v => !(adj(v) & got).nonEmpty), "not independent")
       assert(adj.keySet.forall(v => got(v) || (adj(v) & got).nonEmpty),
         "not maximal")
@@ -54,5 +59,9 @@ class MisSpec extends SparkTestBase {
       Mis.of(edgeDf(path), maxRounds = 2)
     }
     assert(ex.getMessage.contains("did not converge"))
+    val exDist = intercept[IllegalStateException] {
+      Mis.of(edgeDf(path), maxRounds = 2, driverEdgeCap = 0L)
+    }
+    assert(exDist.getMessage.contains("did not converge"))
   }
 }
