@@ -710,14 +710,21 @@ class PlanSpec extends SparkTestBase {
     }
     // the classifier's argmax window partitions by doc; the BPE
     // trainer's island/renumber windows all partition by doc — never
-    // a global window in either
+    // a global window in either. q267's per-round winner/stream are
+    // localCheckpoint()ed (r6), so its FINAL plan may be truncated to
+    // LogicalRDDs and show no Window at all — the per-round island
+    // window shape is pinned on q206 (one merge round) in the
+    // q199-q209 wave test; here we only require that any window that
+    // does surface is key-partitioned.
     for (q <- Seq("q266_nb_classifier", "q267_bpe_train")) {
       val ws = SparkEntry.queries(q)(spark, sfSmoke)
         .queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
         }
-      assert(ws.nonEmpty && ws.forall(_.nonEmpty),
+      assert(ws.forall(_.nonEmpty),
         s"$q windows must all be key-partitioned")
+      if (q == "q266_nb_classifier")
+        assert(ws.nonEmpty, s"$q should keep its doc-partitioned argmax window")
       Bench.clearState(spark)
     }
   }
