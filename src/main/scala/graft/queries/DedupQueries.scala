@@ -57,7 +57,14 @@ object DedupQueries {
 
   /** (doc_id, shingles) — distinct word-3-gram sets per document. */
   private def shingleSetsOf(d: DataFrame): DataFrame =
-    shingleRowsOf(d).groupBy(col("doc_id"))
+    shingleSetsFromRows(shingleRowsOf(d))
+
+  /** r6: rows-parameterized twins of the set/signature/band builders,
+    * so a query needing several of them derives (and caches) the
+    * tokenize+explode+distinct shingle stream ONCE (guide §1.2 — the
+    * same shared-derivation move as q124's cached bands). */
+  private def shingleSetsFromRows(rows: DataFrame): DataFrame =
+    rows.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh"))
 
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
@@ -68,15 +75,21 @@ object DedupQueries {
     * into 16 partial-min aggregates in a single groupBy(doc_id). */
   /** (doc_id, mh0..mh15) minhash signatures — the 16 permutation
     * minima folded in ONE groupBy over the shingle stream. */
-  private def sigOf(d: DataFrame): DataFrame = {
-    val exploded = shingleRowsOf(d).withColumn("h32", hash32(col("shingle")))
+  private def sigOf(d: DataFrame): DataFrame =
+    sigFromRows(shingleRowsOf(d))
+
+  private def sigFromRows(rows: DataFrame): DataFrame = {
+    val exploded = rows.withColumn("h32", hash32(col("shingle")))
     val sigCols = (0 until NumHashes).map(i =>
       min(minhashPerm(i, col("h32"))).as(s"mh$i"))
     exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  private def bandsOf(d: DataFrame): DataFrame = {
-    val sig = sigOf(d)
+  private def bandsOf(d: DataFrame): DataFrame =
+    bandsFromRows(shingleRowsOf(d))
+
+  private def bandsFromRows(rows: DataFrame): DataFrame = {
+    val sig = sigFromRows(rows)
     val bandStructs = (0 until NumBands).map { b =>
       val key = md5(concat_ws(",",
         (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string")): _*))
@@ -130,6 +143,9 @@ object DedupQueries {
       // outside the pair graph are singletons (contribute no intra
       // mass and can never be TP endpoints — the NULL label check).
       val d = withDupes(s, dir)
+      // (r6 wave 2: sharing one cached shingle-ROW stream between the
+      // set and band sides was tried and REGRESSED 3.5→3.9 s — same
+      // materialization-vs-recompute verdict as q124)
       val sh = shingleSetsOf(d).cache()
       val pairs = verifiedPairs(bandCandidates(d), sh, sh)
       val labels = graft.operators.ConnectedComponents.alternatingStar(
@@ -377,6 +393,11 @@ object DedupQueries {
       // stand-in, the stored-cluster stand-in AND the pair-delta probe
       // (previously the delta path re-derived bands+shingles+verify
       // from scratch via a second lshPairs — guide §1.2).
+      // (r6 wave 2: routing bands+sh through ONE cached shingle-ROW
+      // stream was tried and REGRESSED 8.9→10.3 s — the row stream is
+      // the corpus × shingle string explosion, and materializing it
+      // costs more than the second tokenize pass it saves; the two
+      // small caches below are the right granularity)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val bands = bandsOf(docs).cache()
       val sh = shingleSetsOf(docs).cache()

@@ -47,6 +47,21 @@ object GraphQueries {
     * equi-join on src + one left_anti vs visited, round-local
     * distinct. Returns (doc_id, hops), unreached nodes absent. */
   private def bfsHops(seeds: DataFrame, lnk: DataFrame, k: Int): DataFrame = {
+    // r6 driver fast path (DriverGraph contract): the closed-form link
+    // graphs these queries traverse are tiny at test scale, and each
+    // distributed round costs several fixed-overhead jobs. Under the
+    // cap, collect once and run the identical frontier recurrence in
+    // JVM code; above it, the unchanged round loop runs
+    // (GraphFastPathSpec pins fast == distributed).
+    val spark = seeds.sparkSession
+    val cap = graft.operators.DriverGraph.edgeCap(spark)
+    if (cap > 0 && lnk.count() <= cap) {
+      val dist = graft.operators.DriverGraph.bfs(
+        graft.operators.DriverGraph.collectIds(seeds.select(col("doc_id"))),
+        graft.operators.DriverGraph.collectEdges(lnk.select(col("src"), col("dst"))),
+        k)
+      return graft.operators.DriverGraph.toHopsDf(spark, dist.toArray)
+    }
     var visited = seeds.select(col("doc_id"), lit(0L).as("hops"))
     var frontier = visited.select(col("doc_id"))
     for (h <- 1 to k) {
@@ -259,6 +274,62 @@ object GraphQueries {
             .otherwise(lit(55L) - length(bin(expr("h div 64")))).as("r"))
         .withColumn("r", least(col("r"), lit(30L)))
         .localCheckpoint()
+      // r6 driver fast path (DriverGraph contract): after k merge
+      // rounds regs(v) is exactly the max-merge of INITIAL registers
+      // over v's k-out-ball (induction on rounds; max is idempotent),
+      // and the init frame carries ONE register per node — so under
+      // the edge cap both legs (register merge + exact ball) fall out
+      // of one bounded BFS per node over the collected edges, with the
+      // integer fold formulas mirrored exactly (1L<<(30-r), floor-div
+      // err_bp). The distributed rounds below are the >cap path.
+      // GraphFastPathSpec pins fast == distributed.
+      val cap = graft.operators.DriverGraph.edgeCap(s)
+      if (cap > 0 && n * 3 <= cap) {
+        val edges = graft.operators.DriverGraph.collectEdges(
+          lnk.select(col("src"), col("dst")))
+        val adj = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]]()
+        edges.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, new scala.collection.mutable.ArrayBuffer[Long]()) += b }
+        val init = regs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val initJ = new scala.collection.mutable.LongMap[Long]()
+        val initR = new scala.collection.mutable.LongMap[Long]()
+        init.foreach { case (v, j, r) => initJ.update(v, j); initR.update(v, r) }
+        val rows = graft.operators.DriverGraph.collectIds(docs).map { v =>
+          // 3-hop out-ball including v
+          val ball = new scala.collection.mutable.LongMap[Boolean]()
+          ball.update(v, true)
+          var frontier = scala.collection.mutable.ArrayBuffer(v)
+          for (_ <- 1 to 3) {
+            val next = new scala.collection.mutable.ArrayBuffer[Long]()
+            frontier.foreach { c =>
+              adj.get(c).foreach(_.foreach { w =>
+                if (!ball.contains(w)) { ball.update(w, true); next += w }
+              })
+            }
+            frontier = next
+          }
+          val jr = new scala.collection.mutable.LongMap[Long]() // j -> max r
+          ball.keys.foreach { u =>
+            val j = initJ(u); val r = initR(u)
+            if (!jr.get(j).exists(_ >= r)) jr.update(j, r)
+          }
+          val mOcc = jr.size.toLong
+          val occSum = jr.values.map(r => 1L << (30 - r)).sum
+          val nSum = occSum + (64L - mOcc) * 1073741824L
+          val nBall = ball.size.toLong
+          val est = 709213L * (4398046511104L / nSum) / 1000000L
+          val errBp = Math.floorDiv((est - nBall) * 10000L, nBall)
+          org.apache.spark.sql.Row(v, mOcc, nSum, nBall, est, errBp)
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          Seq("doc_id", "m_occ", "n_sum", "n_ball", "est", "err_bp").map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.LongType, nullable = true)))
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq,
+            math.max(1, math.min(s.sparkContext.defaultParallelism,
+              1 + rows.length / 10000))), schema)
+      } else {
       for (_ <- 1 to 3) {
         val nb = lnk.join(regs.select(col("v").as("w"), col("j"), col("r")),
             lnk("dst") === col("w"))
@@ -299,6 +370,7 @@ object GraphQueries {
           // the quotient must be the engine-identical floor
           expr("((est - n_ball) * 10000 - pmod((est - n_ball) * 10000, n_ball)) div n_ball")
             .as("err_bp"))
+      }
     }),
     "q251_harmonic_centrality" -> ((s, dir) => {
       // bounded-hop (K=4) harmonic centrality c(x) = Σ_u 1/d(u, x)
@@ -317,6 +389,57 @@ object GraphQueries {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val n = docs.count()
       val lnk = links(docs, n)
+      // r6 driver fast path (DriverGraph contract): the reach-pair
+      // loop below runs 4 rounds x (join + distinct + anti-join) of
+      // fixed-overhead jobs; under the edge cap the identical
+      // first-hop-pair semantics compute as n bounded forward BFS
+      // balls (out-degree 3 ⟹ ball <= 120) in JVM code.
+      // GraphFastPathSpec pins fast == distributed.
+      val cap = graft.operators.DriverGraph.edgeCap(s)
+      if (cap > 0 && n * 3 <= cap) {
+        val edges = graft.operators.DriverGraph.collectEdges(
+          lnk.select(col("src"), col("dst")))
+        val adj = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]]()
+        edges.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, new scala.collection.mutable.ArrayBuffer[Long]()) += b }
+        val ids = graft.operators.DriverGraph.collectIds(docs)
+        // per-x accumulators: harmonic x12 numerator and reach count
+        val h12 = new scala.collection.mutable.LongMap[Long]()
+        val nr = new scala.collection.mutable.LongMap[Long]()
+        ids.foreach { u =>
+          val dist = new scala.collection.mutable.LongMap[Long]()
+          dist.update(u, 0L)
+          var frontier = scala.collection.mutable.ArrayBuffer(u)
+          var h = 1L
+          while (h <= 4 && frontier.nonEmpty) {
+            val next = new scala.collection.mutable.ArrayBuffer[Long]()
+            frontier.foreach { c =>
+              adj.get(c).foreach(_.foreach { v =>
+                if (!dist.contains(v)) {
+                  dist.update(v, h); next += v
+                  h12.update(v, h12.getOrElse(v, 0L) + 12L / h)
+                  nr.update(v, nr.getOrElse(v, 0L) + 1L)
+                }
+              })
+            }
+            frontier = next
+            h += 1
+          }
+        }
+        val rows = h12.toArray.map { case (x, hv) =>
+          org.apache.spark.sql.Row(x, hv, nr(x)) }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("harmonic_x12",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("n_reach",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq,
+            math.max(1, math.min(s.sparkContext.defaultParallelism,
+              1 + rows.length / 10000))), schema)
+      } else {
       var seen = docs.select(col("doc_id").as("u"), col("doc_id").as("x"))
       var frontier = seen
       val perHop = (1 to 4).map { h =>
@@ -334,6 +457,7 @@ object GraphQueries {
         .agg(sum(col("cnt") * col("w12")).as("harmonic_x12"),
           sum(col("cnt")).as("n_reach"))
         .select(col("x").as("doc_id"), col("harmonic_x12"), col("n_reach"))
+      }
     }),
     "q252_graph_audit" -> ((s, dir) => {
       // link-graph ingest QA — the health gates a crawl pipeline
@@ -721,6 +845,54 @@ object GraphQueries {
             pmod(col("doc_id") * 13 + k * 29, lit(30L)).as("et"))): _*)).as("e"))
         .select(col("src"), col("e.dst").as("dst"),
           col("e.et").cast("long").as("et"))
+      // r6 driver fast path (DriverGraph contract): identical
+      // (node, arrival) reach-pair recurrence on the collected
+      // temporal edge list under the cap — pairs bounded by n x 30
+      // arrival days. GraphFastPathSpec pins fast == distributed.
+      val cap = graft.operators.DriverGraph.edgeCap(s)
+      if (cap > 0 && n * 3 <= cap) {
+        val edges = lt.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val adj = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+        edges.foreach { case (src, dst, et) =>
+          adj.getOrElseUpdate(src, new scala.collection.mutable.ArrayBuffer[(Long, Long)]()) += ((dst, et)) }
+        // seen keyed on node*64 + t (t in 0..29 < 64): one LongMap
+        val seen = new scala.collection.mutable.LongMap[Boolean]()
+        var frontier = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        graft.operators.DriverGraph.collectIds(
+            docs.filter(col("doc_id") % 50 === 0))
+          .foreach { d => seen.update(d * 64L, true); frontier += ((d, 0L)) }
+        for (_ <- 1 to 4) {
+          val next = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          frontier.foreach { case (u, t) =>
+            adj.get(u).foreach(_.foreach { case (dst, et) =>
+              if (et >= t && !seen.contains(dst * 64L + et)) {
+                seen.update(dst * 64L + et, true); next += ((dst, et))
+              }
+            })
+          }
+          frontier = next
+        }
+        val agg = new scala.collection.mutable.LongMap[(Long, Long)]()
+        seen.keys.foreach { k =>
+          val node = k / 64L; val t = k % 64L
+          val (mn, c) = agg.getOrElse(node, (Long.MaxValue, 0L))
+          agg.update(node, (math.min(mn, t), c + 1L))
+        }
+        val rows = agg.toArray.map { case (nid, (mn, c)) =>
+          org.apache.spark.sql.Row(nid, mn, c) }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("earliest_arrival",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("n_arrivals",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq,
+            math.max(1, math.min(s.sparkContext.defaultParallelism,
+              1 + rows.length / 10000))), schema)
+      } else {
       var seen = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id"), lit(0L).as("t"))
       var frontier = seen
@@ -735,6 +907,7 @@ object GraphQueries {
       seen.groupBy(col("doc_id"))
         .agg(min(col("t")).as("earliest_arrival"),
           count(lit(1)).as("n_arrivals"))
+      }
     }),
     "q265_incremental_triangles" -> ((s, dir) => {
       // IVM #18, the TRIANGLE axis: the global triangle count

@@ -566,16 +566,22 @@ object SpatialQueries {
         .select(col("rel_id"), col("role"), col("xs"), col("ys"))
         .cache()
       val pts = SynthUniverse.points(s, dir)
+      // (r6 wave 2: ringDict=broadcast was tried on both legs and
+      // REGRESSED 8.2→10.5 s — these synthetic rel rings are ~40
+      // points, below the dictionary's win regime; inline stays)
       val base = SpatialJoin.pipJoinMulti(pts, areaRings, PipRes)
       val st = graft.osm.ChangePipeline.staleWays(w, SynthUniverse.wayMembers(s, dir))
-      val sr = graft.osm.ChangePipeline.staleRels(w, SynthUniverse.relMembers(s, dir), st)
+      // r6: sr feeds BOTH the affected and upserted sets — cache the
+      // batch-sized frame so the staleWays+staleRels join chain runs
+      // once (guide §1.2)
+      val sr = graft.osm.ChangePipeline.staleRels(w, SynthUniverse.relMembers(s, dir), st).cache()
       val affected = w.filter(col("kind") === "relation").select(col("id").as("rel_id"))
         .union(sr.select(col("rel_id"))).distinct()
       val upserted = w.filter(col("kind") === "relation" &&
           col("action").isin("create", "modify"))
         .select(col("id").as("rel_id"))
         .union(sr.select(col("rel_id"))).distinct()
-      val upRings = areaRings.join(upserted, Seq("rel_id"), "left_semi")
+      val upRings = areaRings.join(upserted, Seq("rel_id"), "left_semi").cache()
       val cells = upRings.select(explode(org.apache.spark.sql.GraftSqlShim.column(
         graft.spatial.CoverCellsExpr(
           org.apache.spark.sql.GraftSqlShim.expression(col("xs")),
@@ -836,13 +842,19 @@ object SpatialQueries {
       // all-pairs; the candidate stream re-derives the endpoints from
       // seg_id's closed form so only (id, 4 bbox scalars) ride the
       // cell join.
+      // r6: the endpoints (px,py,qx,qy) ride the cell join as 4 double
+      // columns instead of re-deriving from seg_id inside the merged
+      // join condition — same values (identical upstream expressions),
+      // but evaluated once per seg row, not ~16x per candidate pair
+      // (guide §1.2 per-task work; see bboxOverlapJoin.leftCarry)
       val segs = Tables.events(s, dir).select(
           col("event_id").as("id"),
           ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("px"),
           ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("py"),
           ((col("event_id") * 31 % 200).cast("double") / 100.0 - 1.0).as("dx"),
           ((col("event_id") * 37 % 200).cast("double") / 100.0 - 1.0).as("dy"))
-        .select(col("id"),
+        .select(col("id"), col("px"), col("py"),
+          (col("px") + col("dx")).as("qx"), (col("py") + col("dy")).as("qy"),
           least(col("px"), col("px") + col("dx")).as("minx"),
           least(col("py"), col("py") + col("dy")).as("miny"),
           greatest(col("px"), col("px") + col("dx")).as("maxx"),
@@ -850,16 +862,14 @@ object SpatialQueries {
       val boxes = SynthUniverse.ways(s, dir).select(col("way_id").as("id"),
         col("x0").as("minx"), col("y0").as("miny"),
         (col("x0") + col("w")).as("maxx"), (col("y0") + col("h")).as("maxy"))
-      val px = (col("seg_id") * 17 % 320000).cast("double") / 1000.0 - 160.0
-      val py = (col("seg_id") * 23 % 150000).cast("double") / 1000.0 - 75.0
-      val qx = px + ((col("seg_id") * 31 % 200).cast("double") / 100.0 - 1.0)
-      val qy = py + ((col("seg_id") * 37 % 200).cast("double") / 100.0 - 1.0)
       def side(cx: Column, cy: Column): Column =
-        (qx - px) * (cy - py) - (qy - py) * (cx - px)
+        (col("qx") - col("px")) * (cy - col("py")) -
+          (col("qy") - col("py")) * (cx - col("px"))
       val ss = Seq(side(col("rminx"), col("rminy")), side(col("rmaxx"), col("rminy")),
         side(col("rmaxx"), col("rmaxy")), side(col("rminx"), col("rmaxy")))
       SpatialJoin.bboxOverlapJoin(segs, boxes, PipRes, idCol = "id",
-          leftId = "seg_id", rightId = "way_id")
+          leftId = "seg_id", rightId = "way_id",
+          leftCarry = Seq("px", "py", "qx", "qy"))
         .filter(least(ss: _*) <= 0 && greatest(ss: _*) >= 0)
         .select(col("seg_id"), col("way_id"))
     }),
@@ -1555,13 +1565,16 @@ object SpatialQueries {
       // oracle; the trajectory endpoints re-derive from seg_id's
       // closed form so only (id, 4 bbox scalars) ride the cell join,
       // and the diagonal's endpoints ARE its bbox corners (w,h > 0).
+      // r6: endpoints carried through the cell join (same values, once
+      // per row instead of many times per candidate — see q113 note)
       val segs = Tables.events(s, dir).select(
           col("event_id").as("id"),
           ((col("event_id") * 17 % 320000).cast("double") / 1000.0 - 160.0).as("px"),
           ((col("event_id") * 23 % 150000).cast("double") / 1000.0 - 75.0).as("py"),
           ((col("event_id") * 31 % 200).cast("double") / 100.0 - 1.0).as("dx"),
           ((col("event_id") * 37 % 200).cast("double") / 100.0 - 1.0).as("dy"))
-        .select(col("id"),
+        .select(col("id"), col("px"), col("py"),
+          (col("px") + col("dx")).as("qx"), (col("py") + col("dy")).as("qy"),
           least(col("px"), col("px") + col("dx")).as("minx"),
           least(col("py"), col("py") + col("dy")).as("miny"),
           greatest(col("px"), col("px") + col("dx")).as("maxx"),
@@ -1569,10 +1582,8 @@ object SpatialQueries {
       val diags = SynthUniverse.ways(s, dir).select(col("way_id").as("id"),
         col("x0").as("minx"), col("y0").as("miny"),
         (col("x0") + col("w")).as("maxx"), (col("y0") + col("h")).as("maxy"))
-      val px = (col("seg_id") * 17 % 320000).cast("double") / 1000.0 - 160.0
-      val py = (col("seg_id") * 23 % 150000).cast("double") / 1000.0 - 75.0
-      val qx = px + ((col("seg_id") * 31 % 200).cast("double") / 100.0 - 1.0)
-      val qy = py + ((col("seg_id") * 37 % 200).cast("double") / 100.0 - 1.0)
+      val px = col("px"); val py = col("py")
+      val qx = col("qx"); val qy = col("qy")
       val d1 = (qx - px) * (col("rminy") - py) - (qy - py) * (col("rminx") - px)
       val d2 = (qx - px) * (col("rmaxy") - py) - (qy - py) * (col("rmaxx") - px)
       val abx = col("rmaxx") - col("rminx")
@@ -1580,7 +1591,8 @@ object SpatialQueries {
       val d3 = abx * (py - col("rminy")) - aby * (px - col("rminx"))
       val d4 = abx * (qy - col("rminy")) - aby * (qx - col("rminx"))
       SpatialJoin.bboxOverlapJoin(segs, diags, PipRes, idCol = "id",
-          leftId = "seg_id", rightId = "way_id")
+          leftId = "seg_id", rightId = "way_id",
+          leftCarry = Seq("px", "py", "qx", "qy"))
         .filter(least(d1, d2) <= 0 && greatest(d1, d2) >= 0 &&
           least(d3, d4) <= 0 && greatest(d3, d4) >= 0)
         .select(col("seg_id"), col("way_id"))
@@ -2600,6 +2612,10 @@ object SpatialQueries {
       val storedC12 = c12Of(SynthUniverse.points(s, dir))
       val storedLeaves = leavesOf(storedC12)
       // counter delta folded in ONE aggregate (q136's shape)
+      // (r6 wave 2: caching delta — it feeds both the counter fold and
+      // the touched probe — was tried and measured FLAT, 5.9 vs 6.0 s:
+      // the two delta legs are cheap column scans and the cache fill
+      // costs what the recompute did)
       val delta = c12Of(SynthUniverse.points(s, dir)
           .join(affected, Seq("doc_id"), "left_semi"))
         .select(col("c12"), (-col("cnt12")).as("d"))

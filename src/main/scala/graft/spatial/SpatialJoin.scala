@@ -551,23 +551,33 @@ object SpatialJoin {
     * the two sides' bbox scalars (l/r-prefixed) so downstream refines
     * (intersection geometry, JTS exact tests) need no re-join.
     */
+  /** @param leftCarry extra left-side columns to carry through the
+    *   cell join (r6: q113/q149 re-derived the segment endpoints from
+    *   seg_id's closed form INSIDE the merged join condition — ~16
+    *   copies of the modulo/divide tree per candidate pair once the
+    *   downstream refine filter folds into the join; carrying the 4
+    *   endpoint doubles trades 32 B/row on the exchange for computing
+    *   them once per ROW instead of many times per CANDIDATE) */
   def bboxOverlapJoin(left: DataFrame, right: DataFrame, res: Int,
       idCol: String = "id",
-      leftId: String = "a_id", rightId: String = "b_id"): DataFrame = {
-    def cover(df: DataFrame, outId: String, p: String): DataFrame = df.select(
-      col(idCol).as(outId),
-      col("minx").as(p + "minx"), col("miny").as(p + "miny"),
-      col("maxx").as(p + "maxx"), col("maxy").as(p + "maxy"),
+      leftId: String = "a_id", rightId: String = "b_id",
+      leftCarry: Seq[String] = Nil): DataFrame = {
+    def cover(df: DataFrame, outId: String, p: String,
+        carry: Seq[String]): DataFrame = df.select(
+      col(idCol).as(outId) +: carry.map(col) :+
+      col("minx").as(p + "minx") :+ col("miny").as(p + "miny") :+
+      col("maxx").as(p + "maxx") :+ col("maxy").as(p + "maxy") :+
       explode(org.apache.spark.sql.GraftSqlShim.column(
         CoverCellsExpr(
           org.apache.spark.sql.GraftSqlShim.expression(
             array(col("minx"), col("maxx"), col("maxx"), col("minx"))),
           org.apache.spark.sql.GraftSqlShim.expression(
             array(col("miny"), col("miny"), col("maxy"), col("maxy"))), res)))
-        .as("cell"))
+        .as("cell"): _*)
     val cornerX = greatest(col("lminx"), col("rminx"))
     val cornerY = greatest(col("lminy"), col("rminy"))
-    cover(left, leftId, "l").join(cover(right, rightId, "r"), "cell")
+    cover(left, leftId, "l", leftCarry)
+      .join(cover(right, rightId, "r", Nil), "cell")
       .filter(col("lminx") <= col("rmaxx") && col("rminx") <= col("lmaxx") &&
         col("lminy") <= col("rmaxy") && col("rminy") <= col("lmaxy") &&
         GeoFunctions.cellAt(cornerX, cornerY, res) === col("cell"))
